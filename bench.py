@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed once after a warm-up of the session (JVM + parquet
+footer caches), timed end-to-end including the driver-side collect of the
+(small) result sets — the same work the reference's API handlers do.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lakehouse_admin_spark import registry
+from lakehouse_admin_spark.session import get_spark
+
+# Headline set: one per operator family — scan+agg, fact-fact join,
+# star join, anti-join, top-k, window pagination, drill-down,
+# needs_optimize analyzer, exact dedup, minhash LSH, ANN, text stats.
+HEADLINE = [
+    "pricing_summary",
+    "revenue_top_orders",
+    "revenue_by_nation",
+    "orders_without_lineitems",
+    "top_events_by_value",
+    "page_events",
+    "drilldown_events_day",
+    "needs_optimize_partitions",
+    "dedup_exact",
+    "minhash_near_dup",
+    "ann_topk_cosine",
+    "text_quality",
+    "token_frequencies",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    registry.load_all_operators()
+    spark = get_spark(app_name="lakehouse-admin-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up JVM/codegen on a trivial job so query timings measure the
+    # plans, not first-job startup.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        rows = spec.fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

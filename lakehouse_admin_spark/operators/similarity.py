@@ -1,0 +1,196 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Training-data-pipeline extension: approximate-nearest-neighbor search.
+
+- ``ann_topk_cosine``: brute-force cosine top-k — the exactness baseline.
+  Dot products run as JVM higher-order functions (zip_with + aggregate)
+  in double precision; ranking is on the 6-decimal-rounded cosine with an
+  id tiebreak so the selected set is deterministic across engines.
+- ``ann_ivf_topk``: the scale path — IVF-style cell restriction (here the
+  ``label`` column stands in for a k-means cell id; at 100 TB you'd
+  assign cells with a trained centroid table broadcast to executors and
+  probe n_cells ≪ N). Candidate set per query shrinks by the cell
+  fan-out, and the join is keyed on the cell id, not a cross join.
+- ``embedding_norms``: the cheap precomputation pass (norms are computed
+  once and stored, so repeated queries skip half the arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lakehouse_admin_spark.registry import query
+from lakehouse_admin_spark.sources.tables import load_table
+
+TOP_K = 5
+QUERY_STRIDE = 100  # vec_id % stride == 0 → query vector
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ a[i]·b[i] in double precision, sequential array order (portable
+    and deterministic — matters for cross-engine rounding stability)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+               AS l2_norm
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm — the precompute-once pass of a cosine index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.round(norm_expr(F.col("embedding")), 6).alias("l2_norm")
+    ).orderBy("vec_id")
+
+
+_ANN_ORACLE_BODY = """
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe{label_sel}
+        FROM embeddings WHERE vec_id % {stride} = 0
+    ),
+    pairs AS (
+        SELECT q.qid, e.vec_id AS cid, q.qe, e.embedding AS ce
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid{cell_pred}
+    ),
+    dots AS (
+        SELECT qid, cid,
+               list_sum(list_transform(list_zip(qe, ce),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+               sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nc
+        FROM pairs
+    ),
+    sims AS (SELECT qid, cid, ROUND(dot / (nq * nc), 6) AS cosine FROM dots),
+    ranked AS (
+        SELECT qid AS query_id, cid AS neighbor_id, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+"""
+
+
+def _ann_topk(
+    spark: SparkSession, sf_dir: str, restrict_cell: bool
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("clabel"),
+    )
+    cond = F.col("neighbor_id") != F.col("query_id")
+    if restrict_cell:
+        # IVF: probe only the query's cell. The join is keyed on the cell
+        # id → shuffle/broadcast by cell, not a cross join.
+        joined = queries.join(
+            cands, (F.col("qlabel") == F.col("clabel")) & cond
+        )
+    else:
+        # Brute force: broadcast the (small) query set against all
+        # candidates — scales linearly in candidates, embarrassingly
+        # parallel, no shuffle of the big side.
+        joined = F.broadcast(queries).crossJoin(cands).filter(cond)
+    sims = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "ann_topk_cosine",
+    oracle=_ANN_ORACLE_BODY.format(label_sel="", stride=QUERY_STRIDE, cell_pred="", k=TOP_K),
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for every stride-100 query vector."""
+    return _ann_topk(spark, sf_dir, restrict_cell=False)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=_ANN_ORACLE_BODY.format(
+        label_sel=", label AS qlabel",
+        stride=QUERY_STRIDE,
+        cell_pred=" AND e.label = q.qlabel",
+        k=TOP_K,
+    ),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell-restricted cosine top-5 (label = cell id stand-in)."""
+    return _ann_topk(spark, sf_dir, restrict_cell=True)
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH expl AS (
+        SELECT label, UNNEST(range(1, 65)) AS dim, embedding
+        FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           ROUND(AVG(CAST(embedding[dim] AS DOUBLE)), 5) AS centroid_val,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM expl
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell centroid computation — the training half of an IVF index
+    (one aggregation pass; at scale this is the k-means "M step").
+
+    posexplode puts (label, dim) on the shuffle key; partial aggregation
+    keeps the shuffle at |labels|×64 rows per executor.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v")
+    )
+    return (
+        expl.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.round(F.avg("v"), 5).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )

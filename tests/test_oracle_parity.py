@@ -1,0 +1,37 @@
+"""Oracle-parity tests: every registered query with an oracle must match
+DuckDB exactly at the smoke scale factor (the driver repeats this check
+at sf0.01). Non-oracle queries must at least execute and return a stable
+schema."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakehouse_admin_spark import registry
+from tests.conftest import SF_SMOKE
+from tests.oracle_check import compare_query
+
+registry.load_all_operators()
+SPECS = sorted(registry.QUERIES.values(), key=lambda s: s.name)
+WITH_ORACLE = [s for s in SPECS if s.oracle]
+WITHOUT_ORACLE = [s for s in SPECS if not s.oracle]
+
+
+@pytest.mark.parametrize("spec", WITH_ORACLE, ids=lambda s: s.name)
+def test_oracle_parity(spark, spec):
+    compare_query(spark, spec, SF_SMOKE)
+
+
+@pytest.mark.parametrize("spec", WITHOUT_ORACLE, ids=lambda s: s.name)
+def test_runs_without_oracle(spark, spec):
+    df = spec.fn(spark, SF_SMOKE)
+    assert df.columns, f"{spec.name}: no columns"
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
