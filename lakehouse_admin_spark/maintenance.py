@@ -1,0 +1,180 @@
+"""Maintenance procedures over ledger tables — the engine's equivalent
+of the Iceberg Spark procedures the reference shells out to:
+
+- rewrite_data_files (binpack compaction)  — reference builds
+  `CALL …system.rewrite_data_files(table, where, strategy=>'binpack',
+  options => map(...))` (backend/build/spark/maintenance.py:153-179,
+  submission service_maintenance_executor_spark.go:218-286)
+- expire_snapshots            — maintenance.py:182-198 / trino
+  executor service_maintenance_executor_trino.go:138-158
+- remove_orphan_files         — maintenance.py:201-215 /
+  service_maintenance_executor_trino.go:160-193 (metric-row fold)
+- rollback_to_snapshot        — service_iceberg_mutations.go:37-48
+
+Defaults mirror the reference configuration: 512 MiB target file size,
+min-input-files 2, max 5 concurrent file-group rewrites
+(backend/config.dist.yml:52,67-70) and a 7-day retention floor
+(backend/internal/service_tasks.go:15,92-95).
+
+Execution model: the *data* movement of compaction is a distributed
+Spark read→repartition→write per file group; snapshot/orphan handling
+is driver-side metadata work, O(files) — same division as Iceberg.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+from lakehouse_admin_spark.sources.ledger import LedgerTable, Snapshot
+
+DEFAULT_TARGET_FILE_SIZE_BYTES = 512 * 1024 * 1024
+DEFAULT_MIN_INPUT_FILES = 2
+MIN_RETENTION_DAYS = 7
+MS_PER_DAY = 24 * 3600 * 1000
+
+
+def rewrite_data_files(
+    table: LedgerTable,
+    where: dict[str, str] | None = None,
+    target_file_size_bytes: int = DEFAULT_TARGET_FILE_SIZE_BYTES,
+    min_input_files: int = DEFAULT_MIN_INPUT_FILES,
+) -> dict[str, int]:
+    """Binpack compaction: within each partition (optionally filtered by
+    ``where`` raw-partition equality), rewrite every group of
+    ≥ min_input_files undersized files into ceil(Σbytes / target) files.
+
+    One commit covers all rewritten groups (partial-progress disabled —
+    the reference's dist default, config.dist.yml:68). Returns the
+    procedure-style metrics map.
+    """
+    files = table.live_files()
+    groups: dict[tuple, list[dict]] = {}
+    for e in files:
+        if where and any(e["partition"].get(k) != v for k, v in where.items()):
+            continue
+        groups.setdefault(tuple(sorted(e["partition"].items())), []).append(e)
+
+    removed: list[str] = []
+    rewritten_bytes = 0
+    for _part, group in sorted(groups.items()):
+        small = [e for e in group if e["file_size_in_bytes"] < target_file_size_bytes]
+        if len(small) < min_input_files:
+            continue
+        removed += [e["file_path"] for e in small]
+        rewritten_bytes += sum(e["file_size_in_bytes"] for e in small)
+
+    if not removed:
+        return {
+            "rewritten_data_files_count": 0,
+            "added_data_files_count": 0,
+            "rewritten_bytes_count": 0,
+        }
+
+    spark = table.spark
+    df = spark.read.parquet(*removed)
+    # binpack: coalesce the group's rows into as few output files as the
+    # target size allows; repartition count derives from byte volume.
+    n_out = max(1, math.ceil(rewritten_bytes / target_file_size_bytes))
+    df = df.repartition(n_out)
+    before = len(table.live_files())
+    snap = table.replace_files(removed, df, operation="replace")
+    added = len(snap.files) - (before - len(removed))
+    return {
+        "rewritten_data_files_count": len(removed),
+        "added_data_files_count": added,
+        "rewritten_bytes_count": rewritten_bytes,
+    }
+
+
+def expire_snapshots(
+    table: LedgerTable,
+    older_than_ms: int | None = None,
+    retention_days: int | None = None,
+    retain_last: int = 1,
+) -> dict[str, int]:
+    """Expire snapshots older than the cutoff, keeping the current one
+    and at least ``retain_last``. Data files referenced *only* by
+    expired snapshots are deleted from storage.
+
+    Retention is clamped to the 7-day floor when given in days
+    (reference: service_tasks.go:92-95 clamps, Trino/Spark procedures
+    then enforce their own floors)."""
+    if older_than_ms is None:
+        days = max(retention_days or MIN_RETENTION_DAYS, MIN_RETENTION_DAYS)
+        older_than_ms = int(time.time() * 1000) - days * MS_PER_DAY
+
+    snaps = table.snapshots()
+    current = table.current_snapshot_id()
+    keep: list[Snapshot] = []
+    expired: list[Snapshot] = []
+    for s in snaps:
+        if s.snapshot_id == current or s.committed_at_ms >= older_than_ms:
+            keep.append(s)
+        else:
+            expired.append(s)
+    # enforce retain_last over the newest snapshots regardless of age
+    if retain_last > 1:
+        by_age = sorted(snaps, key=lambda s: s.snapshot_id, reverse=True)
+        for s in by_age[:retain_last]:
+            if s in expired:
+                expired.remove(s)
+                keep.append(s)
+
+    live_paths = {e["file_path"] for s in keep for e in s.files}
+    deleted_files = 0
+    for s in expired:
+        for e in s.files:
+            p = e["file_path"]
+            if p not in live_paths and os.path.exists(p):
+                os.remove(p)
+                deleted_files += 1
+        os.remove(os.path.join(table.meta_dir, f"snap-{s.snapshot_id}.json"))
+    return {
+        "deleted_snapshots_count": len(expired),
+        "deleted_data_files_count": deleted_files,
+        "retained_snapshots_count": len(keep),
+    }
+
+
+def remove_orphan_files(
+    table: LedgerTable, older_than_ms: int | None = None, dry_run: bool = False
+) -> dict[str, int | list[str]]:
+    """Delete data files on storage not referenced by ANY snapshot.
+
+    Mirrors the procedure's metric-row output fold
+    (reference: service_maintenance_executor_trino.go:176-184). The
+    age guard (default 7 days, by mtime) protects in-flight writes —
+    same rationale as Iceberg's older_than default."""
+    if older_than_ms is None:
+        older_than_ms = int(time.time() * 1000) - MIN_RETENTION_DAYS * MS_PER_DAY
+    referenced = {e["file_path"] for s in table.snapshots() for e in s.files}
+    orphans: list[str] = []
+    for dirpath, _d, filenames in os.walk(table.data_dir):
+        for fn in filenames:
+            p = os.path.join(dirpath, fn)
+            if p in referenced:
+                continue
+            if os.path.getmtime(p) * 1000 >= older_than_ms:
+                continue
+            orphans.append(p)
+    if not dry_run:
+        for p in orphans:
+            os.remove(p)
+    return {
+        "orphan_file_count": len(orphans),
+        "deleted_files": sorted(orphans),
+    }
+
+
+def rollback_to_snapshot(table: LedgerTable, snapshot_id: int) -> dict[str, int]:
+    """Rollback the table to an earlier snapshot's file set
+    (reference: handler_iceberg.go:126-145 → Trino
+    rollback_to_snapshot, then a full cache refresh)."""
+    snap = table.rollback_to(snapshot_id)
+    return {
+        "rolled_back_to": snapshot_id,
+        "new_snapshot_id": snap.snapshot_id,
+        "total_records": int(snap.summary.get("total-records", "0")),
+    }

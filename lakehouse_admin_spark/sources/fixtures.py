@@ -1,0 +1,128 @@
+"""Ledger fixture builder: materializes real snapshot-bearing tables
+from the driver parquet inputs (FIXTURES.md §B), so snapshot/partition/
+file metadata and the maintenance procedures are exercised genuinely.
+
+- events_ledger: day-partitioned on ts, one append per day → deep
+  snapshot lineage + many small files (positive needs_optimize cases)
+- lineitem_ledger: day(l_shipdate) + identity(l_returnflag) — hidden
+  transform PLUS identity, the reference's mixed drill-down case
+  (reference: backend/internal/handler_browse_test.go:9-30)
+- nested_ledger: struct source column goal.conversionHappenedAt with a
+  day transform — the nested-source edge case pinned by
+  reference backend/internal/iceberg_client_test.go:13-89
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_admin_spark.sources.ledger import LedgerCatalog, LedgerTable, PartitionField
+from lakehouse_admin_spark.sources.tables import load_table
+
+_CATALOGS: dict[tuple[int, str], LedgerCatalog] = {}
+
+
+def get_catalog(spark: SparkSession, warehouse: str | None = None) -> LedgerCatalog:
+    warehouse = warehouse or os.path.join(tempfile.gettempdir(), "lakehouse_warehouse")
+    key = (id(spark), warehouse)
+    if key not in _CATALOGS:
+        _CATALOGS[key] = LedgerCatalog(spark, warehouse)
+    return _CATALOGS[key]
+
+
+def build_events_ledger(
+    spark: SparkSession,
+    sf_dir: str,
+    catalog: LedgerCatalog,
+    database: str = "main",
+    name: str = "events_ledger",
+    appends_per_day: bool = True,
+) -> LedgerTable:
+    """Day-partitioned events table with one append per event_type →
+    snapshot lineage with parents AND ~5 small files per day partition
+    (needs_optimize positives), plus a final delete (operation variety
+    for the snapshot history view)."""
+    if name in catalog.list_tables(database):
+        return catalog.table(database, name)
+    ev = load_table(spark, sf_dir, "events")
+    tbl = catalog.create_table(
+        database,
+        name,
+        ev.schema,
+        [PartitionField(source="ts", transform="day", name="ts_day")],
+    )
+    types = [r[0] for r in ev.select("event_type").distinct().orderBy("event_type").collect()]
+    for t in types:
+        tbl.append(ev.filter(F.col("event_type") == t))
+    # one delete commit: drop the very first day's partition
+    first_day = ev.select(F.date_format(F.min("ts"), "yyyy-MM-dd")).collect()[0][0]
+    tbl.delete_partitions(lambda p: p.get("ts_day") == first_day)
+    return tbl
+
+
+def build_lineitem_ledger(
+    spark: SparkSession,
+    sf_dir: str,
+    catalog: LedgerCatalog,
+    database: str = "main",
+    name: str = "lineitem_ledger",
+    months: int = 3,
+) -> LedgerTable:
+    """Mixed hidden+identity partitioning over a lineitem slice (first
+    ``months`` months of 1995 keep the fixture build fast)."""
+    if name in catalog.list_tables(database):
+        return catalog.table(database, name)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < f"1995-{months + 1:02d}-01")
+    )
+    tbl = catalog.create_table(
+        database,
+        name,
+        li.schema,
+        [
+            PartitionField(source="l_shipdate", transform="day", name="l_shipdate_day"),
+            PartitionField(source="l_returnflag", transform="identity", name="l_returnflag"),
+        ],
+    )
+    for m in range(1, months + 1):
+        tbl.append(li.filter(F.month("l_shipdate") == m))
+    return tbl
+
+
+def build_nested_ledger(
+    spark: SparkSession,
+    catalog: LedgerCatalog,
+    database: str = "main",
+    name: str = "nested_ledger",
+) -> LedgerTable:
+    """id + goal struct<conversionHappenedAt: date>, day-partitioned on
+    the nested field."""
+    if name in catalog.list_tables(database):
+        return catalog.table(database, name)
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.struct(
+            F.date_add(F.lit("2026-03-01").cast("date"), (F.col("id") % 10).cast("int")).alias(
+                "conversionHappenedAt"
+            )
+        ).alias("goal"),
+    )
+    tbl = catalog.create_table(
+        database,
+        name,
+        df.schema,
+        [
+            PartitionField(
+                source="goal.conversionHappenedAt",
+                transform="day",
+                name="goal.conversionHappenedAt_day",
+            )
+        ],
+    )
+    tbl.append(df)
+    return tbl

@@ -1,0 +1,457 @@
+"""Ledger — a minimal snapshot-based lakehouse table format.
+
+The reference administers Apache Iceberg tables: snapshot lineage,
+per-file partition/record/size stats, hidden partition transforms, and
+maintenance procedures (reference: backend/internal/iceberg_client.go,
+backend/build/spark/maintenance.py). This container has no Iceberg
+runtime jar, so the engine ships its own idiom-faithful format with the
+same observable semantics:
+
+    warehouse/<db>/<table>/
+        metadata/
+            table.json            table-level metadata (schema string,
+                                  partition spec, current snapshot id)
+            snap-<id>.json        one manifest per snapshot: operation,
+                                  parent, summary, full live-file list
+                                  with per-file partition values,
+                                  record_count, file_size_in_bytes
+        data/<k=v dirs>/*.parquet hive-layout data files
+
+Division of labor mirrors Iceberg-on-Spark exactly:
+- DATA operations (write, compact, scan) are distributed Spark jobs;
+- METADATA operations (manifest read/write, snapshot pointer) are
+  driver-side and O(files), never O(rows) — parquet row counts come
+  from footers (pyarrow metadata read), not data scans.
+
+Partition transforms supported (reference: iceberg_client.go:422-496):
+identity, year/month/day (hidden date transforms), bucket[N], truncate[W].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+@dataclass(frozen=True)
+class PartitionField:
+    """One field of a partition spec: a source column + transform."""
+
+    source: str  # source column name (may be nested: "goal.conversionHappenedAt")
+    transform: str  # identity | year | month | day | bucket[N] | truncate[W]
+    name: str  # partition field name (e.g. "ts_day")
+
+    def to_json(self) -> dict:
+        return {"source": self.source, "transform": self.transform, "name": self.name}
+
+    @staticmethod
+    def from_json(d: dict) -> "PartitionField":
+        return PartitionField(d["source"], d["transform"], d["name"])
+
+
+def transform_expr(f: PartitionField) -> Column:
+    """The Spark expression computing a partition value (as STRING — the
+    reference carries partition values stringly-typed,
+    types_iceberg.go:59)."""
+    src = F.col(f.source)
+    t = f.transform
+    if t == "identity":
+        return src.cast("string")
+    if t == "year":
+        return F.date_format(src, "yyyy")
+    if t == "month":
+        return F.date_format(src, "yyyy-MM")
+    if t == "day":
+        return F.date_format(src, "yyyy-MM-dd")
+    m = re.fullmatch(r"bucket\[(\d+)\]", t)
+    if m:
+        n = int(m.group(1))
+        return (F.pmod(F.hash(src), F.lit(n))).cast("string")
+    m = re.fullmatch(r"truncate\[(\d+)\]", t)
+    if m:
+        w = int(m.group(1))
+        return F.substring(src.cast("string"), 1, w)
+    raise ValueError(f"unknown transform {t!r}")
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    committed_at_ms: int
+    operation: str  # append | overwrite | delete | replace (rewrite)
+    summary: dict[str, str]
+    files: list[dict]  # {file_path, partition{name:str}, record_count, file_size_in_bytes, spec_id}
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "committed_at_ms": self.committed_at_ms,
+            "operation": self.operation,
+            "summary": self.summary,
+            "files": self.files,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            d["snapshot_id"],
+            d.get("parent_id"),
+            d["committed_at_ms"],
+            d["operation"],
+            d.get("summary", {}),
+            d.get("files", []),
+        )
+
+
+class LedgerTable:
+    """Handle to one ledger table."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, database: str, name: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.database = database
+        self.name = name
+        self.root = os.path.join(warehouse, database, name)
+        self.meta_dir = os.path.join(self.root, "metadata")
+        self.data_dir = os.path.join(self.root, "data")
+
+    # ------------------------------------------------------------------
+    # metadata io (driver-side, O(files) — the Iceberg-manifest analog)
+    # ------------------------------------------------------------------
+    @property
+    def _table_json(self) -> str:
+        return os.path.join(self.meta_dir, "table.json")
+
+    def _load_meta(self) -> dict:
+        with open(self._table_json) as fh:
+            return json.load(fh)
+
+    def _store_meta(self, meta: dict) -> None:
+        tmp = self._table_json + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        os.replace(tmp, self._table_json)  # atomic commit (the "swap pointer")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._table_json)
+
+    def partition_spec(self) -> list[PartitionField]:
+        return [PartitionField.from_json(d) for d in self._load_meta()["partition_spec"]]
+
+    def schema_string(self) -> list[dict]:
+        return self._load_meta()["columns"]
+
+    def current_snapshot_id(self) -> int | None:
+        return self._load_meta().get("current_snapshot_id")
+
+    def snapshots(self) -> list[Snapshot]:
+        out = []
+        for fn in sorted(os.listdir(self.meta_dir)):
+            if fn.startswith("snap-") and fn.endswith(".json"):
+                with open(os.path.join(self.meta_dir, fn)) as fh:
+                    out.append(Snapshot.from_json(json.load(fh)))
+        out.sort(key=lambda s: s.snapshot_id)
+        return out
+
+    def snapshot(self, snapshot_id: int) -> Snapshot:
+        path = os.path.join(self.meta_dir, f"snap-{snapshot_id}.json")
+        if not os.path.exists(path):
+            raise KeyError(f"snapshot {snapshot_id} not found for {self.database}.{self.name}")
+        with open(path) as fh:
+            return Snapshot.from_json(json.load(fh))
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        with open(os.path.join(self.meta_dir, f"snap-{snap.snapshot_id}.json"), "w") as fh:
+            json.dump(snap.to_json(), fh, indent=1)
+
+    def _commit(self, snap: Snapshot) -> None:
+        self._write_snapshot(snap)
+        meta = self._load_meta()
+        meta["current_snapshot_id"] = snap.snapshot_id
+        meta["last_updated_ms"] = snap.committed_at_ms
+        self._store_meta(meta)
+
+    def _next_snapshot_id(self) -> int:
+        snaps = self.snapshots()
+        return (snaps[-1].snapshot_id + 1) if snaps else 1
+
+    # ------------------------------------------------------------------
+    # writes (distributed Spark jobs; stats harvested from footers)
+    # ------------------------------------------------------------------
+    def _stage_write(self, df: DataFrame) -> list[dict]:
+        """Write df's rows as new data files, return their file entries.
+
+        The write is a normal distributed parquet write partitioned by
+        the transform columns (hive layout). Per-file record counts and
+        sizes come from parquet FOOTERS via pyarrow — metadata-only
+        reads, the moral equivalent of Iceberg collecting manifest
+        stats at commit time. No data is re-read.
+        """
+        spec = self.partition_spec()
+        stage_id = uuid.uuid4().hex[:12]
+        # Indexed staging names: partition field names may contain dots
+        # (nested identity sources like goal.conversionHappenedAt) which
+        # partitionBy would mis-resolve as struct access.
+        pcols = [f"_p_{i}" for i in range(len(spec))]
+        staged = df
+        for f_, pcol in zip(spec, pcols):
+            staged = staged.withColumn(pcol, transform_expr(f_))
+        writer = staged.write.mode("append")
+        if pcols:
+            # repartition by partition value so each partition's rows
+            # land in few files (mirrors Iceberg's fanout writer)
+            staged = staged.repartition(*[F.col(c) for c in pcols])
+            writer = staged.write.mode("append").partitionBy(*pcols)
+        out_dir = os.path.join(self.data_dir, stage_id)
+        writer.parquet(out_dir)
+        return self._harvest_files(out_dir, spec, pcols)
+
+    def _harvest_files(
+        self, out_dir: str, spec: list[PartitionField], pcols: list[str]
+    ) -> list[dict]:
+        entries = []
+        for dirpath, _dirnames, filenames in os.walk(out_dir):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(dirpath, fn)
+                rel = os.path.relpath(dirpath, out_dir)
+                partition: dict[str, str] = {}
+                if rel != ".":
+                    for part in rel.split(os.sep):
+                        k, _, v = part.partition("=")
+                        idx = int(k.removeprefix("_p_"))
+                        partition[spec[idx].name] = v
+                meta = pq.read_metadata(fpath)
+                entries.append(
+                    {
+                        "file_path": fpath,
+                        "partition": partition,
+                        "record_count": meta.num_rows,
+                        "file_size_in_bytes": os.path.getsize(fpath),
+                        "spec_id": 0,
+                        "content": 0,
+                        "file_format": "PARQUET",
+                    }
+                )
+        entries.sort(key=lambda e: e["file_path"])
+        return entries
+
+    def append(self, df: DataFrame) -> Snapshot:
+        new_files = self._stage_write(df)
+        cur = self.current_snapshot_id()
+        base = self.snapshot(cur).files if cur else []
+        snap = Snapshot(
+            snapshot_id=self._next_snapshot_id(),
+            parent_id=cur,
+            committed_at_ms=int(time.time() * 1000),
+            operation="append",
+            summary={
+                "added-data-files": str(len(new_files)),
+                "added-records": str(sum(e["record_count"] for e in new_files)),
+                "total-data-files": str(len(base) + len(new_files)),
+                "total-records": str(
+                    sum(e["record_count"] for e in base) + sum(e["record_count"] for e in new_files)
+                ),
+            },
+            files=base + new_files,
+        )
+        self._commit(snap)
+        return snap
+
+    def overwrite(self, df: DataFrame) -> Snapshot:
+        new_files = self._stage_write(df)
+        cur = self.current_snapshot_id()
+        snap = Snapshot(
+            snapshot_id=self._next_snapshot_id(),
+            parent_id=cur,
+            committed_at_ms=int(time.time() * 1000),
+            operation="overwrite",
+            summary={
+                "added-data-files": str(len(new_files)),
+                "total-data-files": str(len(new_files)),
+                "total-records": str(sum(e["record_count"] for e in new_files)),
+            },
+            files=new_files,
+        )
+        self._commit(snap)
+        return snap
+
+    def delete_partitions(self, predicate) -> Snapshot:
+        """File-level delete: drop every data file whose partition tuple
+        matches ``predicate`` (dict[str,str] -> bool). Mirrors partition-
+        scoped DELETE on an Iceberg table (metadata-only when aligned to
+        partition boundaries)."""
+        cur = self.current_snapshot_id()
+        base = self.snapshot(cur).files if cur else []
+        kept = [e for e in base if not predicate(e["partition"])]
+        snap = Snapshot(
+            snapshot_id=self._next_snapshot_id(),
+            parent_id=cur,
+            committed_at_ms=int(time.time() * 1000),
+            operation="delete",
+            summary={
+                "deleted-data-files": str(len(base) - len(kept)),
+                "total-data-files": str(len(kept)),
+                "total-records": str(sum(e["record_count"] for e in kept)),
+            },
+            files=kept,
+        )
+        self._commit(snap)
+        return snap
+
+    def replace_files(
+        self, removed: list[str], df: DataFrame, operation: str = "replace"
+    ) -> Snapshot:
+        """Commit a rewrite: ``removed`` file paths replaced by the
+        files written from ``df`` (the compaction commit primitive)."""
+        new_files = self._stage_write(df)
+        cur = self.current_snapshot_id()
+        base = self.snapshot(cur).files if cur else []
+        removed_set = set(removed)
+        kept = [e for e in base if e["file_path"] not in removed_set]
+        snap = Snapshot(
+            snapshot_id=self._next_snapshot_id(),
+            parent_id=cur,
+            committed_at_ms=int(time.time() * 1000),
+            operation=operation,
+            summary={
+                "rewritten-data-files": str(len(removed_set)),
+                "added-data-files": str(len(new_files)),
+                "total-data-files": str(len(kept) + len(new_files)),
+                "total-records": str(
+                    sum(e["record_count"] for e in kept)
+                    + sum(e["record_count"] for e in new_files)
+                ),
+            },
+            files=kept + new_files,
+        )
+        self._commit(snap)
+        return snap
+
+    def rollback_to(self, snapshot_id: int) -> Snapshot:
+        """Rollback: new commit whose file set is the target snapshot's
+        (reference: rollback_to_snapshot,
+        backend/internal/service_iceberg_mutations.go:37-48)."""
+        target = self.snapshot(snapshot_id)
+        cur = self.current_snapshot_id()
+        snap = Snapshot(
+            snapshot_id=self._next_snapshot_id(),
+            parent_id=cur,
+            committed_at_ms=int(time.time() * 1000),
+            operation="rollback",
+            summary={
+                "rolled-back-to": str(snapshot_id),
+                "total-data-files": str(len(target.files)),
+                "total-records": str(sum(e["record_count"] for e in target.files)),
+            },
+            files=list(target.files),
+        )
+        self._commit(snap)
+        return snap
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+    def live_files(self, snapshot_id: int | None = None) -> list[dict]:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            return []
+        return self.snapshot(sid).files
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Scan the table (optionally time-traveled). Returns a normal
+        DataFrame over exactly the live data files — Catalyst pushdown
+        and pruning apply as usual."""
+        files = self.live_files(snapshot_id)
+        if not files:
+            raise ValueError(f"{self.database}.{self.name} is empty")
+        return self.spark.read.parquet(*[e["file_path"] for e in files])
+
+
+class LedgerCatalog:
+    """Warehouse-level catalog: databases are directories, tables are
+    ledger roots (reference catalog ops: iceberg_client.go:329-406)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def create_database(self, database: str) -> None:
+        _validate_ident(database)
+        os.makedirs(os.path.join(self.warehouse, database), exist_ok=True)
+
+    def list_databases(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    def list_tables(self, database: str) -> list[str]:
+        db_dir = os.path.join(self.warehouse, database)
+        if not os.path.isdir(db_dir):
+            return []
+        return sorted(
+            t for t in os.listdir(db_dir)
+            if os.path.exists(os.path.join(db_dir, t, "metadata", "table.json"))
+        )
+
+    def create_table(
+        self,
+        database: str,
+        name: str,
+        df_schema,
+        partition_spec: list[PartitionField] | None = None,
+    ) -> LedgerTable:
+        _validate_ident(database)
+        _validate_ident(name)
+        self.create_database(database)
+        tbl = LedgerTable(self.spark, self.warehouse, database, name)
+        if tbl.exists():
+            raise ValueError(f"table {database}.{name} already exists")
+        os.makedirs(tbl.meta_dir, exist_ok=True)
+        os.makedirs(tbl.data_dir, exist_ok=True)
+        columns = [
+            {"name": f.name, "type": f.dataType.simpleString()} for f in df_schema.fields
+        ]
+        tbl._store_meta(
+            {
+                "database": database,
+                "name": name,
+                "columns": columns,
+                "partition_spec": [p.to_json() for p in (partition_spec or [])],
+                "current_snapshot_id": None,
+                "created_ms": int(time.time() * 1000),
+            }
+        )
+        return tbl
+
+    def table(self, database: str, name: str) -> LedgerTable:
+        tbl = LedgerTable(self.spark, self.warehouse, database, name)
+        if not tbl.exists():
+            raise KeyError(f"table {database}.{name} not found")
+        return tbl
+
+    def drop_table(self, database: str, name: str) -> None:
+        import shutil
+
+        tbl = self.table(database, name)
+        shutil.rmtree(tbl.root)
+
+
+def _validate_ident(s: str) -> None:
+    if not _IDENT_RE.fullmatch(s):
+        raise ValueError(f"invalid identifier {s!r}")

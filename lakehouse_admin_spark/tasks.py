@@ -1,0 +1,484 @@
+"""Maintenance task queue, chunk planner, and scheduler.
+
+Control-plane port of the reference's MySQL-backed queue
+(reference: backend/internal/service_task_queue.go, service_tasks.go,
+module_tasks.go, service_maintenance_schedule.go). The observable
+semantics are preserved — FIFO claim under a concurrency cap, guarded
+completion, retry-once, result-JSON merge, day/week/month chunking with
+delay clamping — while the storage degenerates from MySQL serializable
+transactions to a single-driver, lock-serialized in-memory store with
+optional JSON persistence (documented simplification, SURVEY.md §7:
+claims are lock-serialized, same observable FIFO+cap behavior as T2).
+
+Spark is the *executor* of the maintenance kinds (M1-M3 in
+maintenance.py), not the queue store.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import threading
+from dataclasses import dataclass, field
+
+from lakehouse_admin_spark import maintenance
+from lakehouse_admin_spark.sources.ledger import LedgerCatalog
+
+# status machine (reference: types.go:14-18)
+QUEUED = "queued"
+RUNNING = "running"
+SUCCESS = "success"
+ERROR = "error"
+
+# task kinds (reference: interfaces.go:10-23)
+KIND_OPTIMIZE = "optimize"
+KIND_EXPIRE = "expire_snapshots"
+KIND_ORPHANS = "remove_orphan_files"
+KINDS = (KIND_OPTIMIZE, KIND_EXPIRE, KIND_ORPHANS)
+
+MIN_RETENTION_DAYS = 7  # reference: service_tasks.go:15
+
+
+@dataclass
+class Task:
+    id: int
+    database: str
+    table: str
+    kind: str
+    engine: str = "spark"
+    started_at: dt.datetime | None = None
+    picked_up_at: dt.datetime | None = None
+    finished_at: dt.datetime | None = None
+    status: str = QUEUED
+    retried: bool = False
+    error_message: str | None = None
+    input: dict = field(default_factory=dict)
+    result: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        def ts(v):
+            return v.isoformat() if v else None
+
+        return {
+            "id": str(self.id),  # int64 ids serialize as strings
+            # (reference: types.go:24 json:"snapshot_id,string")
+            "database": self.database,
+            "table": self.table,
+            "kind": self.kind,
+            "engine": self.engine,
+            "started_at": ts(self.started_at),
+            "picked_up_at": ts(self.picked_up_at),
+            "finished_at": ts(self.finished_at),
+            "status": self.status,
+            "retried": self.retried,
+            "error_message": self.error_message,
+            "input": self.input,
+            "result": self.result,
+        }
+
+
+def merge_result(existing: dict, update: dict, nested_key: str | None = None) -> dict:
+    """Shallow JSON merge, update wins; optionally nested under a key
+    (reference: service_task_queue.go:384-409)."""
+    out = dict(existing)
+    if nested_key is not None:
+        out[nested_key] = update
+    else:
+        out.update(update)
+    return out
+
+
+class TaskQueue:
+    """Single-driver task queue with the reference's claim/complete/
+    retry semantics (T1-T6)."""
+
+    def __init__(self, concurrency: int = 1, persist_path: str | None = None):
+        self.concurrency = concurrency
+        self.persist_path = persist_path
+        self._tasks: dict[int, Task] = {}
+        self._next_id = 1
+        self._lock = threading.Lock()
+        self._now = dt.datetime.now  # injectable for tests
+
+    # -- T1 enqueue ----------------------------------------------------
+    def enqueue(self, database: str, table: str, kind: str, input: dict | None = None) -> Task:
+        if kind not in KINDS:
+            raise ValueError(f"unknown task kind {kind!r}")
+        with self._lock:
+            t = Task(
+                id=self._next_id,
+                database=database,
+                table=table,
+                kind=kind,
+                started_at=self._now(),
+                input=input or {},
+            )
+            self._next_id += 1
+            self._tasks[t.id] = t
+            self._persist()
+            return t
+
+    # -- T2 claim ------------------------------------------------------
+    def claim(self) -> Task | None:
+        """Oldest queued task, only while running-count < concurrency
+        (reference: service_task_queue.go:222-313; the serializable-tx
+        CAS degenerates to this lock)."""
+        with self._lock:
+            running = sum(1 for t in self._tasks.values() if t.status == RUNNING)
+            if running >= self.concurrency:
+                return None
+            queued = [t for t in self._tasks.values() if t.status == QUEUED]
+            if not queued:
+                return None
+            t = min(queued, key=lambda t: (t.started_at, t.id))
+            t.status = RUNNING
+            t.picked_up_at = self._now()
+            self._persist()
+            return t
+
+    # -- T3 complete ---------------------------------------------------
+    def complete(self, task_id: int, result: dict | None = None, error: str | None = None) -> bool:
+        """Guarded by status==running; idempotent no-op otherwise
+        (reference: service_task_queue.go:315-359)."""
+        with self._lock:
+            t = self._tasks.get(task_id)
+            if t is None or t.status != RUNNING:
+                return False
+            if result:
+                t.result = merge_result(t.result, result)
+            t.status = ERROR if error else SUCCESS
+            t.error_message = error
+            t.finished_at = self._now()
+            self._persist()
+            return True
+
+    # -- T4 partial result update -------------------------------------
+    def update_result(self, task_id: int, update: dict, nested_key: str | None = None) -> bool:
+        with self._lock:
+            t = self._tasks.get(task_id)
+            if t is None:
+                return False
+            t.result = merge_result(t.result, update, nested_key)
+            self._persist()
+            return True
+
+    # -- T5 retry-once -------------------------------------------------
+    def retry(self, task_id: int) -> Task | None:
+        """Only error && !retried; marks retried and clones as a fresh
+        queued task (reference: service_task_queue.go:86-202)."""
+        with self._lock:
+            t = self._tasks.get(task_id)
+            if t is None or t.status != ERROR or t.retried:
+                return None
+            t.retried = True
+            clone = Task(
+                id=self._next_id,
+                database=t.database,
+                table=t.table,
+                kind=t.kind,
+                engine=t.engine,
+                started_at=self._now(),
+                input=dict(t.input),
+            )
+            self._next_id += 1
+            self._tasks[clone.id] = clone
+            self._persist()
+            return clone
+
+    def retry_all(self) -> list[Task]:
+        """Bulk retry ordered by started_at (reference: :115-122)."""
+        candidates = sorted(
+            (t for t in self._tasks.values() if t.status == ERROR and not t.retried),
+            key=lambda t: (t.started_at, t.id),
+        )
+        return [c for t in candidates if (c := self.retry(t.id))]
+
+    # -- T6 list/counts/flush -----------------------------------------
+    def list(
+        self,
+        database: str | None = None,
+        table: str | None = None,
+        kinds: list[str] | None = None,
+        statuses: list[str] | None = None,
+        limit: int = 20,
+        offset: int = 0,
+    ) -> tuple[list[Task], int]:
+        """Filtered listing, started_at DESC, LIMIT/OFFSET (default page
+        20 — reference: service_task_queue.go:461-507). Returns
+        (page, total)."""
+        rows = [
+            t
+            for t in self._tasks.values()
+            if (database is None or t.database == database)
+            and (table is None or t.table == table)
+            and (not kinds or t.kind in kinds)
+            and (not statuses or t.status in statuses)
+        ]
+        rows.sort(key=lambda t: (t.started_at, t.id), reverse=True)
+        return rows[offset : offset + limit], len(rows)
+
+    def counts(self, database: str | None = None) -> dict[str, int]:
+        """queued/running counts (reference: :411-443)."""
+        out = {QUEUED: 0, RUNNING: 0}
+        for t in self._tasks.values():
+            if database is not None and t.database != database:
+                continue
+            if t.status in out:
+                out[t.status] += 1
+        return out
+
+    def flush(self, statuses: list[str] | None = None) -> int:
+        with self._lock:
+            victims = [
+                tid
+                for tid, t in self._tasks.items()
+                if not statuses or t.status in statuses
+            ]
+            for tid in victims:
+                del self._tasks[tid]
+            self._persist()
+            return len(victims)
+
+    def get(self, task_id: int) -> Task | None:
+        return self._tasks.get(task_id)
+
+    def _persist(self) -> None:
+        if not self.persist_path:
+            return
+        tmp = self.persist_path + ".tmp"
+        with open(tmp, "w") as fh:
+            for t in sorted(self._tasks.values(), key=lambda t: t.id):
+                fh.write(json.dumps(t.to_json()) + "\n")
+        os.replace(tmp, self.persist_path)
+
+
+# ---------------------------------------------------------------------------
+# chunking + clamping (F5/F6; reference: service_tasks.go:407-477)
+# ---------------------------------------------------------------------------
+
+
+def latest_optimizable_date(now: dt.datetime, delay_hours: int) -> dt.date:
+    """Midnight truncation of now - delay
+    (reference: service_iceberg.go:226-236)."""
+    return (now - dt.timedelta(hours=delay_hours)).date()
+
+
+def clamp_optimize_range(
+    date_from: dt.date, date_until: dt.date, cutoff: dt.date
+) -> tuple[dt.date, dt.date] | None:
+    """Clamp [from, until] to the delay cutoff; None when the window
+    empties (reference: service_tasks.go:407-437)."""
+    until = min(date_until, cutoff)
+    if date_from > until:
+        return None
+    return (date_from, until)
+
+
+def chunk_range(
+    date_from: dt.date, date_until: dt.date, chunking: str = "daily"
+) -> list[tuple[dt.date, dt.date]]:
+    """Split [from, until] into daily/weekly/monthly chunks.
+
+    daily: one chunk per day; weekly: Monday-start [start, start+6];
+    monthly: [first-of-month, last-of-month]; boundary chunks are NOT
+    clipped to the requested range (the reference dedups whole chunks by
+    their natural bounds, service_tasks.go:452-477) — clamping to the
+    delay cutoff happens separately via clamp_optimize_range.
+    """
+    if date_from > date_until:
+        return []
+    chunks: list[tuple[dt.date, dt.date]] = []
+    if chunking == "daily":
+        d = date_from
+        while d <= date_until:
+            chunks.append((d, d))
+            d += dt.timedelta(days=1)
+    elif chunking == "weekly":
+        d = date_from - dt.timedelta(days=date_from.weekday())  # Monday
+        while d <= date_until:
+            chunks.append((d, d + dt.timedelta(days=6)))
+            d += dt.timedelta(days=7)
+    elif chunking == "monthly":
+        d = date_from.replace(day=1)
+        while d <= date_until:
+            if d.month == 12:
+                nxt = d.replace(year=d.year + 1, month=1)
+            else:
+                nxt = d.replace(month=d.month + 1)
+            chunks.append((d, nxt - dt.timedelta(days=1)))
+            d = nxt
+    else:
+        raise ValueError(f"unknown chunking {chunking!r}")
+    return chunks
+
+
+def clamp_retention_days(days: int) -> int:
+    """Retention floor (reference: service_tasks.go:92-95)."""
+    return max(days, MIN_RETENTION_DAYS)
+
+
+# ---------------------------------------------------------------------------
+# T9 optimize planning + T7/T10 execution
+# ---------------------------------------------------------------------------
+
+
+def plan_optimize_tasks(
+    queue: TaskQueue,
+    catalog: LedgerCatalog,
+    database: str,
+    table_name: str,
+    date_from: dt.date,
+    date_until: dt.date,
+    chunking: str = "daily",
+    now: dt.datetime | None = None,
+    delay_hours: int = 96,
+    settings=None,
+) -> list[Task]:
+    """Plan optimize tasks: needs_optimize partitions in range → dates →
+    chunks → clamp → dedup → one task per chunk
+    (reference: service_tasks.go:190-296)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_admin_spark.functions.partitions import get_date
+    from lakehouse_admin_spark.metadata import partitions_df
+
+    now = now or dt.datetime.now()
+    cutoff = latest_optimizable_date(now, delay_hours)
+    clamped = clamp_optimize_range(date_from, date_until, cutoff)
+    if clamped is None:
+        return []
+    date_from, date_until = clamped
+
+    tbl = catalog.table(database, table_name)
+    parts = (
+        partitions_df(tbl, settings)
+        .filter(F.col("needs_optimize"))
+        .select("partition_browse")
+        .collect()
+    )
+    dates: set[dt.date] = set()
+    for r in parts:
+        browse = dict(r["partition_browse"])
+        if not {"year", "month", "day"} <= set(browse):
+            continue  # undated partitions aren't date-chunkable
+        d = get_date(browse)
+        if date_from <= d <= date_until:
+            dates.add(d)
+    if not dates:
+        return []
+
+    # chunk each qualifying date, dedup chunks by (from, until)
+    seen: set[tuple[dt.date, dt.date]] = set()
+    tasks: list[Task] = []
+    for d in sorted(dates):
+        for chunk in chunk_range(d, d, chunking="daily" if chunking == "daily" else chunking):
+            c = clamp_optimize_range(chunk[0], chunk[1], cutoff)
+            if c is None or c in seen:
+                continue
+            seen.add(c)
+            tasks.append(
+                queue.enqueue(
+                    database,
+                    table_name,
+                    KIND_OPTIMIZE,
+                    input={"from": c[0].isoformat(), "until": c[1].isoformat()},
+                )
+            )
+    return tasks
+
+
+def execute_task(queue: TaskQueue, catalog: LedgerCatalog, task: Task) -> Task:
+    """Engine routing + execution (T8 collapses to the one in-session
+    Spark engine; reference routed expire/orphans→trino, optimize→spark,
+    task_engines.go:19-61)."""
+    tbl = catalog.table(task.database, task.table)
+    try:
+        if task.kind == KIND_OPTIMIZE:
+            where = None
+            if "from" in task.input and "until" in task.input:
+                # partition-scoped rewrite: one rewrite call per day in
+                # the chunk (day partitions are the rewrite unit)
+                metrics: dict[str, int] = {}
+                d = dt.date.fromisoformat(task.input["from"])
+                until = dt.date.fromisoformat(task.input["until"])
+                spec_day_fields = [
+                    f.name for f in tbl.partition_spec() if f.transform == "day"
+                ]
+                while d <= until:
+                    for fname in spec_day_fields:
+                        m = maintenance.rewrite_data_files(
+                            tbl,
+                            where={fname: d.isoformat()},
+                            target_file_size_bytes=task.input.get(
+                                "target_file_size_bytes",
+                                maintenance.DEFAULT_TARGET_FILE_SIZE_BYTES,
+                            ),
+                        )
+                        for k, v in m.items():
+                            metrics[k] = metrics.get(k, 0) + v
+                    d += dt.timedelta(days=1)
+            else:
+                metrics = maintenance.rewrite_data_files(tbl, where=where)
+            queue.complete(task.id, result={"procedure": metrics})
+        elif task.kind == KIND_EXPIRE:
+            days = clamp_retention_days(int(task.input.get("retention_days", MIN_RETENTION_DAYS)))
+            metrics = maintenance.expire_snapshots(tbl, retention_days=days)
+            queue.complete(task.id, result={"procedure": metrics})
+        elif task.kind == KIND_ORPHANS:
+            metrics = maintenance.remove_orphan_files(tbl)
+            metrics.pop("deleted_files", None)
+            queue.complete(task.id, result={"procedure": metrics})
+        else:
+            queue.complete(task.id, error=f"unknown kind {task.kind}")
+    except Exception as ex:  # noqa: BLE001 — task errors are recorded, not raised
+        queue.complete(task.id, error=str(ex))
+    return queue.get(task.id)
+
+
+def run_worker_cycle(queue: TaskQueue, catalog: LedgerCatalog, max_tasks: int = 100) -> int:
+    """One worker tick: claim-until-empty and execute (T7; the reference
+    polls every 1 s, module_tasks.go:69-147 — callers own the cadence)."""
+    n = 0
+    while n < max_tasks:
+        task = queue.claim()
+        if task is None:
+            break
+        execute_task(queue, catalog, task)
+        n += 1
+    return n
+
+
+def run_maintenance_cycle(
+    queue: TaskQueue,
+    catalog: LedgerCatalog,
+    lookback_days: int = 30,
+    retention_days: int = MIN_RETENTION_DAYS,
+    chunking: str = "daily",
+    now: dt.datetime | None = None,
+    settings=None,
+) -> list[Task]:
+    """T10 scheduled cycle: for every table, plan optimize over
+    [today-(lookback-1), today] and enqueue expire+orphans with the
+    clamped retention (reference: service_maintenance_schedule.go:55-110)."""
+    now = now or dt.datetime.now()
+    today = now.date()
+    planned: list[Task] = []
+    for db in catalog.list_databases():
+        for tname in catalog.list_tables(db):
+            planned += plan_optimize_tasks(
+                queue,
+                catalog,
+                db,
+                tname,
+                today - dt.timedelta(days=lookback_days - 1),
+                today,
+                chunking=chunking,
+                now=now,
+                settings=settings,
+            )
+            planned.append(
+                queue.enqueue(db, tname, KIND_EXPIRE, {"retention_days": clamp_retention_days(retention_days)})
+            )
+            planned.append(queue.enqueue(db, tname, KIND_ORPHANS, {}))
+    return planned

@@ -1,0 +1,240 @@
+"""Ledger format + metadata tables + maintenance procedures, exercised
+on real snapshot-bearing tables built from the driver fixtures."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_admin_spark import maintenance
+from lakehouse_admin_spark.integrity import integrity_report, missing_files
+from lakehouse_admin_spark.metadata import (
+    drilldown,
+    files_df,
+    list_files,
+    partitions_df,
+    snapshots_df,
+    table_summary,
+)
+from lakehouse_admin_spark.operators.analyze import OptimizeSettings
+from lakehouse_admin_spark.sources.fixtures import (
+    build_events_ledger,
+    build_lineitem_ledger,
+    build_nested_ledger,
+)
+from lakehouse_admin_spark.sources.ledger import LedgerCatalog
+from lakehouse_admin_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def catalog(spark, tmp_path_factory):
+    return LedgerCatalog(spark, str(tmp_path_factory.mktemp("warehouse")))
+
+
+@pytest.fixture(scope="module")
+def events_tbl(spark, catalog):
+    return build_events_ledger(spark, SF_SMOKE, catalog)
+
+
+@pytest.fixture(scope="module")
+def lineitem_tbl(spark, catalog):
+    return build_lineitem_ledger(spark, SF_SMOKE, catalog)
+
+
+def test_catalog_listing(catalog, events_tbl, lineitem_tbl):
+    assert "main" in catalog.list_databases()
+    tables = catalog.list_tables("main")
+    assert "events_ledger" in tables and "lineitem_ledger" in tables
+
+
+def test_snapshot_lineage(events_tbl):
+    snaps = events_tbl.snapshots()
+    assert len(snaps) >= 5  # one append per week + delete
+    assert snaps[0].parent_id is None
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur.parent_id == prev.snapshot_id
+    assert snaps[-1].operation == "delete"
+    assert {s.operation for s in snaps} >= {"append", "delete"}
+
+
+def test_snapshots_df_summary(events_tbl):
+    df = snapshots_df(events_tbl)
+    rows = {r["snapshot_id"]: r for r in df.collect()}
+    assert all(r["operation"] in ("append", "delete") for r in rows.values())
+    first = min(rows)
+    assert int(rows[first]["summary"]["added-data-files"]) > 0
+
+
+def test_read_matches_source_minus_delete(spark, events_tbl):
+    ev = load_table(spark, SF_SMOKE, "events")
+    first_day = ev.select(F.date_format(F.min("ts"), "yyyy-MM-dd")).collect()[0][0]
+    expected = ev.filter(F.date_format("ts", "yyyy-MM-dd") != first_day).count()
+    assert events_tbl.read().count() == expected
+
+
+def test_time_travel_read(events_tbl):
+    snaps = events_tbl.snapshots()
+    # before the delete commit, all appended rows are visible
+    pre_delete = snaps[-2].snapshot_id
+    assert events_tbl.read(pre_delete).count() > events_tbl.read().count()
+
+
+def test_partition_stats_match_data(spark, events_tbl):
+    """Ledger partition record counts must equal a direct group-by over
+    the source rows — metadata vs data cross-check."""
+    parts = {
+        r["partition"]["ts_day"]: r["record_count"]
+        for r in partitions_df(events_tbl).collect()
+    }
+    actual = {
+        r["d"]: r["n"]
+        for r in events_tbl.read()
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert parts == actual
+
+
+def test_files_metadata_table(lineitem_tbl):
+    df = files_df(lineitem_tbl)
+    row = df.first()
+    assert row["content"] == 0 and row["file_format"] == "PARQUET"
+    assert set(row["partition"].keys()) == {"l_shipdate_day", "l_returnflag"}
+    assert df.filter(F.col("record_count") <= 0).count() == 0
+
+
+def test_list_files_ordering(lineitem_tbl):
+    sel = {"l_shipdate_day": "1995-01-12", "l_returnflag": "N"}
+    rows = list_files(lineitem_tbl, sel).collect()
+    if len(rows) > 1:
+        sizes = [r["file_size_in_bytes"] for r in rows]
+        assert sizes == sorted(sizes, reverse=True)
+    for r in rows:
+        assert r["partition"]["l_shipdate_day"] == "1995-01-12"
+
+
+def test_table_summary(events_tbl):
+    s = table_summary(events_tbl)
+    assert s["partition_count"] > 0
+    assert s["record_count"] == events_tbl.read().count()
+    assert s["snapshot_count"] == len(events_tbl.snapshots())
+
+
+def test_drilldown_levels(events_tbl):
+    top = drilldown(events_tbl, {})
+    years = [r["name"] for r in top.collect()]
+    assert years == sorted(years) and len(years) >= 1
+    months = drilldown(events_tbl, {"year": years[0]}).collect()
+    assert all(len(r["name"]) == 2 for r in months)
+    days = drilldown(events_tbl, {"year": years[0], "month": months[0]["name"]})
+    total = sum(r["record_count"] for r in days.collect())
+    assert total == sum(r["record_count"] for r in [months[0]])
+
+
+def test_drilldown_mixed_spec(lineitem_tbl):
+    top = drilldown(lineitem_tbl, {})  # year level
+    y = top.collect()[0]["name"]
+    flags = drilldown(
+        lineitem_tbl, {"year": y, "month": "01", "day": "12"}
+    ).collect()
+    assert {r["name"] for r in flags} <= {"A", "N", "R"}
+
+
+# ---------------------------------------------------------------------------
+# maintenance procedures
+# ---------------------------------------------------------------------------
+
+
+def test_rewrite_data_files_compacts(spark, catalog):
+    tbl = build_events_ledger(spark, SF_SMOKE, catalog, name="events_compact")
+    settings = OptimizeSettings(small_file_threshold_bytes=10 * 1024 * 1024)
+    before = partitions_df(tbl, settings).agg(F.sum("file_count")).collect()[0][0]
+    rows_before = tbl.read().count()
+    metrics = maintenance.rewrite_data_files(
+        tbl, target_file_size_bytes=10 * 1024 * 1024, min_input_files=2
+    )
+    after = partitions_df(tbl, settings).agg(F.sum("file_count")).collect()[0][0]
+    assert metrics["rewritten_data_files_count"] > 0
+    assert after < before
+    assert tbl.read().count() == rows_before  # no data loss
+    assert tbl.snapshots()[-1].operation == "replace"
+
+
+def test_rewrite_scoped_by_where(spark, catalog):
+    tbl = build_events_ledger(spark, SF_SMOKE, catalog, name="events_scoped")
+    days = sorted({e["partition"]["ts_day"] for e in tbl.live_files()})
+    target_day = days[1]
+    untouched_before = [
+        e["file_path"] for e in tbl.live_files() if e["partition"]["ts_day"] != target_day
+    ]
+    maintenance.rewrite_data_files(
+        tbl, where={"ts_day": target_day}, target_file_size_bytes=10 * 1024 * 1024
+    )
+    untouched_after = [
+        e["file_path"] for e in tbl.live_files() if e["partition"]["ts_day"] != target_day
+    ]
+    assert untouched_before == untouched_after
+
+
+def test_expire_snapshots(spark, catalog):
+    tbl = build_events_ledger(spark, SF_SMOKE, catalog, name="events_expire")
+    n_before = len(tbl.snapshots())
+    current = tbl.current_snapshot_id()
+    # expire everything older than "now" except current
+    metrics = maintenance.expire_snapshots(tbl, older_than_ms=int(2e15))
+    assert metrics["deleted_snapshots_count"] == n_before - 1
+    assert [s.snapshot_id for s in tbl.snapshots()] == [current]
+    # current data still fully readable after expiry deleted old files
+    assert tbl.read().count() > 0
+    assert not missing_files(tbl)
+
+
+def test_remove_orphan_files(spark, catalog):
+    tbl = build_events_ledger(spark, SF_SMOKE, catalog, name="events_orphans")
+    # plant an orphan with an old mtime
+    orphan = os.path.join(tbl.data_dir, "stray.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    os.utime(orphan, (1, 1))
+    metrics = maintenance.remove_orphan_files(tbl)
+    assert metrics["orphan_file_count"] == 1
+    assert metrics["deleted_files"] == [orphan]
+    assert not os.path.exists(orphan)
+    # live files untouched
+    assert not missing_files(tbl)
+
+
+def test_rollback_to_snapshot(spark, catalog):
+    tbl = build_events_ledger(spark, SF_SMOKE, catalog, name="events_rollback")
+    snaps = tbl.snapshots()
+    pre_delete = snaps[-2]
+    deleted_count = tbl.read().count()
+    result = maintenance.rollback_to_snapshot(tbl, pre_delete.snapshot_id)
+    assert result["rolled_back_to"] == pre_delete.snapshot_id
+    assert tbl.read().count() == int(pre_delete.summary["total-records"])
+    assert tbl.read().count() > deleted_count
+    assert tbl.snapshots()[-1].operation == "rollback"
+
+
+def test_integrity_detects_missing_file(spark, catalog):
+    tbl = build_events_ledger(spark, SF_SMOKE, catalog, name="events_integrity")
+    victim = tbl.live_files()[0]["file_path"]
+    os.remove(victim)
+    report = integrity_report(tbl)
+    assert not report["ok"]
+    assert report["missing_files"] == [victim]
+
+
+def test_nested_partition_source(spark, catalog):
+    tbl = build_nested_ledger(spark, catalog)
+    cols = {c["name"]: c["type"] for c in tbl.schema_string()}
+    assert cols["goal"] == "struct<conversionHappenedAt:date>"
+    parts = partitions_df(tbl).collect()
+    assert all("goal.conversionHappenedAt_day" in r["partition"] for r in parts)
+    browse = parts[0]["partition_browse"]
+    assert set(browse.keys()) == {"year", "month", "day"}
+    assert browse["year"] == "2026"

@@ -1,0 +1,219 @@
+"""Task queue, chunking, and scheduler tests — golden cases ported from
+the reference's pinned unit tests (FIXTURES.md §C,
+reference backend/internal/service_tasks_test.go:10-68)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from lakehouse_admin_spark import tasks as T
+
+
+@pytest.fixture()
+def queue():
+    return T.TaskQueue(concurrency=1)
+
+
+# ---------------------------------------------------------------------------
+# chunking / clamping goldens
+# ---------------------------------------------------------------------------
+
+
+def test_clamp_to_delay_cutoff():
+    # now=2026-03-31T12:00Z, delay 48h ⇒ cutoff 2026-03-29
+    now = dt.datetime(2026, 3, 31, 12, 0)
+    cutoff = T.latest_optimizable_date(now, 48)
+    assert cutoff == dt.date(2026, 3, 29)
+    clamped = T.clamp_optimize_range(dt.date(2026, 3, 1), dt.date(2026, 3, 31), cutoff)
+    assert clamped == (dt.date(2026, 3, 1), dt.date(2026, 3, 29))
+
+
+def test_clamp_empty_window_rejected():
+    cutoff = dt.date(2026, 3, 29)
+    assert T.clamp_optimize_range(dt.date(2026, 3, 30), dt.date(2026, 3, 31), cutoff) is None
+
+
+def test_weekly_chunk_monday_start():
+    # weekly chunk containing 2026-03-29 (a Sunday) ⇒ [2026-03-23, 2026-03-29]
+    chunks = T.chunk_range(dt.date(2026, 3, 29), dt.date(2026, 3, 29), "weekly")
+    assert chunks == [(dt.date(2026, 3, 23), dt.date(2026, 3, 29))]
+
+
+def test_monthly_chunk_bounds():
+    # monthly chunk of 2026-03-15 ⇒ [2026-03-01, 2026-03-31]
+    chunks = T.chunk_range(dt.date(2026, 3, 15), dt.date(2026, 3, 15), "monthly")
+    assert chunks == [(dt.date(2026, 3, 1), dt.date(2026, 3, 31))]
+
+
+def test_monthly_chunk_clamped_to_cutoff():
+    # clamped monthly chunk ⇒ [2026-03-01, 2026-03-29] per reference test
+    cutoff = dt.date(2026, 3, 29)
+    (chunk,) = T.chunk_range(dt.date(2026, 3, 15), dt.date(2026, 3, 15), "monthly")
+    assert T.clamp_optimize_range(*chunk, cutoff) == (dt.date(2026, 3, 1), dt.date(2026, 3, 29))
+
+
+def test_daily_chunks_identity():
+    chunks = T.chunk_range(dt.date(2026, 3, 1), dt.date(2026, 3, 3), "daily")
+    assert chunks == [
+        (dt.date(2026, 3, 1), dt.date(2026, 3, 1)),
+        (dt.date(2026, 3, 2), dt.date(2026, 3, 2)),
+        (dt.date(2026, 3, 3), dt.date(2026, 3, 3)),
+    ]
+
+
+def test_december_monthly_rollover():
+    chunks = T.chunk_range(dt.date(2025, 12, 10), dt.date(2026, 1, 5), "monthly")
+    assert chunks == [
+        (dt.date(2025, 12, 1), dt.date(2025, 12, 31)),
+        (dt.date(2026, 1, 1), dt.date(2026, 1, 31)),
+    ]
+
+
+def test_retention_floor_clamp():
+    assert T.clamp_retention_days(3) == 7
+    assert T.clamp_retention_days(30) == 30
+
+
+# ---------------------------------------------------------------------------
+# queue semantics (T1-T6)
+# ---------------------------------------------------------------------------
+
+
+def test_fifo_claim_and_concurrency_cap(queue):
+    t1 = queue.enqueue("db", "t", T.KIND_OPTIMIZE)
+    t2 = queue.enqueue("db", "t", T.KIND_EXPIRE)
+    c1 = queue.claim()
+    assert c1.id == t1.id and c1.status == T.RUNNING and c1.picked_up_at
+    # concurrency 1: no second claim while one runs
+    assert queue.claim() is None
+    queue.complete(c1.id, result={"ok": 1})
+    c2 = queue.claim()
+    assert c2.id == t2.id
+
+
+def test_complete_guarded_and_idempotent(queue):
+    t = queue.enqueue("db", "t", T.KIND_OPTIMIZE)
+    assert not queue.complete(t.id)  # not running yet → no-op
+    c = queue.claim()
+    assert queue.complete(c.id, result={"a": 1})
+    assert not queue.complete(c.id, result={"a": 2})  # already terminal
+    assert queue.get(t.id).status == T.SUCCESS
+    assert queue.get(t.id).result == {"a": 1}
+
+
+def test_error_and_retry_once(queue):
+    t = queue.enqueue("db", "t", T.KIND_OPTIMIZE, input={"x": 1})
+    c = queue.claim()
+    queue.complete(c.id, error="boom")
+    orig = queue.get(t.id)
+    assert orig.status == T.ERROR and orig.error_message == "boom"
+    clone = queue.retry(t.id)
+    assert clone is not None and clone.status == T.QUEUED and clone.input == {"x": 1}
+    assert queue.get(t.id).retried
+    # second retry refused
+    assert queue.retry(t.id) is None
+
+
+def test_result_merge_nested_key(queue):
+    t = queue.enqueue("db", "t", T.KIND_OPTIMIZE)
+    queue.update_result(t.id, {"rows": [1, 2]}, nested_key="procedure_output")
+    queue.update_result(t.id, {"attempt": 1})
+    assert queue.get(t.id).result == {"procedure_output": {"rows": [1, 2]}, "attempt": 1}
+
+
+def test_list_pagination_and_filters(queue):
+    for i in range(25):
+        queue.enqueue("db", f"t{i % 3}", T.KIND_OPTIMIZE if i % 2 else T.KIND_EXPIRE)
+    page, total = queue.list(limit=20)
+    assert total == 25 and len(page) == 20
+    # started_at DESC → newest first
+    assert page[0].id > page[-1].id
+    page2, _ = queue.list(limit=20, offset=20)
+    assert len(page2) == 5
+    only_t0, total_t0 = queue.list(table="t0")
+    assert all(t.table == "t0" for t in only_t0)
+    opt, _ = queue.list(kinds=[T.KIND_OPTIMIZE])
+    assert all(t.kind == T.KIND_OPTIMIZE for t in opt)
+
+
+def test_counts_and_flush(queue):
+    queue.enqueue("db", "t", T.KIND_OPTIMIZE)
+    queue.enqueue("db", "t", T.KIND_EXPIRE)
+    c = queue.claim()
+    assert queue.counts() == {T.QUEUED: 1, T.RUNNING: 1}
+    queue.complete(c.id)
+    assert queue.flush(statuses=[T.SUCCESS]) == 1
+    assert queue.counts() == {T.QUEUED: 1, T.RUNNING: 0}
+
+
+def test_task_json_serializes_ids_as_strings(queue):
+    t = queue.enqueue("db", "t", T.KIND_OPTIMIZE)
+    assert t.to_json()["id"] == str(t.id)
+
+
+def test_persistence_roundtrip(tmp_path):
+    path = str(tmp_path / "tasks.jsonl")
+    q = T.TaskQueue(concurrency=1, persist_path=path)
+    q.enqueue("db", "t", T.KIND_OPTIMIZE)
+    q.enqueue("db", "t", T.KIND_EXPIRE)
+    lines = [l for l in open(path).read().splitlines() if l]
+    assert len(lines) == 2
+
+
+# ---------------------------------------------------------------------------
+# planning + execution over a real ledger table
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def planned_env(spark, tmp_path_factory):
+    from lakehouse_admin_spark.operators.analyze import OptimizeSettings
+    from lakehouse_admin_spark.sources.fixtures import build_events_ledger
+    from lakehouse_admin_spark.sources.ledger import LedgerCatalog
+    from tests.conftest import SF_SMOKE
+
+    catalog = LedgerCatalog(spark, str(tmp_path_factory.mktemp("wh_tasks")))
+    tbl = build_events_ledger(spark, SF_SMOKE, catalog)
+    settings = OptimizeSettings(small_file_threshold_bytes=10 * 1024 * 1024)
+    return catalog, tbl, settings
+
+
+def test_plan_and_execute_optimize(planned_env):
+    catalog, tbl, settings = planned_env
+    queue = T.TaskQueue(concurrency=1)
+    # events are in 2024-01; pick now such that the whole month is past the delay
+    now = dt.datetime(2024, 3, 1)
+    planned = T.plan_optimize_tasks(
+        queue,
+        catalog,
+        "main",
+        "events_ledger",
+        dt.date(2024, 1, 1),
+        dt.date(2024, 1, 31),
+        chunking="daily",
+        now=now,
+        settings=settings,
+    )
+    assert planned, "expected needs_optimize partitions to produce tasks"
+    assert all(t.kind == T.KIND_OPTIMIZE for t in planned)
+    # inputs are deduped (from, until) pairs
+    pairs = [(t.input["from"], t.input["until"]) for t in planned]
+    assert len(pairs) == len(set(pairs))
+
+    files_before = len(tbl.live_files())
+    executed = T.run_worker_cycle(queue, catalog)
+    assert executed == len(planned)
+    done, _ = queue.list(statuses=[T.SUCCESS], limit=1000)
+    assert len(done) == len(planned)
+    assert len(tbl.live_files()) < files_before  # compaction actually ran
+    assert all("procedure" in t.result for t in done)
+
+
+def test_maintenance_cycle_enqueues_all_kinds(planned_env):
+    catalog, _tbl, settings = planned_env
+    queue = T.TaskQueue(concurrency=1)
+    planned = T.run_maintenance_cycle(queue, catalog, settings=settings)
+    kinds = {t.kind for t in planned}
+    assert T.KIND_EXPIRE in kinds and T.KIND_ORPHANS in kinds
