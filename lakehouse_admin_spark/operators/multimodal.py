@@ -1,0 +1,203 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Training-data-pipeline extension (no counterpart in the reference).
+Images/audio/video are carried as ``binary`` columns with a typed
+metadata struct; decode / feature-extract / frame-sample run as
+Arrow-batched ``mapInPandas`` pipelines — the real 100 TB plumbing
+(schema, batch shape, partitioning) with the codec itself stubbed:
+this container ships no image/audio libraries, so the decode core is a
+DETERMINISTIC FAKE (clearly marked) deriving pixel dimensions from the
+payload hash. Swapping in PIL/ffmpeg touches only `_decode_payload`.
+
+Payloads here are synthesized from the documents fixture (utf-8 bytes),
+which keeps every byte count oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lakehouse_admin_spark.registry import query
+from lakehouse_admin_spark.sources.tables import load_table
+
+FEATURE_DIM = 16
+
+
+def attach_binary_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary, meta struct) — the canonical
+    multimodal carrier shape: opaque bytes + typed metadata."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime_type"),
+            F.length(F.encode(F.col("text"), "utf-8")).cast("long").alias("n_bytes"),
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _decode_payload(payload: bytes) -> tuple[int, int, str]:
+    """DETERMINISTIC FAKE decode (stub for PIL/ffmpeg/etc.): derives a
+    (width, height, codec) from the payload hash. Replace this function
+    body with a real decoder when codec libraries are available — the
+    Spark plumbing around it does not change."""
+    h = hashlib.md5(payload).digest()
+    width = 16 + h[0] % 240
+    height = 16 + h[1] % 240
+    codec = ["raw", "rle", "lz"][h[2] % 3]
+    return width, height, codec
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("codec", StringType()),
+    ]
+)
+
+
+def decode_batches(df: DataFrame) -> DataFrame:
+    """mapInPandas decode: Arrow batches in, decoded metadata out.
+
+    This is the hot-path shape for binary processing at scale: batches
+    stream through Python once (no per-row UDF calls), the binary column
+    is dropped as early as possible, and output is a narrow typed frame.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_payload(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "codec": [d[2] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(decode, DECODED_SCHEMA)
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction over binary payloads (deterministic fake:
+    md5-seeded values in [0,1)); same mapInPandas batch shape a real
+    vision encoder would use (payload → fixed-dim float vector)."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                h = hashlib.md5(p).digest()
+                feats.append([h[i % 16] / 255.0 for i in range(dim)])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "features": feats})
+
+    return df.mapInPandas(featurize, FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset_bytes", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, frame_bytes: int = 64) -> DataFrame:
+    """Frame sampling for "video" payloads: emit n evenly-spaced byte
+    windows per payload — a row-expanding mapInPandas (1 → n rows), the
+    shape a real ffmpeg frame sampler produces."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_offset_bytes": [], "frame": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n = max(len(p), 1)
+                for i in range(n_frames):
+                    off = (i * n) // n_frames
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset_bytes"].append(off)
+                    out["frame"].append(bytes(p[off : off + frame_bytes]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(sample, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS mime_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           lang, source
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata projection of the binary carrier (byte counts are
+    utf-8 octet lengths — oracle-checkable exactly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs)
+    return mm.select(
+        "doc_id",
+        F.col("meta.mime_type").alias("mime_type"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.source").alias("source"),
+    ).orderBy("doc_id")
+
+
+@query("multimodal_decode", oracle=None)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode pipeline end-to-end (rows-only check: the decode core is
+    the documented deterministic stub)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_batches(attach_binary_payload(docs)).orderBy("doc_id")
+
+
+@query("multimodal_frame_sample", oracle=None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline (rows-only; 4 frames per payload)."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_binary_payload(docs))
+    return frames.select(
+        "doc_id", "frame_idx", "frame_offset_bytes", F.length("frame").alias("frame_bytes")
+    ).orderBy("doc_id", "frame_idx")

@@ -54,9 +54,11 @@ def load_all_operators() -> None:
         analyze,
         browse,
         dedup,
+        multimodal,
         relational,
         similarity,
         textual,
+        windowed,
     )
 
 

@@ -49,9 +49,17 @@ def _norm(v):
     return v
 
 
+def _sort_key(row: tuple):
+    # None sorts before any value; values compare by (typename, value) so
+    # mixed-type columns can't raise
+    return tuple((v is not None, type(v).__name__, v) for v in row)
+
+
 def normalize_rows(cols: list[str], rows) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(row[i]) for i in order) for row in rows)
+    return sorted(
+        (tuple(_norm(row[i]) for i in order) for row in rows), key=_sort_key
+    )
 
 
 def compare_query(spark, spec, sf_dir: str) -> None:

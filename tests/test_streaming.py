@@ -1,0 +1,76 @@
+"""Structured Streaming: file-source stream → watermarked windowed agg →
+memory sink, and foreachBatch → ledger appends. Results are checked
+against the batch twin of the same aggregation."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_admin_spark.sources.ledger import LedgerCatalog, PartitionField
+from lakehouse_admin_spark.sources.tables import load_table
+from lakehouse_admin_spark.streaming.events import (
+    read_events_stream,
+    run_stream_to_memory,
+    stream_to_ledger,
+    windowed_event_counts_stream,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def event_drops(spark, tmp_path_factory):
+    """Split events into 3 parquet drop files (micro-batch sources)."""
+    src = str(tmp_path_factory.mktemp("event_drops"))
+    ev = load_table(spark, SF_SMOKE, "events")
+    for i in range(3):
+        part_dir = os.path.join(src, f"drop_{i}_tmp")
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(part_dir)
+        pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(part_dir, pf), os.path.join(src, f"drop_{i}.parquet"))
+        shutil.rmtree(part_dir)
+    return src, ev.schema
+
+
+def test_windowed_stream_matches_batch(spark, event_drops):
+    src, schema = event_drops
+    stream = read_events_stream(spark, src, schema)
+    assert stream.isStreaming
+    agg = windowed_event_counts_stream(stream, "6 hours", "1 day")
+    q = run_stream_to_memory(agg, "win_counts", output_mode="complete")
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["event_count"], r["value_sum"])
+        for r in spark.table("win_counts").collect()
+    }
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    )
+    expected = {(r["win"]["start"], r["event_type"]): (r["n"], r["s"]) for r in batch}
+    assert got == expected
+
+
+def test_stream_to_ledger_appends(spark, event_drops, tmp_path_factory):
+    src, schema = event_drops
+    catalog = LedgerCatalog(spark, str(tmp_path_factory.mktemp("wh_stream")))
+    ev_schema = load_table(spark, SF_SMOKE, "events").schema
+    tbl = catalog.create_table(
+        "main",
+        "events_streamed",
+        ev_schema,
+        [PartitionField(source="ts", transform="day", name="ts_day")],
+    )
+    stream = read_events_stream(spark, src, schema)
+    q = stream_to_ledger(stream, tbl, str(tmp_path_factory.mktemp("ckpt")))
+    q.awaitTermination(180)
+    # one append per micro-batch (maxFilesPerTrigger=1 → 3 drops)
+    snaps = tbl.snapshots()
+    assert len(snaps) == 3
+    assert all(s.operation == "append" for s in snaps)
+    assert tbl.read().count() == load_table(spark, SF_SMOKE, "events").count()
