@@ -47,9 +47,13 @@ def main() -> None:
     spark = get_spark(app_name="lakehouse-admin-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up JVM/codegen on a trivial job so query timings measure the
-    # plans, not first-job startup.
+    # Warm up JVM/codegen and the parquet reader paths (footers + OS page
+    # cache) so query timings measure the plans, not first-job startup.
     spark.range(1000).count()
+    from lakehouse_admin_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

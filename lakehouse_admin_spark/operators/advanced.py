@@ -1,0 +1,207 @@
+"""Advanced relational shapes: correlated/scalar subqueries, top-N per
+group, distinct counting (exact + sketch).
+
+These complete the §2 query-shape inventory beyond what the reference
+itself executes — the decorrelated-join formulations below are exactly
+what Catalyst rewrites correlated subqueries into, written explicitly so
+the plan is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lakehouse_admin_spark.registry import query
+from lakehouse_admin_spark.sources.tables import load_table
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    SELECT p_brand,
+           ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l1
+    JOIN part ON p_partkey = l1.l_partkey
+    WHERE l1.l_quantity < (
+        -- threshold rounded to 6dp so engine ULP noise in the mean
+        -- cannot flip boundary rows; outer alias is explicit (a bare
+        -- l_partkey would self-correlate to l2)
+        SELECT ROUND(0.5 * AVG(l2.l_quantity), 6)
+        FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+    )
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity), decorrelated into an aggregate + join — the rewrite
+    Catalyst performs, made explicit.
+
+    Scale: the per-part aggregate shuffles once on partkey and is then
+    broadcast-or-shuffle joined back; no per-row subquery execution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.round(F.avg("l_quantity") * 0.5, 6).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "rich_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def rich_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global mean) +
+    anti-join. The scalar aggregates once and broadcasts as a literal-
+    like single-row side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    mean = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("mean_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(mean))
+        .filter(F.col("c_acctbal") > F.col("mean_bal"))
+        .join(orders, "c_custkey", "left_anti")
+        .select("c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+    )
+    WHERE rnk <= 3 AND c_custkey < 100
+    ORDER BY c_custkey, rnk
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via ranking window — the per-group form of the
+    reference's global ordered listings (O1/O3).
+
+    Scale: one shuffle on the partition key; with Spark's window group
+    limit optimization the per-partition sort truncates at N."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("o_custkey") < 100))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rnk",
+        )
+        .orderBy("c_custkey", "rnk")
+    )
+
+
+@query(
+    "daily_distinct_users",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+           CAST(COUNT(*) AS BIGINT) AS events
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per day — the two-level (expand + dedup)
+    distinct aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.count(F.lit(1)).alias("events"),
+        )
+        .orderBy("d")
+    )
+
+
+@query("approx_distinct_users", oracle=None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch distinct counts per day (rows-only check:
+    sketch estimates are engine-specific by design).
+
+    Scale: THIS is the 100 TB path for distinct counting — fixed-size
+    sketch state per group, single shuffle, mergeable across partitions;
+    the exact variant's expand-shuffle grows with cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("events"),
+        )
+        .orderBy("d")
+    )
+
+
+@query(
+    "brand_type_revenue_share",
+    oracle="""
+    WITH agg AS (
+        SELECT p_brand, p_type,
+               SUM(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY p_brand, p_type
+    )
+    SELECT p_brand, p_type,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY p_brand), 4) AS brand_share
+    FROM agg
+    ORDER BY p_brand, p_type
+    """,
+)
+def brand_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + analytic ratio-to-group: revenue share of each part
+    type within its brand (window over an aggregate output — tiny, so
+    the window shuffle is negligible)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand")
+    return agg.select(
+        "p_brand",
+        "p_type",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 4).alias("brand_share"),
+    ).orderBy("p_brand", "p_type")

@@ -12,9 +12,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import SparkSession as _SparkSession
+
 from lakehouse_admin_spark.operators.dedup import tokens_expr
 from lakehouse_admin_spark.registry import query
 from lakehouse_admin_spark.sources.tables import load_table
+
+
+def _doc_tokens(spark: _SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a materialized token array column `w`.
+
+    repartition BEFORE tokenizing: the fixture is one parquet row group
+    (one task); the regex tokenizer is the CPU cost, so spread it first
+    (same plan-shape reasoning as dedup._doc_shingles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", "lang", "n_chars", "text", tokens_expr(F.col("text")).alias("w")
+    )
 
 # Tiny per-language marker lexicons for the n-gram/stopword language
 # heuristic. Deliberately minimal — the operator shape (token join against
@@ -38,15 +52,14 @@ EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token statistics: char count, token count, vocabulary
-    size. One narrow projection — no shuffle at all."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_expr(F.col("text"))
-    return docs.select(
+    size. One narrow projection per row."""
+    t = _doc_tokens(spark, sf_dir)
+    return t.select(
         "doc_id",
         "n_chars",
         F.length("text").cast("long").alias("n_chars_actual"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.size("w").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_distinct_tokens"),
     ).orderBy("doc_id")
 
 
@@ -72,10 +85,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio, type-token ratio, mean token
     length — the standard cheap filters of a pretraining data pipeline.
     All array expressions, vectorized JVM-side."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = tokens_expr(F.col("text"))
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    tagged = docs.select("doc_id", "lang", w.alias("w")).filter(F.size("w") > 0)
+    tagged = _doc_tokens(spark, sf_dir).filter(F.size("w") > 0)
     return tagged.select(
         "doc_id",
         "lang",
@@ -121,10 +132,8 @@ def lang_stopword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic aggregated per labeled language: average
     English-stopword hit-rate. (Real lang-ID = argmax over per-language
     lexicons; the per-language score column is the building block.)"""
-    docs = load_table(spark, sf_dir, "documents")
-    w = tokens_expr(F.col("text"))
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    tagged = docs.select("doc_id", "lang", w.alias("w")).filter(F.size("w") > 0)
+    tagged = _doc_tokens(spark, sf_dir).filter(F.size("w") > 0)
     score = F.size(F.filter(F.col("w"), lambda x: F.array_contains(stop_arr, x))) / F.size(
         "w"
     ).cast("double")
@@ -178,8 +187,7 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: explode + two-level hash aggregate; partial aggregation
     collapses each executor's token counts before the shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok"))
+    tok = _doc_tokens(spark, sf_dir).select("doc_id", F.explode("w").alias("tok"))
     return (
         tok.groupBy("tok")
         .agg(

@@ -51,6 +51,7 @@ def load_all_operators() -> None:
     # Imports are here (not module top) to avoid circular imports: operator
     # modules import `query` from this module.
     from lakehouse_admin_spark.operators import (  # noqa: F401
+        advanced,
         analyze,
         browse,
         dedup,
