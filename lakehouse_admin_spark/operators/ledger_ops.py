@@ -1,0 +1,208 @@
+"""Ledger admin operators exposed through the driver correctness gate.
+
+Each query here builds (once per process, cached) a real snapshot-
+bearing ledger table from the events fixture, then answers an
+admin-plane question from LEDGER METADATA ONLY — while the DuckDB
+oracle recomputes the same answer from the RAW ROWS. A match proves the
+whole write → partition-transform → manifest → stats pipeline end to
+end, not just the final aggregation:
+
+- partition record counts  (files metadata vs GROUP BY over rows)
+- per-partition file counts (fanout writer: one file per event_type
+  append per day ⇒ file_count == distinct event types that day)
+- snapshot totals           (append/delete summary lineage vs running
+  sums over event types)
+- drill-down                (browse-normalized hidden transform vs
+  strftime parts)
+- needs_optimize            (§2.9 rule over real file inventories)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_admin_spark.metadata import drilldown, partitions_df, snapshots_df
+from lakehouse_admin_spark.operators.analyze import OptimizeSettings
+from lakehouse_admin_spark.registry import query
+from lakehouse_admin_spark.sources.fixtures import build_events_ledger, get_catalog
+from lakehouse_admin_spark.sources.ledger import LedgerTable
+
+
+def _events_tbl(spark: SparkSession, sf_dir: str) -> LedgerTable:
+    catalog = get_catalog(spark)
+    # one ledger per sf tier in this process's warehouse
+    name = "events_" + sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    return build_events_ledger(spark, sf_dir, catalog, name=name)
+
+
+# the events fixture's first day is dropped by the fixture's delete
+# commit; every oracle below excludes it the same way
+_LIVE = """
+    WITH live AS (
+        SELECT * FROM events
+        WHERE CAST(ts AS DATE) > (SELECT MIN(CAST(ts AS DATE)) FROM events)
+    )
+"""
+
+
+@query(
+    "ledger_partition_stats",
+    oracle=_LIVE
+    + """
+    SELECT strftime(ts, '%Y-%m-%d') AS ts_day,
+           CAST(COUNT(*) AS BIGINT) AS record_count,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS file_count
+    FROM live
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def ledger_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition record/file counts FROM MANIFEST METADATA (no data
+    scan); the oracle recomputes from raw rows. The fanout writer emits
+    exactly one file per (append, partition), and appends are per
+    event_type, so file_count == distinct event types present that day."""
+    tbl = _events_tbl(spark, sf_dir)
+    return (
+        partitions_df(tbl)
+        .select(
+            F.col("partition")["ts_day"].alias("ts_day"),
+            "record_count",
+            "file_count",
+        )
+        .orderBy("ts_day")
+    )
+
+
+@query(
+    "ledger_snapshot_totals",
+    oracle="""
+    WITH by_type AS (
+        SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1
+    ),
+    appends AS (
+        SELECT CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS snapshot_id,
+               'append' AS operation,
+               CAST(SUM(c) OVER (ORDER BY event_type
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS total_records
+        FROM by_type
+    ),
+    del AS (
+        SELECT CAST((SELECT COUNT(*) FROM by_type) + 1 AS BIGINT) AS snapshot_id,
+               'delete' AS operation,
+               CAST((SELECT COUNT(*) FROM events
+                     WHERE CAST(ts AS DATE) > (SELECT MIN(CAST(ts AS DATE)) FROM events))
+                    AS BIGINT) AS total_records
+    )
+    SELECT * FROM appends UNION ALL SELECT * FROM del
+    ORDER BY snapshot_id
+    """,
+)
+def ledger_snapshot_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot lineage summaries (total-records per commit) from the
+    manifest log; the oracle reconstructs the same lineage as running
+    sums over event types (appends are alphabetical by event_type) plus
+    the first-day delete."""
+    tbl = _events_tbl(spark, sf_dir)
+    return (
+        snapshots_df(tbl)
+        .select(
+            "snapshot_id",
+            "operation",
+            F.col("summary")["total-records"].cast("long").alias("total_records"),
+        )
+        .orderBy("snapshot_id")
+    )
+
+
+@query(
+    "ledger_drilldown_month",
+    oracle=_LIVE
+    + """
+    SELECT strftime(ts, '%m') AS name,
+           CAST(COUNT(DISTINCT event_type || '/' || strftime(ts, '%Y-%m-%d')) AS BIGINT)
+               AS file_count,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM live
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def ledger_drilldown_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-level drill-down (year pre-selected) through the
+    browse-field normalization path (hidden day transform → year/month
+    levels); oracle recomputes both aggregates from raw rows."""
+    tbl = _events_tbl(spark, sf_dir)
+    years = [r["name"] for r in drilldown(tbl, {}).collect()]
+    out = None
+    for y in years:  # fixture data is one year, but stay general
+        d = drilldown(tbl, {"year": y}).select("name", "file_count", "record_count")
+        out = d if out is None else out.unionByName(d)
+    return out.orderBy("name")
+
+
+@query(
+    "ledger_needs_optimize",
+    oracle=_LIVE
+    + """
+    SELECT strftime(ts, '%Y-%m-%d') AS ts_day,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS small_files,
+           TRUE AS needs_optimize
+    FROM live
+    GROUP BY 1
+    HAVING COUNT(DISTINCT event_type) >= 2
+    ORDER BY 1
+    """,
+)
+def ledger_needs_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 needs_optimize over the REAL file inventory: with the
+    threshold above every fixture file size, small==total per partition,
+    so the rule reduces to count>=2 (share trivially 100%) — which the
+    oracle phrases as distinct event types per day."""
+    tbl = _events_tbl(spark, sf_dir)
+    settings = OptimizeSettings(
+        small_file_threshold_bytes=1 << 40,  # everything is "small"
+        small_file_min_count=2,
+        small_file_min_share_percent=25,
+    )
+    return (
+        partitions_df(tbl, settings)
+        .filter(F.col("needs_optimize"))
+        .select(
+            F.col("partition")["ts_day"].alias("ts_day"),
+            "small_files",
+            "needs_optimize",
+        )
+        .orderBy("ts_day")
+    )
+
+
+@query("ledger_compaction_roundtrip", oracle=_LIVE + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS record_count,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS partition_count,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS file_count
+    FROM live
+    """)
+def ledger_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full maintenance round-trip, graded: build a throwaway copy,
+    compact it (binpack to one file per partition), and report
+    record/partition/file counts from the POST-COMPACTION manifests.
+    The oracle knows compaction must preserve rows and partitions and
+    that binpack at a huge target ⇒ exactly one file per partition."""
+    from lakehouse_admin_spark import maintenance
+
+    catalog = get_catalog(spark)
+    name = "events_roundtrip_" + sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    tbl = build_events_ledger(spark, sf_dir, catalog, name=name)
+    if not any(s.operation == "replace" for s in tbl.snapshots()):  # compact once
+        maintenance.rewrite_data_files(
+            tbl, target_file_size_bytes=1 << 40, min_input_files=2
+        )
+    parts = partitions_df(tbl)
+    return parts.agg(
+        F.sum("record_count").alias("record_count"),
+        F.count(F.lit(1)).alias("partition_count"),
+        F.sum("file_count").alias("file_count"),
+    )

@@ -55,6 +55,7 @@ def load_all_operators() -> None:
         analyze,
         browse,
         dedup,
+        ledger_ops,
         multimodal,
         relational,
         similarity,

@@ -24,10 +24,20 @@ from lakehouse_admin_spark.sources.ledger import LedgerCatalog, LedgerTable, Par
 from lakehouse_admin_spark.sources.tables import load_table
 
 _CATALOGS: dict[tuple[int, str], LedgerCatalog] = {}
+_DEFAULT_WAREHOUSE: str | None = None
 
 
 def get_catalog(spark: SparkSession, warehouse: str | None = None) -> LedgerCatalog:
-    warehouse = warehouse or os.path.join(tempfile.gettempdir(), "lakehouse_warehouse")
+    # Default warehouse is PROCESS-unique: ledger manifests reference
+    # data files by absolute path, so a shared tmp dir across concurrent
+    # driver processes could observe half-built tables. One mkdtemp per
+    # process, reused across queries (fixture builds are idempotent
+    # within a process via the exists() check).
+    global _DEFAULT_WAREHOUSE
+    if warehouse is None:
+        if _DEFAULT_WAREHOUSE is None:
+            _DEFAULT_WAREHOUSE = tempfile.mkdtemp(prefix="lakehouse_wh_")
+        warehouse = _DEFAULT_WAREHOUSE
     key = (id(spark), warehouse)
     if key not in _CATALOGS:
         _CATALOGS[key] = LedgerCatalog(spark, warehouse)
