@@ -395,9 +395,10 @@ class LedgerCatalog:
         os.makedirs(os.path.join(self.warehouse, database), exist_ok=True)
 
     def list_databases(self) -> list[str]:
+        # underscore-prefixed dirs are engine-internal (e.g. _admin state)
         return sorted(
             d for d in os.listdir(self.warehouse)
-            if os.path.isdir(os.path.join(self.warehouse, d))
+            if os.path.isdir(os.path.join(self.warehouse, d)) and not d.startswith("_")
         )
 
     def list_tables(self, database: str) -> list[str]:

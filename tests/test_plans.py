@@ -1,0 +1,121 @@
+"""Plan-shape pins: the performance claims of the headline operators as
+assertions over their physical plans (pushdown, pruning, broadcast,
+no cartesian, bounded shuffles) plus skew-utility equivalence tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_admin_spark import registry
+from lakehouse_admin_spark.functions.skew import salted_aggregate, salted_join
+from lakehouse_admin_spark.plans.inspect import (
+    exchange_count,
+    has_cartesian,
+    has_pushed_filters,
+    join_strategies,
+    read_schema_columns,
+)
+from lakehouse_admin_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+registry.load_all_operators()
+
+
+def q(name):
+    return registry.QUERIES[name].fn
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = q("pricing_summary")(spark, SF_SMOKE)
+    assert has_pushed_filters(df), "shipdate filter must reach the parquet scan"
+    cols = read_schema_columns(df)
+    assert "l_comment" not in cols  # nonexistent anyway, but pruning sanity:
+    # only the 7 needed columns are read
+    assert set(cols) <= {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    }
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = q("revenue_by_nation")(spark, SF_SMOKE)
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 3, strategies
+    assert not has_cartesian(df)
+
+
+def test_topk_no_global_sort_exchange(spark):
+    df = q("top_events_by_value")(spark, SF_SMOKE)
+    # TakeOrderedAndProject: no rangepartitioning exchange
+    from lakehouse_admin_spark.plans.inspect import explain_str
+
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_anti_join_no_cartesian(spark):
+    df = q("orders_without_lineitems")(spark, SF_SMOKE)
+    assert not has_cartesian(df)
+
+
+def test_needs_optimize_single_agg_pass(spark):
+    df = q("needs_optimize_partitions")(spark, SF_SMOKE)
+    # one shuffle for the rollup aggregate + one for the final orderBy
+    assert exchange_count(df) <= 2
+    assert not has_cartesian(df)
+
+
+def test_ann_brute_force_is_broadcast_not_cartesian(spark):
+    df = q("ann_topk_cosine")(spark, SF_SMOKE)
+    # the deliberate small-side crossJoin must plan as broadcast NLJ,
+    # never a CartesianProduct of the big side
+    assert not has_cartesian(df)
+
+
+def test_minhash_bucket_join_bounded_exchanges(spark):
+    df = q("minhash_band_buckets")(spark, SF_SMOKE)
+    assert exchange_count(df) <= 3
+
+
+# -- skew utilities ---------------------------------------------------------
+
+
+def test_salted_aggregate_matches_plain(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    plain = {
+        (r["event_type"],): (r["n"], round(r["s"], 2))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    salted = salted_aggregate(
+        ev,
+        ["event_type"],
+        {"n": "count", "value": "sum"},
+        salt_col=F.col("event_id"),
+        n_salts=8,
+    )
+    got = {
+        (r["event_type"],): (r["n"], round(r["value"], 2)) for r in salted.collect()
+    }
+    assert got == plain
+
+
+def test_salted_join_matches_plain(spark):
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    users = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tag", F.col("user_id") % 7)
+    )
+    plain = ev.join(users, "user_id").select("event_id", "tag")
+    salted = salted_join(ev, users, "user_id", n_salts=4).select("event_id", "tag")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
