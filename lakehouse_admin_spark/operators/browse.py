@@ -147,3 +147,39 @@ def chunk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.col("d")).cast("date").alias("month_start"),
         F.last_day(F.col("d")).alias("month_end"),
     ).orderBy("day_start")
+
+
+@query(
+    "partition_render",
+    oracle="""
+    SELECT DISTINCT
+           '{l_shipdate_day=' || strftime(l_shipdate, '%Y-%m-%d')
+           || ', l_returnflag=' || l_returnflag || '}' AS partition_str,
+           strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate_day,
+           l_returnflag
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1995-02-01 00:00:00'
+    ORDER BY partition_str
+    """,
+)
+def partition_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition tuple rendering `{k=v, …}` in SPEC order (the
+    reference's positional render, service_browse_files.go:261-347),
+    as a pure Column expression over the mixed day+identity spec."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1995-02-01 00:00:00").cast("timestamp")
+    )
+    day = F.date_format("l_shipdate", "yyyy-MM-dd")
+    rendered = F.concat(
+        F.lit("{l_shipdate_day="), day,
+        F.lit(", l_returnflag="), F.col("l_returnflag"), F.lit("}"),
+    )
+    return (
+        li.select(
+            rendered.alias("partition_str"),
+            day.alias("l_shipdate_day"),
+            "l_returnflag",
+        )
+        .distinct()
+        .orderBy("partition_str")
+    )

@@ -196,3 +196,25 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tok")
     )
+
+
+@query(
+    "bpe_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_word_tokens,
+           CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""BPE-ish pre-tokenization counts: word tokens (\w+) and
+    punctuation tokens ([^\w\s]) — the standard byte-pair-encoder
+    pre-split, counted JVM-side with regexp_extract_all."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+"), 0)).cast("long").alias("n_word_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), 0)).cast("long").alias("n_punct_tokens"),
+    ).orderBy("doc_id")

@@ -80,11 +80,15 @@ def test_ann_brute_force_is_broadcast_not_cartesian(spark):
 
 
 def test_minhash_bucket_join_bounded_exchanges(spark):
-    # exchange count depends on whether the shingle index is already
-    # persisted (InMemoryRelation replaces or adds an exchange): 2
-    # uncached, 3 cached — both bounded, either is fine
+    # assert on the UNCACHED plan: a warmed shingle cache embeds an
+    # InMemoryRelation whose inner plan inflates the string-based count
+    from lakehouse_admin_spark.operators import dedup
+
+    for df_cached in dedup._SHINGLE_CACHE.values():
+        df_cached.unpersist()
+    dedup._SHINGLE_CACHE.clear()
     df = q("minhash_band_buckets")(spark, SF_SMOKE)
-    assert exchange_count(df) <= 4
+    assert exchange_count(df) <= 3
 
 
 # -- skew utilities ---------------------------------------------------------
