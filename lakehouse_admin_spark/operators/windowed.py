@@ -149,3 +149,56 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@query(
+    "user_sessions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WHERE user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+        SELECT user_id, event_id, ts,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        FROM seq
+    )
+    SELECT user_id, session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(epoch_ms(MIN(ts)) AS BIGINT) AS start_ms,
+           CAST(epoch_ms(MAX(ts)) AS BIGINT) AS end_ms
+    FROM tagged
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-minute inactivity gap) as windows + cumulative
+    sum — the batch twin of the stateful streaming sessionizer
+    (streaming/sessions.py). Timestamps exported as epoch millis so the
+    comparison is integer-exact across engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = (F.unix_micros(F.col("ts")) / 1000).cast("long")
+    prev_ms = F.lag(ms).over(w)
+    new_session = F.when(
+        prev_ms.isNull() | ((ms - prev_ms) > 30 * 60 * 1000), 1
+    ).otherwise(0)
+    tagged = ev.withColumn(
+        "session_seq",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        tagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ms).alias("start_ms"),
+            F.max(ms).alias("end_ms"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
