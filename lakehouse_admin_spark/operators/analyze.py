@@ -208,3 +208,56 @@ def optimize_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("partition_date", "file_count", "small_files")
         .orderBy("partition_date")
     )
+
+
+def delay_gate_expr(browse_map: Column, settings: OptimizeSettings, now) -> Column:
+    """The delay half of the rule: dated partitions (year/month/day in
+    the browse map) must be older than midnight(now - delay); undated
+    partitions skip the gate entirely
+    (reference: service_iceberg.go:205-236, pinned by
+    service_iceberg_test.go:69-99)."""
+    import datetime as _dt
+
+    cutoff = (now - _dt.timedelta(hours=settings.needs_optimize_delay_hours)).date()
+    has_date = (
+        browse_map.getItem("year").isNotNull()
+        & browse_map.getItem("month").isNotNull()
+        & browse_map.getItem("day").isNotNull()
+    )
+    pdate = F.to_date(
+        F.concat_ws(
+            "-",
+            browse_map.getItem("year"),
+            browse_map.getItem("month"),
+            browse_map.getItem("day"),
+        )
+    )
+    return F.when(has_date, pdate <= F.lit(cutoff.isoformat()).cast("date")).otherwise(
+        F.lit(True)
+    )
+
+
+def partition_needs_optimize(
+    file_sizes: list[int],
+    partition_values: dict[str, str],
+    settings: OptimizeSettings,
+    now,
+) -> bool:
+    """Driver-side single-partition decision — the exact reference rule
+    (service_iceberg.go:189-224) for spec tests and spot checks; the
+    DataFrame path (file_rollup + delay_gate_expr) computes the same
+    thing distributed."""
+    from lakehouse_admin_spark.functions.partitions import get_date
+
+    small = sum(1 for s in file_sizes if s < settings.small_file_threshold_bytes)
+    total = len(file_sizes)
+    if small < settings.small_file_min_count:
+        return False
+    if small * 100 < total * settings.small_file_min_share_percent:
+        return False
+    if {"year", "month", "day"} <= set(partition_values):
+        import datetime as _dt
+
+        cutoff = (now - _dt.timedelta(hours=settings.needs_optimize_delay_hours)).date()
+        return get_date(partition_values) <= cutoff
+    return True
