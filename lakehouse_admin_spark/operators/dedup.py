@@ -55,57 +55,43 @@ def shingles_expr(toks: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_POSTING_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle index for ``documents`` — persisted (memory-and-disk).
+def exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) posting list — the inverted index. Persisted:
+    every dedup consumer (minhash signatures, candidate verification,
+    set sizes) reads it, and plain (long, string) columns cache far
+    cheaper than array<string> batches.
 
-    Persisting is load-bearing twice over:
-    - every dedup consumer fans out over it (minhash signatures, posting
-      lists, set sizes), and
-    - without a materialization boundary, Generate's inferred
-      ``size(shingles)>0`` predicate is pushed below the repartition
-      Exchange with the whole tokenize+shingle expression *inlined*
-      (element_at re-runs the regex split per element) — measured 19 s
-      vs 0.7 s at sf0.1 for the exploded posting list.
-    At 100 TB you'd materialize this index to a table instead of
-    executor memory; the pipeline shape is identical.
+    Plan-shape notes (measured at sf0.1):
+    - repartition FIRST, on raw rows: the fixture is one parquet row
+      group -> one task; the regex tokenizer + shingle construction is
+      the CPU cost, so spread it before computing (19s -> 3s).
+    - tokenize in its OWN projection: inlining tokens_expr into the
+      shingle lambda makes codegen re-run the regex split per
+      element_at (~3x n_tokens times per row).
+    - explode in the SAME select as the shingle construction: routing
+      the array through another projection/alias lets the Generate-
+      inferred size()>0 predicate re-inline the whole expression below
+      the exchange.
+    At 100 TB this index would be a materialized table; the shape is
+    identical.
     """
     key = (id(spark), sf_dir)
-    cached = _SHINGLE_CACHE.get(key)
+    cached = _POSTING_CACHE.get(key)
     if cached is not None:
         return cached
     docs = load_table(spark, sf_dir, "documents")
-    # Plan-shape choices (measured ~40× combined at sf0.1):
-    # 1. repartition FIRST, on the raw rows: the fixture is one parquet
-    #    row group → one task; repartitioning after the projection would
-    #    compute every shingle in that single pre-shuffle task. Shuffling
-    #    raw text rows is cheap; the CPU-heavy tokenize+shingle work then
-    #    runs on all cores. (At real scale the source is already split
-    #    and this becomes a no-op choice.)
-    # 2. Tokenize in its OWN projection: inlining tokens_expr into the
-    #    shingle lambda makes codegen re-run the regex split per
-    #    element_at (~3×n_tokens times per row).
-    # 3. The short-doc filter runs on the token array (cheap), not on
-    #    the computed shingle array (which would force a second full
-    #    shingle evaluation via predicate pushdown into the projection).
     out = (
         docs.repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", tokens_expr(F.col("text")).alias("w"))
         .filter(F.size("w") >= 3)
-        .select("doc_id", shingles_expr(F.col("w")).alias("shingles"))
+        .select("doc_id", F.explode(shingles_expr(F.col("w"))).alias("shingle"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _SHINGLE_CACHE[key] = out
+    _POSTING_CACHE[key] = out
     return out
-
-
-def exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) posting list — the inverted index."""
-    return _doc_shingles(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
 
 
 def jaccard_pairs(
@@ -238,20 +224,21 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     min over a uniform hex hash is a valid minhash permutation and is
     bit-for-bit reproducible in any engine with md5 — which is what makes
     the LSH pipeline oracle-checkable.
+
+    Computed as ONE hash aggregate over the exploded posting list (16
+    partial mins per doc) — no arrays in flight, fully partial-
+    aggregatable, the same shape at any corpus size.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    ex = exploded_shingles(spark, sf_dir)
 
-    def seeded(j: int):
-        # NOTE: must return a ONE-argument lambda — PySpark interprets a
-        # two-parameter lambda as (element, index) and would rebind j.
-        prefix = f"{j}:"
-        return lambda x: F.md5(F.concat(F.lit(prefix), x))
-
-    sigs = [
-        F.array_min(F.transform(F.col("shingles"), seeded(j))).alias(f"h{j}")
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
         for j in range(NUM_HASHES)
     ]
-    return sh.select("doc_id", F.array(*sigs).alias("sig"))
+    agg = ex.groupBy("doc_id").agg(*aggs)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{j}") for j in range(NUM_HASHES)]).alias("sig")
+    )
 
 
 @query(

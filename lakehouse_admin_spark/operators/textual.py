@@ -24,7 +24,7 @@ def _doc_tokens(spark: _SparkSession, sf_dir: str) -> DataFrame:
 
     repartition BEFORE tokenizing: the fixture is one parquet row group
     (one task); the regex tokenizer is the CPU cost, so spread it first
-    (same plan-shape reasoning as dedup._doc_shingles)."""
+    (same plan-shape reasoning as dedup.exploded_shingles)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", "lang", "n_chars", "text", tokens_expr(F.col("text")).alias("w")
