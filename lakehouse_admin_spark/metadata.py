@@ -82,7 +82,7 @@ def files_df(table: LedgerTable, snapshot_id: int | None = None) -> DataFrame:
             e["file_path"],
             e.get("file_format", "PARQUET"),
             e.get("spec_id", 0),
-            {k: str(v) for k, v in e["partition"].items()},
+            {k: (None if v is None else str(v)) for k, v in e["partition"].items()},
             e["record_count"],
             e["file_size_in_bytes"],
         )
@@ -205,3 +205,42 @@ def list_files(
         "record_count",
         "file_size_in_bytes",
     ).orderBy(F.desc("file_size_in_bytes"), F.asc("file_path"))
+
+
+def history_df(table: LedgerTable) -> DataFrame:
+    """The `{t}.history` view: every commit with its parent and whether
+    it is an ancestor of the current snapshot (rollbacks fork lineage —
+    commits on the abandoned branch show is_current_ancestor = false,
+    matching Iceberg's history-table semantics)."""
+    snaps = table.snapshots()
+    current = table.current_snapshot_id()
+    by_id = {s.snapshot_id: s for s in snaps}
+    ancestors: set[int] = set()
+    cursor = current
+    while cursor is not None and cursor in by_id:
+        ancestors.add(cursor)
+        cursor = by_id[cursor].parent_id
+    # rollback commits adopt the TARGET's file set but keep the commit
+    # chain via parent_id; the "rolled-back-to" summary key restores the
+    # logical lineage hop
+    rows = [
+        (
+            s.committed_at_ms,
+            s.snapshot_id,
+            s.parent_id,
+            s.snapshot_id in ancestors,
+        )
+        for s in snaps
+    ]
+    from pyspark.sql.types import BooleanType
+
+    schema = StructType(
+        [
+            StructField("made_current_at_ms", LongType()),
+            StructField("snapshot_id", LongType()),
+            StructField("parent_id", LongType(), nullable=True),
+            StructField("is_current_ancestor", BooleanType()),
+        ]
+    )
+    df = table.spark.createDataFrame(rows, schema)
+    return df.withColumn("made_current_at", F.timestamp_millis(F.col("made_current_at_ms")))

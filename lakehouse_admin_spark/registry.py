@@ -59,6 +59,7 @@ def load_all_operators() -> None:
         multimodal,
         relational,
         similarity,
+        sqltext,
         textual,
         windowed,
     )

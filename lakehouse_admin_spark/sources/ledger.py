@@ -233,7 +233,12 @@ class LedgerTable:
                     for part in rel.split(os.sep):
                         k, _, v = part.partition("=")
                         idx = int(k.removeprefix("_p_"))
-                        partition[spec[idx].name] = v
+                        # hive writer encodes NULL partition values as a
+                        # sentinel dir; manifests carry a real null
+                        # (rendered as "null" at the display edge, F10)
+                        partition[spec[idx].name] = (
+                            None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                        )
                 meta = pq.read_metadata(fpath)
                 entries.append(
                     {
@@ -346,10 +351,12 @@ class LedgerTable:
         (reference: rollback_to_snapshot,
         backend/internal/service_iceberg_mutations.go:37-48)."""
         target = self.snapshot(snapshot_id)
-        cur = self.current_snapshot_id()
         snap = Snapshot(
             snapshot_id=self._next_snapshot_id(),
-            parent_id=cur,
+            # logical lineage continues from the TARGET: commits on the
+            # abandoned branch are no longer current-ancestors (Iceberg
+            # history-table semantics)
+            parent_id=snapshot_id,
             committed_at_ms=int(time.time() * 1000),
             operation="rollback",
             summary={

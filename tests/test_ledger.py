@@ -238,3 +238,42 @@ def test_nested_partition_source(spark, catalog):
     browse = parts[0]["partition_browse"]
     assert set(browse.keys()) == {"year", "month", "day"}
     assert browse["year"] == "2026"
+
+
+def test_null_partition_values(spark, catalog):
+    """NULL partition values round-trip as real nulls in manifests and
+    render as "null" (reference F10: service_browse_files.go nulls)."""
+    from lakehouse_admin_spark.functions.partitions import render_partition
+    from lakehouse_admin_spark.sources.ledger import PartitionField
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, None), (3, "2024-01-02")], "id long, d string"
+    ).withColumn("d", F.col("d").cast("date"))
+    spec = [PartitionField("d", "day", "d_day")]
+    tbl = catalog.create_table("main", "nulltest", df.schema, spec)
+    tbl.append(df)
+    parts = {
+        tuple(e["partition"].items()) for e in tbl.live_files()
+    }
+    assert (("d_day", None),) in parts
+    assert tbl.read().count() == 3
+    rendered = render_partition(spec, {"d_day": None})
+    assert rendered == "{d_day=null}"
+    fdf = files_df(tbl)
+    null_rows = fdf.filter(F.col("partition")["d_day"].isNull()).collect()
+    assert len(null_rows) == 1 and null_rows[0]["record_count"] == 1
+
+
+def test_history_ancestry(spark, catalog):
+    from lakehouse_admin_spark.metadata import history_df
+
+    tbl = build_events_ledger(spark, SF_SMOKE, catalog, name="events_history")
+    h = {r["snapshot_id"]: r for r in history_df(tbl).collect()}
+    assert all(r["is_current_ancestor"] for r in h.values())
+    # roll back to snapshot 2: 1, 2 and the rollback commit are
+    # ancestors; 3..6 become abandoned-branch commits
+    maintenance.rollback_to_snapshot(tbl, 2)
+    h2 = {r["snapshot_id"]: r["is_current_ancestor"] for r in history_df(tbl).collect()}
+    rollback_id = max(h2)
+    assert h2[rollback_id] and h2[2] and h2[1]
+    assert not h2[3] and not h2[6]

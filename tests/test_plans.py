@@ -84,8 +84,9 @@ def test_minhash_bucket_join_bounded_exchanges(spark):
     # InMemoryRelation whose inner plan inflates the string-based count
     from lakehouse_admin_spark.operators import dedup
 
-    for df_cached in dedup._POSTING_CACHE.values():
-        df_cached.unpersist()
+    # CacheManager substitutes ANY matching cached subplan (including
+    # persists left by minhash_near_dup), so wipe everything
+    spark.catalog.clearCache()
     dedup._POSTING_CACHE.clear()
     df = q("minhash_band_buckets")(spark, SF_SMOKE)
     # 3 real shuffles (repartition, signature agg, output sort); the
