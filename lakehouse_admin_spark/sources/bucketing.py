@@ -1,0 +1,51 @@
+"""Bucketed table layout for co-located (shuffle-free) joins.
+
+The star joins' one unavoidable shuffle is lineitem⋈orders on orderkey
+(SCALING.md). Bucketing both fact tables on the join key at write time
+moves that shuffle from EVERY query to ONE write: Spark's bucketed scan
+reports hashpartitioning(orderkey) so SortMergeJoin plans with no
+Exchange on either side.
+
+This is the 100 TB answer for repeated fact-fact joins; locally the
+bucketed copies are written once per session into a managed warehouse
+dir. (Spark bucketing requires saveAsTable — the managed-catalog
+variant of the ledger's directory layout.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """One-time bucketed materialization (overwrites)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    writer = df.write.bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.mode("overwrite").format("parquet").saveAsTable(table_name)
+
+
+def bucketed_join_pair(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    left_name: str,
+    right_name: str,
+    key_left: str,
+    key_right: str,
+    n_buckets: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize both sides bucketed on their join keys and return the
+    bucketed scans. A subsequent equi-join on those keys plans without
+    exchanges (pinned in tests/test_bucketing.py)."""
+    write_bucketed(left, left_name, key_left, n_buckets, sort_col=key_left)
+    write_bucketed(right, right_name, key_right, n_buckets, sort_col=key_right)
+    return spark.table(left_name), spark.table(right_name)
