@@ -103,24 +103,35 @@ def partitions_df(
     from lakehouse_admin_spark.functions.partitions import normalize_map_expr
 
     files = files_df(table).filter(F.col("content") == 0)
-    spec = table.partition_spec()
+    specs = table.all_specs()
     keyed = files.withColumn(
         "partition_key",
-        F.to_json(F.col("partition")) if spec else F.lit("{}"),
+        F.to_json(F.col("partition")) if any(specs.values()) else F.lit("{}"),
     )
+    # spec_id participates in the grouping: after partition evolution,
+    # files written under different specs are distinct partitions even
+    # if their tuples collide (reference keeps spec_id on every
+    # partition row, types.go:31-42)
     rolled = file_rollup(
         keyed,
-        ["partition_key"],
+        ["partition_key", "spec_id"],
         settings=settings,
     )
-    # keep the raw map plus the browse-normalized map (hidden transforms
-    # expanded to zero-padded year/month/day) alongside the grouping key
+    # raw map + browse-normalized map (hidden transforms expanded to
+    # zero-padded year/month/day), normalized PER SPEC VERSION
+    browse = None
+    for sid, spec in sorted(specs.items()):
+        expr = normalize_map_expr(spec, F.col("partition"))
+        branch = (F.col("spec_id") == sid, expr)
+        browse = F.when(*branch) if browse is None else browse.when(*branch)
     first_map = (
-        files.select(F.to_json(F.col("partition")).alias("partition_key"), "partition")
-        .dropDuplicates(["partition_key"])
-        .withColumn("partition_browse", normalize_map_expr(spec, F.col("partition")))
+        files.select(
+            F.to_json(F.col("partition")).alias("partition_key"), "spec_id", "partition"
+        )
+        .dropDuplicates(["partition_key", "spec_id"])
+        .withColumn("partition_browse", browse)
     )
-    return rolled.join(first_map, "partition_key")
+    return rolled.join(first_map, ["partition_key", "spec_id"])
 
 
 def table_summary(table: LedgerTable, settings: OptimizeSettings | None = None) -> dict:

@@ -25,8 +25,18 @@ def write_bucketed(
     sort_col: str | None = None,
 ) -> None:
     """One-time bucketed materialization (overwrites)."""
+    import os
+    import shutil
+
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # the in-memory catalog is session-scoped but managed-table
+    # locations persist on disk — clear a stale location from a prior
+    # session or saveAsTable refuses
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(warehouse, table_name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
     writer = df.write.bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)

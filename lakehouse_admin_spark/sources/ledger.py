@@ -148,7 +148,39 @@ class LedgerTable:
         return os.path.exists(self._table_json)
 
     def partition_spec(self) -> list[PartitionField]:
-        return [PartitionField.from_json(d) for d in self._load_meta()["partition_spec"]]
+        """The current (default) partition spec."""
+        meta = self._load_meta()
+        return [PartitionField.from_json(d) for d in meta["partition_spec"]]
+
+    def all_specs(self) -> dict[int, list[PartitionField]]:
+        """Every spec version ever used (files reference them by
+        spec_id — the reference carries spec_id through partitions and
+        files, types.go:31-42)."""
+        meta = self._load_meta()
+        specs = meta.get("partition_specs")
+        if not specs:
+            return {0: self.partition_spec()}
+        return {
+            int(sid): [PartitionField.from_json(d) for d in fields]
+            for sid, fields in specs.items()
+        }
+
+    def default_spec_id(self) -> int:
+        return int(self._load_meta().get("default_spec_id", 0))
+
+    def evolve_partition_spec(self, new_spec: list[PartitionField]) -> int:
+        """Partition evolution: register a new spec version and make it
+        the default for FUTURE writes. Existing files keep their
+        spec_id (Iceberg semantics: old data is not rewritten)."""
+        meta = self._load_meta()
+        specs = meta.get("partition_specs") or {"0": meta["partition_spec"]}
+        new_id = max(int(k) for k in specs) + 1
+        specs[str(new_id)] = [f.to_json() for f in new_spec]
+        meta["partition_specs"] = specs
+        meta["default_spec_id"] = new_id
+        meta["partition_spec"] = [f.to_json() for f in new_spec]
+        self._store_meta(meta)
+        return new_id
 
     def schema_string(self) -> list[dict]:
         return self._load_meta()["columns"]
@@ -246,7 +278,7 @@ class LedgerTable:
                         "partition": partition,
                         "record_count": meta.num_rows,
                         "file_size_in_bytes": os.path.getsize(fpath),
-                        "spec_id": 0,
+                        "spec_id": self.default_spec_id(),
                         "content": 0,
                         "file_format": "PARQUET",
                     }
@@ -435,12 +467,15 @@ class LedgerCatalog:
         columns = [
             {"name": f.name, "type": f.dataType.simpleString()} for f in df_schema.fields
         ]
+        spec_json = [p.to_json() for p in (partition_spec or [])]
         tbl._store_meta(
             {
                 "database": database,
                 "name": name,
                 "columns": columns,
-                "partition_spec": [p.to_json() for p in (partition_spec or [])],
+                "partition_spec": spec_json,
+                "partition_specs": {"0": spec_json},
+                "default_spec_id": 0,
                 "current_snapshot_id": None,
                 "created_ms": int(time.time() * 1000),
             }

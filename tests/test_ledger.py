@@ -277,3 +277,47 @@ def test_history_ancestry(spark, catalog):
     rollback_id = max(h2)
     assert h2[rollback_id] and h2[2] and h2[1]
     assert not h2[3] and not h2[6]
+
+
+def test_partition_spec_evolution(spark, catalog):
+    """Spec evolution: new writes use the new spec and spec_id; old
+    files keep theirs; partitions_df normalizes each per its own spec
+    (reference carries spec_id through partitions/files, types.go:31-42)."""
+    from lakehouse_admin_spark.sources.ledger import PartitionField
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    tbl = catalog.create_table(
+        "main",
+        "events_evolve",
+        ev.schema,
+        [PartitionField("ts", "day", "ts_day")],
+    )
+    tbl.append(ev.filter(F.dayofmonth("ts") <= 3))
+    new_id = tbl.evolve_partition_spec(
+        [
+            PartitionField("ts", "month", "ts_month"),
+            PartitionField("event_type", "identity", "event_type"),
+        ]
+    )
+    assert new_id == 1
+    tbl.append(ev.filter(F.dayofmonth("ts") > 25))
+
+    by_spec = {}
+    for e in tbl.live_files():
+        by_spec.setdefault(e["spec_id"], set()).update(e["partition"].keys())
+    assert by_spec[0] == {"ts_day"}
+    assert by_spec[1] == {"ts_month", "event_type"}
+
+    parts = partitions_df(tbl).collect()
+    v0 = [r for r in parts if r["spec_id"] == 0]
+    v1 = [r for r in parts if r["spec_id"] == 1]
+    assert v0 and v1
+    # v0 browse has day; v1 browse has only year/month + event_type
+    assert all(set(r["partition_browse"].keys()) == {"year", "month", "day"} for r in v0)
+    assert all(
+        set(r["partition_browse"].keys()) == {"year", "month", "event_type"} for r in v1
+    )
+    # all rows readable regardless of layout era
+    assert tbl.read().count() == ev.filter(
+        (F.dayofmonth("ts") <= 3) | (F.dayofmonth("ts") > 25)
+    ).count()
