@@ -35,8 +35,13 @@ HEADLINE = [
     "dedup_exact",
     "minhash_near_dup",
     "ann_topk_cosine",
+    "embedding_near_dup",
     "text_quality",
     "token_frequencies",
+    "user_sessions",
+    "sql_cte_revenue",
+    "ledger_partition_stats",
+    "multimodal_decode",
 ]
 
 

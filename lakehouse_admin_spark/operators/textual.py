@@ -11,15 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-from pyspark.sql import SparkSession as _SparkSession
-
 from lakehouse_admin_spark.operators.dedup import tokens_expr
 from lakehouse_admin_spark.registry import query
 from lakehouse_admin_spark.sources.tables import load_table
 
 
-def _doc_tokens(spark: _SparkSession, sf_dir: str) -> DataFrame:
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with a materialized token array column `w`.
 
     repartition BEFORE tokenizing: the fixture is one parquet row group

@@ -14,8 +14,8 @@ file metadata and the maintenance procedures are exercised genuinely.
 
 from __future__ import annotations
 
-import os
 import tempfile
+import threading
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -25,6 +25,23 @@ from lakehouse_admin_spark.sources.tables import load_table
 
 _CATALOGS: dict[tuple[int, str], LedgerCatalog] = {}
 _DEFAULT_WAREHOUSE: str | None = None
+# fixture builds mutate the warehouse; a runner invoking several
+# registered queries concurrently must not race the exists()+create
+_BUILD_LOCK = threading.Lock()
+
+
+def _locked(fn):
+    """Serialize fixture builds: concurrent registered-query calls must
+    not race the exists()+create_table sequence. Builds are idempotent,
+    so the second caller just finds the finished table."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with _BUILD_LOCK:
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def get_catalog(spark: SparkSession, warehouse: str | None = None) -> LedgerCatalog:
@@ -44,6 +61,7 @@ def get_catalog(spark: SparkSession, warehouse: str | None = None) -> LedgerCata
     return _CATALOGS[key]
 
 
+@_locked
 def build_events_ledger(
     spark: SparkSession,
     sf_dir: str,
@@ -74,6 +92,7 @@ def build_events_ledger(
     return tbl
 
 
+@_locked
 def build_lineitem_ledger(
     spark: SparkSession,
     sf_dir: str,
@@ -104,6 +123,7 @@ def build_lineitem_ledger(
     return tbl
 
 
+@_locked
 def build_nested_ledger(
     spark: SparkSession,
     catalog: LedgerCatalog,

@@ -34,7 +34,7 @@ import os
 import re
 import time
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pyarrow.parquet as pq
 from pyspark.sql import Column, DataFrame, SparkSession
