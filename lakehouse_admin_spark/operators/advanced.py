@@ -205,3 +205,102 @@ def brand_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("revenue", 2).alias("revenue"),
         F.round(F.col("revenue") / F.sum("revenue").over(w), 4).alias("brand_share"),
     ).orderBy("p_brand", "p_type")
+
+
+@query(
+    "promo_revenue_disjunctive",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size <= 10)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30 AND p_size <= 20)
+       OR (p_size > 40 AND l_discount < 0.03)
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def promo_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-table predicates. Catalyst
+    splits the OR into per-side conjuncts where possible and pushes the
+    single-table residuals into both scans; the join stays a broadcast
+    hash join with the combined predicate as post-join filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 20) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 30) & (F.col("p_size") <= 20))
+        | ((F.col("p_size") > 40) & (F.col("l_discount") < 0.03))
+    )
+    return (
+        joined.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "important_part_types",
+    oracle="""
+    WITH per_type AS (
+        SELECT p_type, SUM(p_retailprice * p_size) AS type_value
+        FROM part GROUP BY p_type
+    )
+    SELECT p_type, ROUND(type_value, 2) AS type_value
+    FROM per_type
+    WHERE type_value > (SELECT SUM(p_retailprice * p_size) * 0.05 FROM part)
+    ORDER BY type_value DESC, p_type
+    """,
+)
+def important_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups exceeding a FRACTION of the global total
+    (uncorrelated scalar subquery in HAVING). The global total computes
+    once and broadcasts; no per-group re-aggregation."""
+    part = load_table(spark, sf_dir, "part")
+    per_type = part.groupBy("p_type").agg(
+        F.sum(F.col("p_retailprice") * F.col("p_size")).alias("type_value")
+    )
+    total = part.agg(
+        (F.sum(F.col("p_retailprice") * F.col("p_size")) * 0.05).alias("threshold")
+    )
+    return (
+        per_type.crossJoin(F.broadcast(total))
+        .filter(F.col("type_value") > F.col("threshold"))
+        .select("p_type", F.round("type_value", 2).alias("type_value"))
+        .orderBy(F.desc("type_value"), "p_type")
+    )
+
+
+@query(
+    "min_cost_order_line",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               MIN(l_extendedprice) OVER (PARTITION BY l_orderkey) AS min_price
+        FROM lineitem
+    )
+    WHERE l_extendedprice = min_price AND l_orderkey < 1000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def min_cost_order_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-group minimum selection (correlated MIN
+    subquery) expressed as an analytic window — one shuffle on the
+    group key instead of a per-row subquery."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return (
+        li.withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter((F.col("l_extendedprice") == F.col("min_price")) & (F.col("l_orderkey") < 1000))
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -388,10 +388,23 @@ def plan_optimize_tasks(
     return tasks
 
 
-def execute_task(queue: TaskQueue, catalog: LedgerCatalog, task: Task) -> Task:
+def execute_task(
+    queue: TaskQueue,
+    catalog: LedgerCatalog,
+    task: Task,
+    backoff=None,
+) -> Task:
     """Engine routing + execution (T8 collapses to the one in-session
     Spark engine; reference routed expire/orphans→trino, optimize→spark,
-    task_engines.go:19-61)."""
+    task_engines.go:19-61). Pass a BackoffPolicy to retry transient
+    procedure failures (the reference's Trino backoff,
+    trino_client.go:37-51); exhausted retries mark the task error and
+    the queue-level retry-once (T5) still applies."""
+    from lakehouse_admin_spark.functions.retry import with_backoff
+
+    def _run(fn):
+        return with_backoff(fn, backoff) if backoff is not None else fn()
+
     tbl = catalog.table(task.database, task.table)
     try:
         if task.kind == KIND_OPTIMIZE:
@@ -407,26 +420,26 @@ def execute_task(queue: TaskQueue, catalog: LedgerCatalog, task: Task) -> Task:
                 ]
                 while d <= until:
                     for fname in spec_day_fields:
-                        m = maintenance.rewrite_data_files(
+                        m = _run(lambda: maintenance.rewrite_data_files(
                             tbl,
                             where={fname: d.isoformat()},
                             target_file_size_bytes=task.input.get(
                                 "target_file_size_bytes",
                                 maintenance.DEFAULT_TARGET_FILE_SIZE_BYTES,
                             ),
-                        )
+                        ))
                         for k, v in m.items():
                             metrics[k] = metrics.get(k, 0) + v
                     d += dt.timedelta(days=1)
             else:
-                metrics = maintenance.rewrite_data_files(tbl, where=where)
+                metrics = _run(lambda: maintenance.rewrite_data_files(tbl, where=where))
             queue.complete(task.id, result={"procedure": metrics})
         elif task.kind == KIND_EXPIRE:
             days = clamp_retention_days(int(task.input.get("retention_days", MIN_RETENTION_DAYS)))
-            metrics = maintenance.expire_snapshots(tbl, retention_days=days)
+            metrics = _run(lambda: maintenance.expire_snapshots(tbl, retention_days=days))
             queue.complete(task.id, result={"procedure": metrics})
         elif task.kind == KIND_ORPHANS:
-            metrics = maintenance.remove_orphan_files(tbl)
+            metrics = _run(lambda: maintenance.remove_orphan_files(tbl))
             metrics.pop("deleted_files", None)
             queue.complete(task.id, result={"procedure": metrics})
         else:

@@ -74,3 +74,72 @@ def test_stream_to_ledger_appends(spark, event_drops, tmp_path_factory):
     assert len(snaps) == 3
     assert all(s.operation == "append" for s in snaps)
     assert tbl.read().count() == load_table(spark, SF_SMOKE, "events").count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path_factory):
+    """Append-mode windowed aggregation with a short watermark: rows
+    arriving after their window has been FINALIZED are dropped — the
+    bounded-state contract a 100 TB stream depends on.
+
+    Three batches are required to observe the drop: merely being older
+    than the watermark is NOT enough (a window still held in state
+    legitimately absorbs late rows — that is what the watermark
+    tolerance means). The late batch must arrive after an intermediate
+    batch let eviction finalize its windows."""
+    src = str(tmp_path_factory.mktemp("late_drops"))
+    ev = load_table(spark, SF_SMOKE, "events")
+    held_back = (F.col("event_id") % 17 == 0) & (
+        F.col("ts") < F.expr("timestamp'2024-01-25 00:00:00'")
+    )
+    on_time = ev.filter(~held_back & (F.col("ts") < F.expr("timestamp'2024-01-30 00:00:00'")))
+    tail = ev.filter(~held_back & (F.col("ts") >= F.expr("timestamp'2024-01-30 00:00:00'")))
+    late = ev.filter(held_back)
+
+    for i, part in enumerate([on_time, tail, late]):
+        tmp = os.path.join(src, f"tmp_{i}")
+        part.coalesce(1).write.parquet(tmp)
+        pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"drop_{i}.parquet")
+        shutil.move(os.path.join(tmp, pf), dst)
+        shutil.rmtree(tmp)
+        # FileStreamSource orders batches by modification time — force
+        # the on-time drop strictly older than the late drop
+        os.utime(dst, (1000000 + i * 1000, 1000000 + i * 1000))
+
+    stream = read_events_stream(spark, src, ev.schema)
+    agg = windowed_event_counts_stream(stream, "6 hours", "1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["event_type"]): r["event_count"]
+        for r in spark.table("late_test").collect()
+    }
+    assert got, "expected finalized windows"
+    # every emitted window's count must equal the ON-TIME (+tail) rows
+    # for that window — the late batch's rows targeted windows that were
+    # already finalized, so they contributed nothing anywhere
+    expected = {
+        (r["win"]["start"], r["event_type"]): r["n"]
+        for r in on_time.unionByName(tail)
+        .groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for key, n in got.items():
+        assert expected.get(key) == n, (key, n, expected.get(key))
+    # sanity: the late rows WOULD have changed those counts if admitted
+    with_late = {
+        (r["win"]["start"], r["event_type"]): r["n"]
+        for r in on_time.unionByName(tail)
+        .unionByName(late)
+        .groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert any(with_late[k] != got[k] for k in got)

@@ -231,3 +231,58 @@ def test_worker_pool_respects_concurrency(planned_env):
     assert len(done) == 8
     # picked_up_at set for every claim; claim cap was never exceeded
     assert all(t.picked_up_at is not None for t in done)
+
+
+def test_with_backoff_retries_then_succeeds():
+    from lakehouse_admin_spark.functions.retry import BackoffPolicy, with_backoff
+
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    out = with_backoff(
+        flaky,
+        BackoffPolicy(initial_s=1.0, max_interval_s=4.0, max_elapsed_s=100.0),
+        sleep=sleeps.append,
+    )
+    assert out == "ok" and calls["n"] == 3
+    assert sleeps == [1.0, 2.0]  # exponential: 1, 2 (capped at 4)
+
+
+def test_with_backoff_gives_up_after_elapsed():
+    from lakehouse_admin_spark.functions.retry import BackoffPolicy, with_backoff
+
+    def always_fails():
+        raise RuntimeError("boom")
+
+    sleeps: list[float] = []
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        with_backoff(
+            always_fails,
+            BackoffPolicy(initial_s=50.0, max_interval_s=60.0, max_elapsed_s=100.0),
+            sleep=sleeps.append,
+        )
+    assert len(sleeps) <= 2  # 50 + 100 > 100 → gave up quickly
+
+
+def test_with_backoff_non_retryable_raises_immediately():
+    from lakehouse_admin_spark.functions.retry import with_backoff
+
+    calls = {"n": 0}
+
+    def fails():
+        calls["n"] += 1
+        raise ValueError("fatal")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        with_backoff(fails, retryable=lambda e: not isinstance(e, ValueError))
+    assert calls["n"] == 1
