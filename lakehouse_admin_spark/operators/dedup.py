@@ -466,3 +466,153 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= 3).orderBy("doc_a", "doc_b")
+
+
+DRIVER_CC_EDGE_LIMIT = 5_000_000
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, driver_limit: int = DRIVER_CC_EDGE_LIMIT
+) -> DataFrame:
+    """Connected components by smallest-id label propagation: every doc
+    in a near-dup pair gets cluster_id = min doc_id of its component.
+
+    Hybrid execution, both paths producing identical labels:
+    - pair set under ``driver_limit`` (the overwhelmingly common case —
+      LSH already shrank the graph to actual near-dup edges, orders of
+      magnitude smaller than the corpus): collect the EDGES (not the
+      corpus) and run union-find on the driver. One job, O(E α(E)).
+    - larger: iterative min-label propagation — one shuffle per round,
+      converging in O(component diameter) rounds; the driver only sees
+      the per-round convergence count."""
+    spark = pairs.sparkSession
+    pairs = pairs.persist()
+    n_edges = pairs.count()
+    if n_edges <= driver_limit:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs.select("doc_a", "doc_b").collect():
+            a, b = r["doc_a"], r["doc_b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by smaller root so the representative is the min id
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        rows = sorted((doc, find(doc)) for doc in parent)
+        return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    # persist: edges feed every iteration's join — without a
+    # materialization boundary each round would re-derive the (possibly
+    # expensive) pair pipeline upstream
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neighbor_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("neighbor_label"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "dedup_clusters",
+    oracle=_ORACLE_SHINGLES.replace("WITH tok", "WITH RECURSIVE tok")
+    + """
+    , sig AS (
+        SELECT doc_id,
+               [list_aggregate(list_transform(shingles, x -> md5(CAST(j AS VARCHAR) || ':' || x)), 'min') FOR j IN range(0, 16)] AS sig
+        FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (SELECT doc_id, UNNEST(range(0, 4)) AS band, sig FROM sig),
+    keyed AS (
+        SELECT band,
+               md5(sig[band*4+1] || sig[band*4+2] || sig[band*4+3] || sig[band*4+4]) AS band_key,
+               doc_id
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM keyed a JOIN keyed b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT a.doc_id AS ca, b.doc_id AS cb, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN common ON common.ca = c.doc_a AND common.cb = c.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE ROUND(n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE), 4) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM verified
+        UNION
+        SELECT doc_b, doc_a FROM verified
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach
+    GROUP BY a
+    ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: minhash pairs → connected components →
+    (doc_id, cluster_id = component minimum). The keep-one-per-cluster
+    dedup decision is then `keep where doc_id == cluster_id`.
+
+    The oracle replays the whole chain in SQL: deterministic minhash →
+    LSH → verified pairs → recursive transitive closure → min label."""
+    pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        connected_components(pairs)
+        .select("doc_id", "cluster_id")
+        .orderBy("doc_id")
+    )

@@ -202,3 +202,54 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@query(
+    "session_window_counts",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WHERE user_id < 30
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM seq
+    )
+    SELECT user_id,
+           CAST(epoch_ms(MIN(ts)) AS BIGINT) AS session_start_ms,
+           CAST(epoch_ms(MAX(ts)) + 1800000 AS BIGINT) AS session_end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM tagged
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_start_ms
+    """,
+)
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (30-minute gap) — the
+    built-in form of the sessionization the custom stateful operator
+    implements (streaming/sessions.py). Session end = last event + gap
+    (Spark's session_window semantics), which the gaps-and-islands
+    oracle reproduces; epoch-millis outputs keep the compare exact."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("sw.start")) / 1000).cast("long").alias("session_start_ms"),
+            (F.unix_micros(F.col("sw.end")) / 1000).cast("long").alias("session_end_ms"),
+            "n_events",
+            "value_sum",
+        )
+        .orderBy("user_id", "session_start_ms")
+    )

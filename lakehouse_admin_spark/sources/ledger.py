@@ -281,6 +281,7 @@ class LedgerTable:
                         "spec_id": self.default_spec_id(),
                         "content": 0,
                         "file_format": "PARQUET",
+                        "column_stats": _column_stats(meta),
                     }
                 )
         entries.sort(key=lambda e: e["file_path"])
@@ -410,14 +411,74 @@ class LedgerTable:
             return []
         return self.snapshot(sid).files
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
-        """Scan the table (optionally time-traveled). Returns a normal
-        DataFrame over exactly the live data files — Catalyst pushdown
-        and pruning apply as usual."""
+    def plan_files(
+        self,
+        predicates: list[tuple[str, str, object]] | None = None,
+        snapshot_id: int | None = None,
+    ) -> list[dict]:
+        """Manifest-level file pruning: keep a file unless its column
+        stats PROVE no row can match every predicate (the Iceberg
+        file-skipping contract — metadata-only, no data reads).
+
+        predicates: (column, op, value) with op in < <= > >= = ; values
+        for timestamp/date columns are ISO strings (stats are stored as
+        ISO strings, which compare correctly lexicographically)."""
         files = self.live_files(snapshot_id)
+        if not predicates:
+            return files
+
+        def may_match(entry: dict) -> bool:
+            stats = entry.get("column_stats") or {}
+            for col, op, val in predicates:
+                rng = stats.get(col)
+                if rng is None:
+                    continue  # no stats → cannot skip
+                lo, hi = rng
+                try:
+                    possible = {
+                        "<": lo < val,
+                        "<=": lo <= val,
+                        ">": hi > val,
+                        ">=": hi >= val,
+                        "=": lo <= val <= hi,
+                    }[op]
+                except TypeError:
+                    continue  # incomparable types → cannot skip
+                if not possible:
+                    return False
+            return True
+
+        return [e for e in files if may_match(e)]
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        predicates: list[tuple[str, str, object]] | None = None,
+    ) -> DataFrame:
+        """Scan the table (optionally time-traveled). With predicates,
+        files are pruned by manifest stats FIRST (plan_files) and the
+        same predicates are re-applied as Spark filters for row-level
+        exactness — the two-tier skip Iceberg performs. Catalyst
+        pushdown/pruning apply as usual on the surviving files."""
+        files = self.plan_files(predicates, snapshot_id)
         if not files:
-            raise ValueError(f"{self.database}.{self.name} is empty")
-        return self.spark.read.parquet(*[e["file_path"] for e in files])
+            raise ValueError(
+                f"{self.database}.{self.name}: no files"
+                + (" match the predicates" if predicates else " (empty table)")
+            )
+        df = self.spark.read.parquet(*[e["file_path"] for e in files])
+        for col, op, val in predicates or []:
+            c = F.col(col)
+            target = (
+                F.lit(val).cast(dict(df.dtypes).get(col, "string"))
+                if isinstance(val, str)
+                else F.lit(val)
+            )
+            df = df.filter(
+                {"<": c < target, "<=": c <= target, ">": c > target,
+                 ">=": c >= target, "=": c == target}[op]
+            )
+        return df
 
 
 class LedgerCatalog:
@@ -498,3 +559,32 @@ class LedgerCatalog:
 def _validate_ident(s: str) -> None:
     if not _IDENT_RE.fullmatch(s):
         raise ValueError(f"invalid identifier {s!r}")
+
+
+def _column_stats(meta) -> dict[str, list]:
+    """Per-column [min, max] from parquet footer statistics — the
+    manifest-level stats Iceberg uses for file skipping. JSON-encodable
+    primitives only; columns without stats (or non-primitive) are
+    omitted, which the pruner treats as 'cannot skip'."""
+    import datetime as _dt
+
+    out: dict[str, list] = {}
+    for rg in range(meta.num_row_groups):
+        grp = meta.row_group(rg)
+        for ci in range(grp.num_columns):
+            col = grp.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                continue
+            if isinstance(lo, (_dt.datetime, _dt.date)):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            prev = out.get(name)
+            if prev is None:
+                out[name] = [lo, hi]
+            else:
+                out[name] = [min(prev[0], lo), max(prev[1], hi)]
+    return out

@@ -321,3 +321,33 @@ def test_partition_spec_evolution(spark, catalog):
     assert tbl.read().count() == ev.filter(
         (F.dayofmonth("ts") <= 3) | (F.dayofmonth("ts") > 25)
     ).count()
+
+
+def test_file_skipping_by_column_stats(spark, catalog):
+    """Manifest min/max stats prune files without reading data; pruned
+    results equal the unpruned filtered scan (the Iceberg skip
+    contract)."""
+    tbl = build_lineitem_ledger(spark, SF_SMOKE, catalog, name="lineitem_skip")
+    all_files = tbl.live_files()
+    assert all(e.get("column_stats", {}).get("l_shipdate") for e in all_files)
+
+    # ship dates in Feb 1995 only → files from other months must be skipped
+    preds = [
+        ("l_shipdate", ">=", "1995-02-01"),
+        ("l_shipdate", "<", "1995-03-01"),
+    ]
+    planned = tbl.plan_files(preds)
+    assert 0 < len(planned) < len(all_files)
+
+    got = tbl.read(predicates=preds).count()
+    expected = (
+        tbl.read()
+        .filter(
+            (F.col("l_shipdate") >= "1995-02-01") & (F.col("l_shipdate") < "1995-03-01")
+        )
+        .count()
+    )
+    assert got == expected > 0
+
+    # numeric equality pruning: an impossible key prunes everything
+    assert tbl.plan_files([("l_orderkey", "=", -5)]) == []

@@ -35,3 +35,17 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_connected_components_paths_agree(spark):
+    """Driver union-find and distributed label propagation produce
+    identical cluster labels."""
+    from lakehouse_admin_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dup,
+    )
+
+    pairs = minhash_near_dup(spark, SF_SMOKE).select("doc_a", "doc_b")
+    fast = sorted(map(tuple, connected_components(pairs).collect()))
+    dist = sorted(map(tuple, connected_components(pairs, driver_limit=0).collect()))
+    assert fast == dist and len(fast) > 0
