@@ -282,3 +282,78 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(block_pairs, out_schema)
         .orderBy("vec_a", "vec_b")
     )
+
+
+def kmeans_lloyd(
+    emb: DataFrame, k: int = 8, iters: int = 3
+) -> tuple[np.ndarray, DataFrame]:
+    """Lloyd's k-means over the embedding column — the genuinely
+    iterative algorithm of the extension set (not SQL-expressible; the
+    driver holds only the k×dim centroid matrix between rounds).
+
+    Per round: (1) assignment — broadcast centroid matrix, one
+    mapInPandas block kernel computes each batch's nearest centroid via
+    a single distance matmul; (2) update — one hash aggregate of
+    per-dimension sums/counts (posexplode), new centroids to driver.
+    Deterministic: init = the k lowest vec_ids, no randomness.
+
+    Returns (centroids, assignments DataFrame(vec_id, cluster))."""
+    spark = emb.sparkSession
+    dim = len(emb.select("embedding").first()["embedding"])
+    init_rows = (
+        emb.orderBy("vec_id").limit(k).select("embedding").collect()
+    )
+    centroids = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in init_rows]
+    )
+
+    assign_schema = StructType(
+        [StructField("vec_id", LongType()), StructField("cluster", LongType())]
+    )
+
+    assignments = None
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def assign(batches):
+            c = bc.value  # (k, dim)
+            c_sq = (c * c).sum(axis=1)
+            for pdf in batches:
+                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+                d = -2.0 * (m @ c.T) + c_sq[None, :]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                        "cluster": d.argmin(axis=1).astype(np.int64),
+                    }
+                )
+
+        assignments = emb.mapInPandas(assign, assign_schema)
+        joined = emb.join(assignments, "vec_id")
+        sums = (
+            joined.select(
+                "cluster", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        counts = np.zeros(k)
+        for r in sums:
+            new_c[r["cluster"], r["pos"]] = r["s"] / r["n"]
+            counts[r["cluster"]] = r["n"]
+        # empty clusters keep their previous centroid
+        centroids = new_c
+    return centroids, assignments
+
+
+@query("ivf_kmeans_assignments", oracle=None)
+def ivf_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell training: 3 Lloyd rounds, k=8, deterministic init —
+    outputs (vec_id, cluster) plus per-cluster sizes. (Rows-only check:
+    an iterative numeric algorithm has no single-statement SQL oracle.)"""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, assignments = kmeans_lloyd(emb, k=8, iters=3)
+    return assignments.orderBy("vec_id")

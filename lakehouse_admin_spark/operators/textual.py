@@ -215,3 +215,128 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(r"\w+"), 0)).cast("long").alias("n_word_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), 0)).cast("long").alias("n_punct_tokens"),
     ).orderBy("doc_id")
+
+
+@query(
+    "tf_idf",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS tok
+        FROM documents
+        WHERE doc_id < 100
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS n,
+               SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS doc_len
+        FROM tok GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY tok
+    ),
+    n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok)
+    SELECT tf.doc_id, tf.tok,
+           CAST(tf.n AS BIGINT) AS term_count,
+           ROUND((tf.n / CAST(tf.doc_len AS DOUBLE))
+                 * ln(n_docs.n / CAST(df.doc_freq AS DOUBLE)), 6) AS tfidf
+    FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n_docs
+    ORDER BY tf.doc_id, tf.tok
+    """,
+)
+def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring over a 100-doc slice: term frequency × inverse
+    document frequency, the canonical sparse text featurization.
+
+    Scale: two hash aggregates (per-doc-term, per-term) + one broadcast
+    of the document count; the per-term document frequencies join back
+    on the token — all partial-aggregatable, no n² anywhere."""
+    tok = (
+        _doc_tokens(spark, sf_dir)
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.explode("w").alias("tok"))
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("term_count"))
+    doc_len = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    n_docs = tok.select("doc_id").distinct().count()
+    return (
+        tf.join(F.broadcast(doc_len), "doc_id")
+        .join(F.broadcast(df), "tok")
+        .select(
+            "doc_id",
+            "tok",
+            "term_count",
+            F.round(
+                (F.col("term_count") / F.col("doc_len").cast("double"))
+                * F.log(F.lit(float(n_docs)) / F.col("doc_freq").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "tok")
+    )
+
+
+# per-language marker lexicons for argmax language identification; the
+# corpus vocabulary is synthetic, so markers are drawn from it — the
+# OPERATOR SHAPE (broadcast lexicon join + argmax) is the point
+LANG_LEXICONS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "query": ("query", "scan", "filter", "join", "sort"),
+    "data": ("data", "table", "row", "column", "value"),
+}
+
+
+@query(
+    "lang_id_argmax",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+        FROM documents
+    ),
+    scores AS (
+        SELECT doc_id,
+               ROUND(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is')))
+                     / CAST(len(w) AS DOUBLE), 6) AS s_en,
+               ROUND(len(list_filter(w, x -> x IN ('query','scan','filter','join','sort')))
+                     / CAST(len(w) AS DOUBLE), 6) AS s_query,
+               ROUND(len(list_filter(w, x -> x IN ('data','table','row','column','value')))
+                     / CAST(len(w) AS DOUBLE), 6) AS s_data
+        FROM t WHERE len(w) > 0
+    )
+    SELECT doc_id, s_en, s_query, s_data,
+           CASE
+             WHEN s_en >= s_query AND s_en >= s_data THEN 'en'
+             WHEN s_query >= s_data THEN 'query'
+             ELSE 'data'
+           END AS predicted
+    FROM scores
+    ORDER BY doc_id
+    """,
+)
+def lang_id_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by argmax over per-lexicon hit-rates (ties broken by
+    lexicon order, exactly mirrored in the oracle CASE)."""
+    t = _doc_tokens(spark, sf_dir).filter(F.size("w") > 0)
+    def hit_rate(words):
+        # single-arg lambda factory — a two-parameter lambda would be
+        # interpreted by PySpark as (element, index)
+        arr = F.array(*[F.lit(x) for x in words])
+        return lambda x: F.array_contains(arr, x)
+
+    score_cols = {}
+    for lang, words in LANG_LEXICONS.items():
+        score_cols[f"s_{lang}"] = F.round(
+            F.size(F.filter(F.col("w"), hit_rate(words)))
+            / F.size("w").cast("double"),
+            6,
+        )
+    scored = t.select("doc_id", *[c.alias(n) for n, c in score_cols.items()])
+    predicted = (
+        F.when(
+            (F.col("s_en") >= F.col("s_query")) & (F.col("s_en") >= F.col("s_data")), "en"
+        )
+        .when(F.col("s_query") >= F.col("s_data"), "query")
+        .otherwise("data")
+    )
+    return scored.withColumn("predicted", predicted).orderBy("doc_id")
