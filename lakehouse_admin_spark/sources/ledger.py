@@ -168,6 +168,26 @@ class LedgerTable:
     def default_spec_id(self) -> int:
         return int(self._load_meta().get("default_spec_id", 0))
 
+    def add_column(self, name: str, type_ddl: str) -> None:
+        """Schema evolution: append a nullable column. Existing data
+        files are NOT rewritten — reads project them through the
+        unified schema and null-fill (Iceberg add-column semantics).
+        Name-based resolution: renames are not supported (Iceberg does
+        those via field ids; a rename here would require a mapping
+        table — documented limitation)."""
+        meta = self._load_meta()
+        if any(c["name"] == name for c in meta["columns"]):
+            raise ValueError(f"column {name!r} already exists")
+        meta["columns"] = meta["columns"] + [{"name": name, "type": type_ddl}]
+        self._store_meta(meta)
+
+    def unified_schema(self):
+        """StructType of the CURRENT table schema (post-evolution)."""
+        from pyspark.sql.types import StructType
+
+        ddl = ", ".join(f"`{c['name']}` {c['type']}" for c in self._load_meta()["columns"])
+        return StructType.fromDDL(ddl)
+
     def evolve_partition_spec(self, new_spec: list[PartitionField]) -> int:
         """Partition evolution: register a new spec version and make it
         the default for FUTURE writes. Existing files keep their
@@ -466,7 +486,11 @@ class LedgerTable:
                 f"{self.database}.{self.name}: no files"
                 + (" match the predicates" if predicates else " (empty table)")
             )
-        df = self.spark.read.parquet(*[e["file_path"] for e in files])
+        # read through the unified (post-evolution) schema: files written
+        # before an add_column lack the new field and null-fill
+        df = self.spark.read.schema(self.unified_schema()).parquet(
+            *[e["file_path"] for e in files]
+        )
         for col, op, val in predicates or []:
             c = F.col(col)
             target = (

@@ -351,3 +351,37 @@ def test_file_skipping_by_column_stats(spark, catalog):
 
     # numeric equality pruning: an impossible key prunes everything
     assert tbl.plan_files([("l_orderkey", "=", -5)]) == []
+
+
+def test_schema_evolution_add_column(spark, catalog):
+    """add_column: old files null-fill through the unified schema; new
+    writes carry the column; no rewrite of existing data."""
+    from lakehouse_admin_spark.sources.ledger import PartitionField
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    tbl = catalog.create_table(
+        "main", "events_addcol", ev.schema,
+        [PartitionField("ts", "day", "ts_day")],
+    )
+    tbl.append(ev.filter(F.dayofmonth("ts") <= 5))
+    old_files = {e["file_path"] for e in tbl.live_files()}
+
+    tbl.add_column("quality_score", "double")
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.add_column("quality_score", "double")
+
+    enriched = ev.filter(F.dayofmonth("ts") > 25).withColumn(
+        "quality_score", F.round(F.col("value") / 100.0, 4)
+    )
+    tbl.append(enriched)
+
+    df = tbl.read()
+    assert "quality_score" in df.columns
+    nulls = df.filter(F.col("quality_score").isNull()).count()
+    non_nulls = df.filter(F.col("quality_score").isNotNull()).count()
+    assert nulls == ev.filter(F.dayofmonth("ts") <= 5).count()
+    assert non_nulls == enriched.count()
+    # old files untouched on disk
+    assert old_files <= {e["file_path"] for e in tbl.live_files()}
+    cols = {c["name"] for c in tbl.schema_string()}
+    assert "quality_score" in cols

@@ -143,3 +143,61 @@ def test_watermark_drops_late_data(spark, tmp_path_factory):
         .collect()
     }
     assert any(with_late[k] != got[k] for k in got)
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path_factory):
+    """Stream-stream inner join (purchases ⋈ prior clicks within 1 h,
+    both sides watermarked) must produce exactly the batch join —
+    given TIME-ORDERED micro-batches (out-of-order drops would make
+    cross-batch clicks late beyond the watermark, which is correct
+    eviction, not a join bug)."""
+    from lakehouse_admin_spark.streaming.events import purchase_attribution_stream
+
+    src = str(tmp_path_factory.mktemp("attrib_drops"))
+    ev = load_table(spark, SF_SMOKE, "events")
+    bounds = [(0, 11), (11, 21), (21, 32)]
+    for i, (lo, hi) in enumerate(bounds):
+        part = ev.filter((F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < hi))
+        tmp = os.path.join(src, f"tmp_{i}")
+        part.coalesce(1).write.parquet(tmp)
+        pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"drop_{i}.parquet")
+        shutil.move(os.path.join(tmp, pf), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1000000 + i * 1000, 1000000 + i * 1000))
+    schema = ev.schema
+    stream = read_events_stream(spark, src, schema)
+    joined = purchase_attribution_stream(stream)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["purchase_id"], r["click_id"]) for r in spark.table("attrib").collect()
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    expected = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    )
+    assert got == expected and len(got) > 0
