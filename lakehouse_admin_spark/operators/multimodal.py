@@ -53,16 +53,28 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_payload(payload: bytes) -> tuple[int, int, str]:
-    """DETERMINISTIC FAKE decode (stub for PIL/ffmpeg/etc.): derives a
-    (width, height, codec) from the payload hash. Replace this function
-    body with a real decoder when codec libraries are available — the
-    Spark plumbing around it does not change."""
-    h = hashlib.md5(payload).digest()
-    width = 16 + h[0] % 240
-    height = 16 + h[1] % 240
-    codec = ["raw", "rle", "lz"][h[2] % 3]
-    return width, height, codec
+def _make_decoder():
+    """DETERMINISTIC FAKE decode (stub for PIL/ffmpeg/etc.): derives
+    (width, height, codec) from the payload hash. Replace the nested
+    body with a real decoder — the Spark plumbing does not change.
+
+    Factory-nested so cloudpickle serializes it BY VALUE: executor
+    Python workers need no importable copy of this package (the driver
+    may run from any cwd — a vanilla-session drive caught exactly this)."""
+
+    def decode_payload(payload: bytes) -> tuple[int, int, str]:
+        import hashlib as _hashlib
+
+        h = _hashlib.md5(payload).digest()
+        width = 16 + h[0] % 240
+        height = 16 + h[1] % 240
+        codec = ["raw", "rle", "lz"][h[2] % 3]
+        return width, height, codec
+
+    return decode_payload
+
+
+_decode_payload = _make_decoder()
 
 
 DECODED_SCHEMA = StructType(

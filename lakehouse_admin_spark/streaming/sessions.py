@@ -52,37 +52,51 @@ SESSION_STATE_SCHEMA = StructType(
 )
 
 
-def _sessionize_group(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.exists:
-        start_ms, last_ms, n = state.get
-    else:
-        start_ms = last_ms = None
-        n = 0
+def _make_sessionizer():
+    """Factory-nested so cloudpickle ships the function BY VALUE —
+    executor workers need no importable copy of this package."""
 
-    closed: list[tuple[int, int, int, int]] = []
-    for pdf in pdfs:
-        # unit-safe epoch millis regardless of pandas datetime resolution
-        ts_ms = pdf["ts"].values.astype("datetime64[ms]").astype("int64").tolist()
-        order = sorted(range(len(ts_ms)), key=lambda i: (ts_ms[i], int(pdf["event_id"].iloc[i])))
-        for i in order:
-            t = ts_ms[i]
-            if last_ms is None:
-                start_ms, last_ms, n = t, t, 1
-            elif t - last_ms > GAP_MS:
-                closed.append((user_id, n, start_ms, last_ms))
-                start_ms, last_ms, n = t, t, 1
-            else:
-                last_ms = t
-                n += 1
+    def _sessionize_group(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        gap_ms = 30 * 60 * 1000
+        if state.exists:
+            start_ms, last_ms, n = state.get
+        else:
+            start_ms = last_ms = None
+            n = 0
 
-    state.update((start_ms, last_ms, n))
-    if closed:
-        yield pd.DataFrame(closed, columns=["user_id", "n_events", "start_ms", "end_ms"])
+        closed: list[tuple[int, int, int, int]] = []
+        for pdf in pdfs:
+            # unit-safe epoch millis regardless of pandas datetime resolution
+            ts_ms = pdf["ts"].values.astype("datetime64[ms]").astype("int64").tolist()
+            order = sorted(
+                range(len(ts_ms)), key=lambda i: (ts_ms[i], int(pdf["event_id"].iloc[i]))
+            )
+            for i in order:
+                t = ts_ms[i]
+                if last_ms is None:
+                    start_ms, last_ms, n = t, t, 1
+                elif t - last_ms > gap_ms:
+                    closed.append((user_id, n, start_ms, last_ms))
+                    start_ms, last_ms, n = t, t, 1
+                else:
+                    last_ms = t
+                    n += 1
+
+        state.update((start_ms, last_ms, n))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "n_events", "start_ms", "end_ms"]
+            )
+
+    return _sessionize_group
+
+
+_sessionize_group = _make_sessionizer()
 
 
 def sessionize_stream(events: DataFrame) -> DataFrame:
