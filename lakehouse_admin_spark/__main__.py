@@ -1,0 +1,127 @@
+"""CLI for the lakehouse admin engine.
+
+The reference exposes its surface over HTTP (backend/main.go:37-100
+route table); this engine's operational interface is a CLI over the
+same verbs. Machine-readable: every command prints one JSON document.
+
+    python -m lakehouse_admin_spark databases --warehouse /path
+    python -m lakehouse_admin_spark tables        -w /path -d main
+    python -m lakehouse_admin_spark describe      -w /path -d main -t events_ledger
+    python -m lakehouse_admin_spark summary       -w /path -d main
+    python -m lakehouse_admin_spark drilldown     -w /path -d main -t events_ledger \
+        --select year=2024 --select month=01
+    python -m lakehouse_admin_spark files         -w /path -d main -t events_ledger \
+        --select year=2024 --select month=01 --select day=03
+    python -m lakehouse_admin_spark refresh       -w /path -d main -t events_ledger
+    python -m lakehouse_admin_spark integrity     -w /path -d main -t events_ledger
+    python -m lakehouse_admin_spark optimize      -w /path -d main -t events_ledger \
+        --from 2024-01-01 --until 2024-01-31 [--chunking weekly] [--run]
+    python -m lakehouse_admin_spark expire        -w /path -d main -t events_ledger --retention-days 7 [--run]
+    python -m lakehouse_admin_spark orphans       -w /path -d main -t events_ledger [--run]
+    python -m lakehouse_admin_spark rollback      -w /path -d main -t events_ledger --snapshot 3
+    python -m lakehouse_admin_spark tasks         -w /path [--status success]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import sys
+
+
+def _json_default(v):
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    return str(v)
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj, default=_json_default))
+
+
+def _df_rows(df, limit: int = 1000) -> list[dict]:
+    return [r.asDict(recursive=True) for r in df.limit(limit).collect()]
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="lakehouse_admin_spark")
+    p.add_argument("-w", "--warehouse", required=True)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def cmd(name):
+        sp = sub.add_parser(name)
+        sp.add_argument("-d", "--database", default="main")
+        sp.add_argument("-t", "--table")
+        sp.add_argument("--select", action="append", default=[])
+        sp.add_argument("--from", dest="date_from")
+        sp.add_argument("--until", dest="date_until")
+        sp.add_argument("--chunking", default="daily")
+        sp.add_argument("--retention-days", type=int, default=7)
+        sp.add_argument("--snapshot", type=int)
+        sp.add_argument("--status")
+        sp.add_argument("--run", action="store_true")
+        return sp
+
+    for name in (
+        "databases", "tables", "describe", "summary", "drilldown", "files",
+        "refresh", "integrity", "optimize", "expire", "orphans", "rollback",
+        "tasks",
+    ):
+        cmd(name)
+
+    args = p.parse_args(argv)
+    selected = dict(s.split("=", 1) for s in args.select)
+
+    from lakehouse_admin_spark.engine import LakehouseAdmin
+    from lakehouse_admin_spark.session import get_spark
+
+    spark = get_spark(app_name="lakehouse-admin-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    admin = LakehouseAdmin(spark, args.warehouse)
+
+    if args.cmd == "databases":
+        _emit({"databases": admin.list_databases()})
+    elif args.cmd == "tables":
+        _emit({"tables": _df_rows(admin.list_tables_with_summaries(args.database))})
+    elif args.cmd == "describe":
+        _emit(admin.describe(args.database, args.table))
+    elif args.cmd == "summary":
+        _emit({"summaries": _df_rows(admin.list_tables_with_summaries(args.database))})
+    elif args.cmd == "drilldown":
+        _emit({"levels": _df_rows(admin.drilldown(args.database, args.table, selected))})
+    elif args.cmd == "files":
+        _emit({"files": _df_rows(admin.list_partition_files(args.database, args.table, selected))})
+    elif args.cmd == "refresh":
+        _emit(admin.refresh(args.database, args.table))
+    elif args.cmd == "integrity":
+        _emit(admin.integrity(args.database, args.table))
+    elif args.cmd == "optimize":
+        planned = admin.plan_optimize(
+            args.database,
+            args.table,
+            dt.date.fromisoformat(args.date_from),
+            dt.date.fromisoformat(args.date_until),
+            chunking=args.chunking,
+        )
+        executed = admin.run_worker() if args.run else 0
+        _emit({"planned": [t.to_json() for t in planned], "executed": executed})
+    elif args.cmd == "expire":
+        t = admin.enqueue_expire(args.database, args.table, args.retention_days)
+        executed = admin.run_worker() if args.run else 0
+        _emit({"task": admin.tasks.get(t.id).to_json(), "executed": executed})
+    elif args.cmd == "orphans":
+        t = admin.enqueue_orphans(args.database, args.table)
+        executed = admin.run_worker() if args.run else 0
+        _emit({"task": admin.tasks.get(t.id).to_json(), "executed": executed})
+    elif args.cmd == "rollback":
+        _emit(admin.rollback(args.database, args.table, args.snapshot))
+    elif args.cmd == "tasks":
+        statuses = [args.status] if args.status else None
+        page, total = admin.tasks.list(statuses=statuses, limit=100)
+        _emit({"total": total, "tasks": [t.to_json() for t in page]})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -100,6 +100,44 @@ class TaskQueue:
         self._next_id = 1
         self._lock = threading.Lock()
         self._now = dt.datetime.now  # injectable for tests
+        if persist_path and os.path.exists(persist_path):
+            self._load()
+
+    def _load(self) -> None:
+        """Recover queue state across processes (the reference's queue
+        lives in MySQL and survives restarts; the JSONL file is our
+        equivalent). Tasks stuck 'running' from a dead process revert to
+        queued so the claim/execute cycle can retry them."""
+
+        def ts(v):
+            return dt.datetime.fromisoformat(v) if v else None
+
+        with open(self.persist_path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                d = json.loads(line)
+                t = Task(
+                    id=int(d["id"]),
+                    database=d["database"],
+                    table=d["table"],
+                    kind=d["kind"],
+                    engine=d.get("engine", "spark"),
+                    started_at=ts(d.get("started_at")),
+                    picked_up_at=ts(d.get("picked_up_at")),
+                    finished_at=ts(d.get("finished_at")),
+                    status=d.get("status", QUEUED),
+                    retried=bool(d.get("retried")),
+                    error_message=d.get("error_message"),
+                    input=d.get("input") or {},
+                    result=d.get("result") or {},
+                )
+                if t.status == RUNNING:  # orphaned by a dead process
+                    t.status = QUEUED
+                    t.picked_up_at = None
+                self._tasks[t.id] = t
+        if self._tasks:
+            self._next_id = max(self._tasks) + 1
 
     # -- T1 enqueue ----------------------------------------------------
     def enqueue(self, database: str, table: str, kind: str, input: dict | None = None) -> Task:

@@ -286,3 +286,22 @@ def test_with_backoff_non_retryable_raises_immediately():
     with _pytest.raises(ValueError):
         with_backoff(fails, retryable=lambda e: not isinstance(e, ValueError))
     assert calls["n"] == 1
+
+
+def test_persistence_recovers_state(tmp_path):
+    path = str(tmp_path / "tasks.jsonl")
+    q = T.TaskQueue(concurrency=1, persist_path=path)
+    t1 = q.enqueue("db", "t", T.KIND_OPTIMIZE, {"x": 1})
+    c = q.claim()  # leave one RUNNING (simulates a crash mid-task)
+    t2 = q.enqueue("db", "t", T.KIND_EXPIRE)
+
+    q2 = T.TaskQueue(concurrency=1, persist_path=path)
+    assert set(q2._tasks) == {t1.id, t2.id}
+    # orphaned running task reverted to queued for re-claim
+    assert q2.get(t1.id).status == T.QUEUED
+    assert q2.get(t1.id).input == {"x": 1}
+    reclaimed = q2.claim()
+    assert reclaimed.id == t1.id
+    # id sequence continues, no collisions
+    t3 = q2.enqueue("db", "t", T.KIND_ORPHANS)
+    assert t3.id > t2.id
