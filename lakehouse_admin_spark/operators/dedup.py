@@ -408,20 +408,49 @@ def _simhash_oracle() -> str:
         SELECT doc_id,
                {bit_sums}
         FROM hashed GROUP BY doc_id
-    )
-    SELECT doc_id, CAST({packed} AS BIGINT) AS simhash
-    FROM bits
-    ORDER BY doc_id
-    """
+    ),
+    sigs AS (
+        SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM bits
+    )"""
 
 
-@query("simhash_signatures", oracle=_simhash_oracle())
+@query(
+    "simhash_signatures",
+    oracle=_simhash_oracle() + "\n    SELECT doc_id, simhash FROM sigs ORDER BY doc_id",
+)
 def simhash_signatures_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signature per document (see simhash_signatures)."""
     return simhash_signatures(spark, sf_dir).orderBy("doc_id")
 
 
-@query("simhash_near_dup", oracle=None)
+_SIMHASH_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS
+_SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_WIDTH) - 1
+
+
+@query(
+    "simhash_near_dup",
+    oracle=_simhash_oracle()
+    + f"""
+    , bands AS (
+        SELECT doc_id, simhash, UNNEST(range(0, {SIMHASH_BANDS})) AS band FROM sigs
+    ),
+    keyed AS (
+        SELECT doc_id, simhash, band,
+               (simhash >> (band * {_SIMHASH_BAND_WIDTH})) & {_SIMHASH_BAND_MASK} AS band_key
+        FROM bands
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM keyed a JOIN keyed b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: banded candidate generation (4 bands of
     12 bits — a pair within Hamming distance 3 shares ≥1 exact band by
