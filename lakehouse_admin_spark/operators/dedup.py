@@ -99,6 +99,7 @@ def jaccard_pairs(
     sf_dir: str,
     threshold: float = JACCARD_THRESHOLD,
     restrict_docs: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
 
@@ -122,7 +123,23 @@ def jaccard_pairs(
         ex = ex.join(
             F.broadcast(restrict_docs.select("doc_id").distinct()), "doc_id", "left_semi"
         ).persist()
+    # set sizes are computed BEFORE any df-capping: |A| and |B| keep
+    # exact semantics; the cap only thins the intersection candidates
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    if max_shingle_df is not None:
+        # 100 TB knob: drop shingles occurring in more than
+        # max_shingle_df docs before the quadratic join — stopword-like
+        # shingles dominate Σ df² while carrying no dedup signal. This
+        # UNDERCOUNTS |∩| for pairs sharing capped shingles (jaccard
+        # becomes a lower bound), which is the standard recall/cost
+        # trade; leave None for exact semantics.
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
     a = ex.alias("a")
     b = ex.alias("b")
     common = (

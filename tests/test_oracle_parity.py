@@ -49,3 +49,28 @@ def test_connected_components_paths_agree(spark):
     fast = sorted(map(tuple, connected_components(pairs).collect()))
     dist = sorted(map(tuple, connected_components(pairs, driver_limit=0).collect()))
     assert fast == dist and len(fast) > 0
+
+
+def test_shingle_df_cap_is_conservative(spark):
+    """Capping hot shingles can only LOWER jaccard (fewer counted
+    intersections) — pairs surviving the capped run are a subset of the
+    exact run, and uncapped behavior is unchanged."""
+    from lakehouse_admin_spark.operators.dedup import jaccard_pairs
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(spark, SF_SMOKE).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(spark, SF_SMOKE, max_shingle_df=10).collect()
+    }
+    assert set(capped) <= set(exact)
+    for k, j in capped.items():
+        assert j <= exact[k] + 1e-9
+    # a permissive cap (nothing is hotter) reproduces exact results
+    loose = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(spark, SF_SMOKE, max_shingle_df=10**9).collect()
+    }
+    assert loose == exact
