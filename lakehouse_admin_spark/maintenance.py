@@ -35,55 +35,81 @@ MIN_RETENTION_DAYS = 7
 MS_PER_DAY = 24 * 3600 * 1000
 
 
+DEFAULT_MAX_CONCURRENT_GROUP_REWRITES = 5
+
+
 def rewrite_data_files(
     table: LedgerTable,
     where: dict[str, str] | None = None,
     target_file_size_bytes: int = DEFAULT_TARGET_FILE_SIZE_BYTES,
     min_input_files: int = DEFAULT_MIN_INPUT_FILES,
+    max_concurrent_file_group_rewrites: int = DEFAULT_MAX_CONCURRENT_GROUP_REWRITES,
 ) -> dict[str, int]:
-    """Binpack compaction: within each partition (optionally filtered by
-    ``where`` raw-partition equality), rewrite every group of
-    ≥ min_input_files undersized files into ceil(Σbytes / target) files.
+    """Binpack compaction, per FILE GROUP: within each partition
+    (optionally filtered by ``where`` raw-partition equality), rewrite
+    every group of ≥ min_input_files undersized files into
+    ceil(Σbytes / target) files.
 
-    One commit covers all rewritten groups (partial-progress disabled —
-    the reference's dist default, config.dist.yml:68). Returns the
-    procedure-style metrics map.
+    Each group is an INDEPENDENT read→coalesce→write — a narrow plan
+    with no shuffle; rows never cross partition boundaries, so at 100 TB
+    compaction cost is proportional to the small files touched, not a
+    global repartition of every rewritten byte. Groups run under a
+    bounded pool of ``max_concurrent_file_group_rewrites`` (reference
+    default 5, backend/config.dist.yml:70). Reads go through the
+    UNIFIED table schema so groups mixing pre-/post-add_column files
+    keep the evolved column (null-filled) instead of silently dropping
+    it. One commit covers all rewritten groups (partial-progress
+    disabled — the reference's dist default, config.dist.yml:68).
+    Returns the procedure-style metrics map.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     files = table.live_files()
     groups: dict[tuple, list[dict]] = {}
     for e in files:
+        if e.get("content", 0) != 0:
+            continue  # never binpack delete files
         if where and any(e["partition"].get(k) != v for k, v in where.items()):
             continue
-        groups.setdefault(tuple(sorted(e["partition"].items())), []).append(e)
+        key = (e.get("spec_id", 0), tuple(sorted(e["partition"].items(), key=str)))
+        groups.setdefault(key, []).append(e)
 
-    removed: list[str] = []
-    rewritten_bytes = 0
-    for _part, group in sorted(groups.items()):
+    plan: list[tuple[dict, int, list[str], int]] = []  # (partition, spec_id, paths, bytes)
+    for (spec_id, _key), group in sorted(groups.items()):
         small = [e for e in group if e["file_size_in_bytes"] < target_file_size_bytes]
         if len(small) < min_input_files:
             continue
-        removed += [e["file_path"] for e in small]
-        rewritten_bytes += sum(e["file_size_in_bytes"] for e in small)
+        plan.append(
+            (
+                small[0]["partition"],
+                spec_id,
+                [e["file_path"] for e in small],
+                sum(e["file_size_in_bytes"] for e in small),
+            )
+        )
 
-    if not removed:
+    if not plan:
         return {
             "rewritten_data_files_count": 0,
             "added_data_files_count": 0,
             "rewritten_bytes_count": 0,
         }
 
-    spark = table.spark
-    df = spark.read.parquet(*removed)
-    # binpack: coalesce the group's rows into as few output files as the
-    # target size allows; repartition count derives from byte volume.
-    n_out = max(1, math.ceil(rewritten_bytes / target_file_size_bytes))
-    df = df.repartition(n_out)
-    before = len(table.live_files())
-    snap = table.replace_files(removed, df, operation="replace")
-    added = len(snap.files) - (before - len(removed))
+    def _rewrite_group(args: tuple[dict, int, list[str], int]) -> list[dict]:
+        partition, spec_id, paths, nbytes = args
+        n_out = max(1, math.ceil(nbytes / target_file_size_bytes))
+        return table.write_file_group(paths, partition, spec_id, n_out)
+
+    with ThreadPoolExecutor(max_workers=max(1, max_concurrent_file_group_rewrites)) as pool:
+        per_group = list(pool.map(_rewrite_group, plan))
+
+    removed = [p for _part, _sid, paths, _b in plan for p in paths]
+    new_entries = [e for entries in per_group for e in entries]
+    rewritten_bytes = sum(b for _part, _sid, _paths, b in plan)
+    table.commit_rewrite(removed, new_entries, operation="replace")
     return {
         "rewritten_data_files_count": len(removed),
-        "added_data_files_count": added,
+        "added_data_files_count": len(new_entries),
         "rewritten_bytes_count": rewritten_bytes,
     }
 

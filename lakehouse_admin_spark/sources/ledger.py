@@ -273,6 +273,9 @@ class LedgerTable:
     def _harvest_files(
         self, out_dir: str, spec: list[PartitionField], pcols: list[str]
     ) -> list[dict]:
+        from urllib.parse import unquote
+
+        spec_id = self.default_spec_id()
         entries = []
         for dirpath, _dirnames, filenames in os.walk(out_dir):
             for fn in filenames:
@@ -287,23 +290,61 @@ class LedgerTable:
                         idx = int(k.removeprefix("_p_"))
                         # hive writer encodes NULL partition values as a
                         # sentinel dir; manifests carry a real null
-                        # (rendered as "null" at the display edge, F10)
+                        # (rendered as "null" at the display edge, F10).
+                        # Non-null values are percent-escaped by Spark's
+                        # escapePathName (':', '=', '%', '/', …) — store
+                        # the REAL value so predicates/rendering match.
                         partition[spec[idx].name] = (
-                            None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                            None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
                         )
-                meta = pq.read_metadata(fpath)
-                entries.append(
-                    {
-                        "file_path": fpath,
-                        "partition": partition,
-                        "record_count": meta.num_rows,
-                        "file_size_in_bytes": os.path.getsize(fpath),
-                        "spec_id": self.default_spec_id(),
-                        "content": 0,
-                        "file_format": "PARQUET",
-                        "column_stats": _column_stats(meta),
-                    }
-                )
+                entries.append(self._file_entry(fpath, partition, spec_id))
+        entries.sort(key=lambda e: e["file_path"])
+        return entries
+
+    def _file_entry(self, fpath: str, partition: dict, spec_id: int) -> dict:
+        """Manifest entry for one written parquet file: stats come from
+        the FOOTER (metadata-only read), never a data scan."""
+        meta = pq.read_metadata(fpath)
+        return {
+            "file_path": fpath,
+            "partition": partition,
+            "record_count": meta.num_rows,
+            "file_size_in_bytes": os.path.getsize(fpath),
+            "spec_id": spec_id,
+            "content": 0,
+            "file_format": "PARQUET",
+            "column_stats": _column_stats(meta),
+        }
+
+    def write_file_group(
+        self, paths: list[str], partition: dict, spec_id: int, n_out: int
+    ) -> list[dict]:
+        """Rewrite ONE compaction file group (all files share a partition
+        tuple): read the group's files through the unified table schema
+        (a group may mix files written before and after an add_column —
+        inferring from an arbitrary file would silently drop the evolved
+        column), then ``coalesce`` — a NARROW dependency, no shuffle;
+        rows never cross partition boundaries — into n_out outputs.
+
+        Mirrors Iceberg's per-file-group binpack rewrite (reference
+        submits rewrite_data_files with
+        max-concurrent-file-group-rewrites, backend/config.dist.yml:70).
+        Returns manifest entries carrying the group's original partition
+        values and spec_id; the caller commits them atomically.
+        """
+        df = self.spark.read.schema(self.unified_schema()).parquet(*paths)
+        stage_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.data_dir, stage_id)
+        df.coalesce(max(1, n_out)).write.mode("append").parquet(out_dir)
+        entries = []
+        for dirpath, _dirnames, filenames in os.walk(out_dir):
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    entries.append(
+                        self._file_entry(
+                            os.path.join(dirpath, fn), dict(partition), spec_id
+                        )
+                    )
         entries.sort(key=lambda e: e["file_path"])
         return entries
 
@@ -375,7 +416,14 @@ class LedgerTable:
     ) -> Snapshot:
         """Commit a rewrite: ``removed`` file paths replaced by the
         files written from ``df`` (the compaction commit primitive)."""
-        new_files = self._stage_write(df)
+        return self.commit_rewrite(removed, self._stage_write(df), operation)
+
+    def commit_rewrite(
+        self, removed: list[str], new_files: list[dict], operation: str = "replace"
+    ) -> Snapshot:
+        """Commit a rewrite from pre-staged manifest entries — ONE
+        atomic commit covering every rewritten file group
+        (partial-progress disabled, the reference's dist default)."""
         cur = self.current_snapshot_id()
         base = self.snapshot(cur).files if cur else []
         removed_set = set(removed)

@@ -24,7 +24,7 @@ from lakehouse_admin_spark.sources.fixtures import (
     build_lineitem_ledger,
     build_nested_ledger,
 )
-from lakehouse_admin_spark.sources.ledger import LedgerCatalog
+from lakehouse_admin_spark.sources.ledger import LedgerCatalog, PartitionField
 from lakehouse_admin_spark.sources.tables import load_table
 from tests.conftest import SF_SMOKE
 
@@ -162,6 +162,84 @@ def test_rewrite_data_files_compacts(spark, catalog):
     assert after < before
     assert tbl.read().count() == rows_before  # no data loss
     assert tbl.snapshots()[-1].operation == "replace"
+
+
+def test_rewrite_per_group_binpack_bound(spark, catalog):
+    """Per-file-group compaction: every partition independently compacts
+    to ≤ ceil(Σsmall_bytes / target) files, and no rewritten file mixes
+    rows from two partitions (narrow coalesce — no cross-partition
+    shuffle)."""
+    import math
+
+    tbl = build_events_ledger(spark, SF_SMOKE, catalog, name="events_groups")
+    target = 10 * 1024 * 1024
+    before: dict[str, list[dict]] = {}
+    for e in tbl.live_files():
+        before.setdefault(e["partition"]["ts_day"], []).append(e)
+    rows_before = tbl.read().count()
+    maintenance.rewrite_data_files(tbl, target_file_size_bytes=target, min_input_files=2)
+    after: dict[str, list[dict]] = {}
+    for e in tbl.live_files():
+        after.setdefault(e["partition"]["ts_day"], []).append(e)
+    assert sorted(before) == sorted(after)  # partition set unchanged
+    for day, group in before.items():
+        small = [e for e in group if e["file_size_in_bytes"] < target]
+        big = len(group) - len(small)
+        if len(small) >= 2:
+            bound = max(1, math.ceil(sum(e["file_size_in_bytes"] for e in small) / target))
+            assert len(after[day]) <= bound + big
+    assert tbl.read().count() == rows_before
+    # every live file's rows belong to exactly its manifest partition
+    for day, group in after.items():
+        for e in group:
+            days_in_file = (
+                spark.read.parquet(e["file_path"])
+                .select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+                .distinct()
+                .collect()
+            )
+            assert [r["d"] for r in days_in_file] == [day]
+
+
+def test_rewrite_after_add_column_preserves_evolved_values(spark, catalog):
+    """Compacting a group that mixes pre- and post-add_column files must
+    read through the table schema — inferring from an arbitrary file
+    would silently null the evolved column (ADVICE r1, high)."""
+    ev = load_table(spark, SF_SMOKE, "events").limit(200).cache()
+    tbl = catalog.create_table(
+        "main",
+        "events_evolved_compact",
+        ev.schema,
+        [PartitionField(source="ts", transform="day", name="ts_day")],
+    )
+    tbl.append(ev)
+    tbl.add_column("ingest_tag", "string")
+    tbl.append(ev.withColumn("ingest_tag", F.lit("r2")))
+    tagged_before = tbl.read().filter(F.col("ingest_tag") == "r2").count()
+    assert tagged_before == 200
+    maintenance.rewrite_data_files(tbl, target_file_size_bytes=1 << 40, min_input_files=2)
+    assert tbl.snapshots()[-1].operation == "replace"
+    assert tbl.read().filter(F.col("ingest_tag") == "r2").count() == tagged_before
+
+
+def test_identity_partition_special_chars_roundtrip(spark, catalog):
+    """Hive dir names percent-escape ':' etc.; manifests must carry the
+    REAL value so equality predicates and rendering match (ADVICE r1)."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1), ("2024-01-01 00:00:00", 2), ("2024-01-02 12:30:00", 3)],
+        "ts_str string, v int",
+    )
+    tbl = catalog.create_table(
+        "main",
+        "escaped_parts",
+        df.schema,
+        [PartitionField(source="ts_str", transform="identity", name="ts_str")],
+    )
+    tbl.append(df)
+    vals = sorted({e["partition"]["ts_str"] for e in tbl.live_files()})
+    assert vals == ["2024-01-01 00:00:00", "2024-01-02 12:30:00"]
+    tbl.delete_partitions(lambda p: p.get("ts_str") == "2024-01-02 12:30:00")
+    assert tbl.read().count() == 2
 
 
 def test_rewrite_scoped_by_where(spark, catalog):
