@@ -79,6 +79,34 @@ def test_ann_brute_force_is_broadcast_not_cartesian(spark):
     assert not has_cartesian(df)
 
 
+def test_near_dup_block_decomposition(spark):
+    """embedding_near_dup must be the distributed block-matrix plan:
+    cogrouped pandas kernel keyed on the block pair, block-pair dim
+    broadcast, no cartesian, no driver-side collect of the table."""
+    from lakehouse_admin_spark.plans.inspect import explain_str
+
+    df = q("embedding_near_dup")(spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert not has_cartesian(df)
+    strategies = join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), strategies
+
+
+def test_lsh_near_dup_keyed_and_subset_of_exact(spark):
+    """LSH near-dup: candidate join keyed on (band, bucket) — never a
+    cartesian — and its verified pairs are a subset of the exact
+    all-pairs result (candidates can miss, never invent)."""
+    lsh_df = q("embedding_lsh_near_dup")(spark, SF_SMOKE)
+    assert not has_cartesian(lsh_df)
+    exact = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in q("embedding_near_dup")(spark, SF_SMOKE).collect()
+    }
+    lsh = {(r.vec_a, r.vec_b, r.cosine) for r in lsh_df.collect()}
+    assert lsh <= exact
+
+
 def test_minhash_bucket_join_bounded_exchanges(spark):
     # assert on the UNCACHED plan: a warmed shingle cache embeds an
     # InMemoryRelation whose inner plan inflates the string-based count
