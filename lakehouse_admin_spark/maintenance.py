@@ -114,6 +114,21 @@ def rewrite_data_files(
     }
 
 
+def rewrite_manifests(table: LedgerTable, snapshot_id: int | None = None) -> dict[str, int]:
+    """Fold the snapshot's JSON file list into a parquet manifest so
+    metadata analytics (files_df and everything above it) run as
+    distributed scans — the Iceberg ``rewrite_manifests`` analog.
+    Idempotent per snapshot id."""
+    sid = snapshot_id if snapshot_id is not None else table.current_snapshot_id()
+    if sid is None:
+        return {"rewritten_manifests_count": 0, "manifest_entries_count": 0}
+    table.write_manifest(sid)
+    return {
+        "rewritten_manifests_count": 1,
+        "manifest_entries_count": len(table.snapshot(sid).files),
+    }
+
+
 def expire_snapshots(
     table: LedgerTable,
     older_than_ms: int | None = None,
@@ -157,6 +172,8 @@ def expire_snapshots(
                 os.remove(p)
                 deleted_files += 1
         os.remove(os.path.join(table.meta_dir, f"snap-{s.snapshot_id}.json"))
+        if os.path.exists(table.manifest_path(s.snapshot_id)):
+            os.remove(table.manifest_path(s.snapshot_id))
     return {
         "deleted_snapshots_count": len(expired),
         "deleted_data_files_count": deleted_files,

@@ -75,7 +75,18 @@ def snapshots_df(table: LedgerTable) -> DataFrame:
 
 
 def files_df(table: LedgerTable, snapshot_id: int | None = None) -> DataFrame:
-    """The `{t}.files` metadata table (optionally time-traveled)."""
+    """The `{t}.files` metadata table (optionally time-traveled).
+
+    Two-tier source: when a parquet manifest exists for the snapshot
+    (written by ``LedgerTable.write_manifest`` / the
+    ``rewrite_manifests`` maintenance procedure), this is a DISTRIBUTED
+    parquet scan — predicate pushdown and column pruning reach the
+    manifest, and nothing O(files) is materialized on the driver, which
+    is what keeps partition analytics viable at 10⁶-10⁷ files. Small or
+    freshly-committed tables fall back to the in-memory JSON entries."""
+    sid = snapshot_id if snapshot_id is not None else table.current_snapshot_id()
+    if sid is not None and table.has_manifest(sid):
+        return table.spark.read.schema(FILE_SCHEMA).parquet(table.manifest_path(sid))
     rows = [
         (
             e.get("content", 0),
@@ -86,7 +97,7 @@ def files_df(table: LedgerTable, snapshot_id: int | None = None) -> DataFrame:
             e["record_count"],
             e["file_size_in_bytes"],
         )
-        for e in table.live_files(snapshot_id)
+        for e in table.live_files(sid)
     ]
     return table.spark.createDataFrame(rows, FILE_SCHEMA)
 

