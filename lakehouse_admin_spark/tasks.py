@@ -535,6 +535,44 @@ def run_maintenance_cycle(
     return planned
 
 
+def build_scheduler(
+    queue: TaskQueue,
+    catalog: LedgerCatalog,
+    cache=None,
+    refresh_cron: str = "0 * * * *",
+    maintenance_cron: str = "0 2 * * *",
+    now_fn=None,
+    settings=None,
+    lookback_days: int = 30,
+    retention_days: int = MIN_RETENTION_DAYS,
+    chunking: str = "daily",
+):
+    """T10 complete: the reference's two cron loops — hourly cache
+    refresh (config.dist.yml:39-41) and the nightly maintenance cycle
+    (config.dist.yml:43-49) — as jobs on a :class:`CronScheduler`
+    (parser semantics: scheduler_cron.go:12-50). Drive with
+    ``.tick(now)`` under test or ``.run(stop_event)`` for real."""
+    from lakehouse_admin_spark.functions.cron import CronScheduler
+
+    sched = CronScheduler(now_fn=now_fn) if now_fn else CronScheduler()
+    if cache is not None:
+        sched.add("refresh", refresh_cron, lambda: cache.refresh_all(catalog, settings))
+    sched.add(
+        "maintenance",
+        maintenance_cron,
+        lambda: run_maintenance_cycle(
+            queue,
+            catalog,
+            lookback_days=lookback_days,
+            retention_days=retention_days,
+            chunking=chunking,
+            now=sched.now_fn(),
+            settings=settings,
+        ),
+    )
+    return sched
+
+
 def run_worker_pool(
     queue: TaskQueue,
     catalog: LedgerCatalog,
