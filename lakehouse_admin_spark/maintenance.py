@@ -95,10 +95,18 @@ def rewrite_data_files(
             "rewritten_bytes_count": 0,
         }
 
+    # pending position deletes are APPLIED during the rewrite (Iceberg
+    # binpack-with-deletes): the rewrite invalidates the old file paths
+    # the deletes reference, so folding them in is the only way rows
+    # stay deleted afterwards
+    delete_paths = [e["file_path"] for e in files if e.get("content", 0) == 1]
+
     def _rewrite_group(args: tuple[dict, int, list[str], int]) -> list[dict]:
         partition, spec_id, paths, nbytes = args
         n_out = max(1, math.ceil(nbytes / target_file_size_bytes))
-        return table.write_file_group(paths, partition, spec_id, n_out)
+        return table.write_file_group(
+            paths, partition, spec_id, n_out, delete_paths=delete_paths
+        )
 
     with ThreadPoolExecutor(max_workers=max(1, max_concurrent_file_group_rewrites)) as pool:
         per_group = list(pool.map(_rewrite_group, plan))

@@ -206,3 +206,42 @@ def ledger_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("partition_count"),
         F.sum("file_count").alias("file_count"),
     )
+
+
+@query("ledger_delete_files", oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS data_records,
+           CAST(SUM(CASE WHEN value < 20.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS position_deletes,
+           CAST(SUM(CASE WHEN value < 20.0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS live_rows
+    FROM events
+    """)
+def ledger_delete_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read content accounting, graded end to end: a table
+    carrying a position-delete file (content = 1,
+    reference `$files` content filter service_browse_files.go:206)
+    reports data-file records and position-delete counts FROM MANIFEST
+    METADATA, and the live row count from a merge-on-read scan; the
+    oracle recomputes all three from raw rows. Partition stats keep
+    describing the DATA files (deletes excluded by content = 0) —
+    Iceberg `$partitions` semantics."""
+    from lakehouse_admin_spark.metadata import files_df
+    from lakehouse_admin_spark.sources.fixtures import build_events_mor_ledger
+
+    catalog = get_catalog(spark)
+    name = "events_mor_" + sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    tbl = build_events_mor_ledger(spark, sf_dir, catalog, name=name)
+    by_content = files_df(tbl).groupBy("content").agg(
+        F.sum("record_count").alias("records")
+    )
+    data_records = by_content.filter(F.col("content") == 0).select("records")
+    del_records = by_content.filter(F.col("content") == 1).select("records")
+    live = tbl.read().count()
+    return (
+        data_records.crossJoin(del_records.withColumnRenamed("records", "d"))
+        .select(
+            F.col("records").alias("data_records"),
+            F.col("d").alias("position_deletes"),
+            F.lit(live).alias("live_rows"),
+        )
+    )

@@ -96,6 +96,34 @@ def build_events_ledger(
 
 
 @_locked
+def build_events_mor_ledger(
+    spark: SparkSession,
+    sf_dir: str,
+    catalog: LedgerCatalog,
+    database: str = "main",
+    name: str = "events_mor",
+    delete_below: float = 20.0,
+) -> LedgerTable:
+    """Day-partitioned events table carrying a MERGE-ON-READ position
+    delete (content = 1): one append of the whole fixture, then
+    ``delete_where(value < delete_below)``. Exercises the `$files`
+    content filter for real (reference: service_browse_files.go:206)."""
+    if name in catalog.list_tables(database):
+        return catalog.table(database, name)
+    ev = load_table(spark, sf_dir, "events")
+    tbl = catalog.create_table(
+        database,
+        name,
+        ev.schema,
+        [PartitionField(source="ts", transform="day", name="ts_day")],
+    )
+    tbl.append(ev)
+    tbl.delete_where(F.col("value") < delete_below)
+    tbl.write_manifest()
+    return tbl
+
+
+@_locked
 def build_lineitem_ledger(
     spark: SparkSession,
     sf_dir: str,

@@ -115,6 +115,12 @@ class Snapshot:
         )
 
 
+def _data_files(entries: list[dict]) -> list[dict]:
+    """DATA entries only (content = 0) — summary totals describe data
+    files, never position deletes (Iceberg snapshot-summary semantics)."""
+    return [e for e in entries if e.get("content", 0) == 0]
+
+
 class LedgerTable:
     """Handle to one ledger table."""
 
@@ -370,8 +376,36 @@ class LedgerTable:
             "column_stats": _column_stats(meta),
         }
 
+    def _apply_position_deletes(self, df: DataFrame, delete_paths: list[str]) -> DataFrame:
+        """Anti-join content=1 position deletes on (file_path, pos) via
+        the ``_metadata`` hidden columns. Broadcast: the delete side is
+        proportional to deleted rows, not the table."""
+        if not delete_paths:
+            return df
+        dels = self.spark.read.parquet(*delete_paths)
+        return (
+            df.withColumn("_mor_fp", F.col("_metadata.file_path"))
+            .withColumn("_mor_pos", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(
+                    dels.select(
+                        F.col("file_path").alias("_mor_fp"),
+                        F.col("pos").alias("_mor_pos"),
+                    )
+                ),
+                ["_mor_fp", "_mor_pos"],
+                "left_anti",
+            )
+            .drop("_mor_fp", "_mor_pos")
+        )
+
     def write_file_group(
-        self, paths: list[str], partition: dict, spec_id: int, n_out: int
+        self,
+        paths: list[str],
+        partition: dict,
+        spec_id: int,
+        n_out: int,
+        delete_paths: list[str] | None = None,
     ) -> list[dict]:
         """Rewrite ONE compaction file group (all files share a partition
         tuple): read the group's files through the unified table schema
@@ -385,8 +419,14 @@ class LedgerTable:
         max-concurrent-file-group-rewrites, backend/config.dist.yml:70).
         Returns manifest entries carrying the group's original partition
         values and spec_id; the caller commits them atomically.
+
+        ``delete_paths``: pending position-delete files — applied during
+        the rewrite (Iceberg binpack-with-deletes semantics) so deletes
+        referencing the OLD paths cannot resurrect rows after the
+        rewrite invalidates those paths.
         """
         df = self.spark.read.schema(self.unified_schema()).parquet(*paths)
+        df = self._apply_position_deletes(df, delete_paths or [])
         stage_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, stage_id)
         df.coalesce(max(1, n_out)).write.mode("append").parquet(out_dir)
@@ -414,9 +454,10 @@ class LedgerTable:
             summary={
                 "added-data-files": str(len(new_files)),
                 "added-records": str(sum(e["record_count"] for e in new_files)),
-                "total-data-files": str(len(base) + len(new_files)),
+                "total-data-files": str(len(_data_files(base)) + len(new_files)),
                 "total-records": str(
-                    sum(e["record_count"] for e in base) + sum(e["record_count"] for e in new_files)
+                    sum(e["record_count"] for e in _data_files(base))
+                    + sum(e["record_count"] for e in new_files)
                 ),
             },
             files=base + new_files,
@@ -457,8 +498,8 @@ class LedgerTable:
             operation="delete",
             summary={
                 "deleted-data-files": str(len(base) - len(kept)),
-                "total-data-files": str(len(kept)),
-                "total-records": str(sum(e["record_count"] for e in kept)),
+                "total-data-files": str(len(_data_files(kept))),
+                "total-records": str(sum(e["record_count"] for e in _data_files(kept))),
             },
             files=kept,
         )
@@ -490,13 +531,69 @@ class LedgerTable:
             summary={
                 "rewritten-data-files": str(len(removed_set)),
                 "added-data-files": str(len(new_files)),
-                "total-data-files": str(len(kept) + len(new_files)),
+                "total-data-files": str(len(_data_files(kept)) + len(new_files)),
                 "total-records": str(
-                    sum(e["record_count"] for e in kept)
+                    sum(e["record_count"] for e in _data_files(kept))
                     + sum(e["record_count"] for e in new_files)
                 ),
             },
             files=kept + new_files,
+        )
+        self._commit(snap)
+        return snap
+
+    def delete_where(self, condition: Column) -> Snapshot:
+        """Merge-on-read row delete: write POSITION DELETE files
+        (content = 1, Iceberg v2 semantics) instead of rewriting data.
+
+        The delete scan selects (file_path, pos) of matching rows via
+        Spark's ``_metadata`` hidden columns — a distributed job whose
+        output is proportional to the DELETED rows, not the table.
+        Readers anti-join on (file_path, pos); data files are untouched,
+        so partition/file stats still describe the data files and
+        metadata queries must filter ``content = 0`` exactly like the
+        reference's `$files` browse does (service_browse_files.go:206).
+        """
+        data_entries = [e for e in self.live_files() if e.get("content", 0) == 0]
+        if not data_entries:
+            raise ValueError(f"{self.database}.{self.name}: nothing to delete from")
+        src = self.spark.read.schema(self.unified_schema()).parquet(
+            *[e["file_path"] for e in data_entries]
+        )
+        dels = src.filter(condition).select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        stage_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.data_dir, stage_id)
+        dels.coalesce(1).write.mode("append").parquet(out_dir)
+        new_entries = []
+        for dirpath, _d, filenames in os.walk(out_dir):
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    entry = self._file_entry(os.path.join(dirpath, fn), {}, self.default_spec_id())
+                    entry["content"] = 1
+                    new_entries.append(entry)
+        cur = self.current_snapshot_id()
+        base = self.snapshot(cur).files if cur else []
+        n_deleted = sum(e["record_count"] for e in new_entries)
+        data_records = sum(
+            e["record_count"] for e in base if e.get("content", 0) == 0
+        )
+        snap = Snapshot(
+            snapshot_id=self._next_snapshot_id(),
+            parent_id=cur,
+            committed_at_ms=int(time.time() * 1000),
+            operation="delete",
+            summary={
+                "added-delete-files": str(len(new_entries)),
+                "added-position-deletes": str(n_deleted),
+                "total-data-files": str(
+                    sum(1 for e in base if e.get("content", 0) == 0)
+                ),
+                "total-records": str(data_records),
+            },
+            files=base + new_entries,
         )
         self._commit(snap)
         return snap
@@ -516,8 +613,10 @@ class LedgerTable:
             operation="rollback",
             summary={
                 "rolled-back-to": str(snapshot_id),
-                "total-data-files": str(len(target.files)),
-                "total-records": str(sum(e["record_count"] for e in target.files)),
+                "total-data-files": str(len(_data_files(target.files))),
+                "total-records": str(
+                    sum(e["record_count"] for e in _data_files(target.files))
+                ),
             },
             files=list(target.files),
         )
@@ -544,8 +643,13 @@ class LedgerTable:
 
         predicates: (column, op, value) with op in < <= > >= = ; values
         for timestamp/date columns are ISO strings (stats are stored as
-        ISO strings, which compare correctly lexicographically)."""
-        files = self.live_files(snapshot_id)
+        ISO strings, which compare correctly lexicographically).
+
+        Plans DATA files only (content = 0) — position-delete files are
+        not scannable data; :meth:`read` applies them separately."""
+        files = [
+            e for e in self.live_files(snapshot_id) if e.get("content", 0) == 0
+        ]
         if not predicates:
             return files
 
@@ -592,6 +696,17 @@ class LedgerTable:
         # before an add_column lack the new field and null-fill
         df = self.spark.read.schema(self.unified_schema()).parquet(
             *[e["file_path"] for e in files]
+        )
+        # merge-on-read: anti-join position deletes (content = 1) on
+        # (file_path, pos). The delete side is tiny relative to data →
+        # Spark broadcasts it; data files are never rewritten.
+        delete_entries = [
+            e
+            for e in self.live_files(snapshot_id)
+            if e.get("content", 0) == 1
+        ]
+        df = self._apply_position_deletes(
+            df, [e["file_path"] for e in delete_entries]
         )
         for col, op, val in predicates or []:
             c = F.col(col)

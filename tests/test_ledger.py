@@ -298,6 +298,35 @@ def test_identity_partition_special_chars_roundtrip(spark, catalog):
     assert tbl.read().count() == 2
 
 
+def test_merge_on_read_position_deletes(spark, catalog):
+    """delete_where writes content=1 position-delete files; reads
+    anti-join them, metadata keeps describing the data files, and
+    compaction never binpacks a delete file."""
+    from lakehouse_admin_spark.sources.fixtures import build_events_mor_ledger
+
+    tbl = build_events_mor_ledger(spark, SF_SMOKE, catalog, name="events_mor_unit")
+    contents = {e.get("content", 0) for e in tbl.live_files_all()} if hasattr(tbl, "live_files_all") else {
+        e.get("content", 0) for e in tbl.snapshot(tbl.current_snapshot_id()).files
+    }
+    assert contents == {0, 1}
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_total = ev.count()
+    n_deleted = ev.filter(F.col("value") < 20.0).count()
+    assert n_deleted > 0
+    # merge-on-read scan excludes exactly the deleted rows
+    assert tbl.read().count() == n_total - n_deleted
+    assert tbl.read().filter(F.col("value") < 20.0).count() == 0
+    # partition stats describe DATA files only (content = 0)
+    parts_records = partitions_df(tbl).agg(F.sum("record_count")).collect()[0][0]
+    assert parts_records == n_total
+    # list_files shows only data files; compaction leaves deletes alone
+    assert all(r["content"] == 0 for r in list_files(tbl).collect())
+    maintenance.rewrite_data_files(tbl, target_file_size_bytes=1 << 40)
+    still = {e.get("content", 0) for e in tbl.snapshot(tbl.current_snapshot_id()).files}
+    assert 1 in still
+    assert tbl.read().count() == n_total - n_deleted  # deletes survive compaction
+
+
 def test_rewrite_scoped_by_where(spark, catalog):
     tbl = build_events_ledger(spark, SF_SMOKE, catalog, name="events_scoped")
     days = sorted({e["partition"]["ts_day"] for e in tbl.live_files()})
