@@ -442,7 +442,7 @@ class LedgerTable:
         entries.sort(key=lambda e: e["file_path"])
         return entries
 
-    def append(self, df: DataFrame) -> Snapshot:
+    def append(self, df: DataFrame, extra_summary: dict[str, str] | None = None) -> Snapshot:
         new_files = self._stage_write(df)
         cur = self.current_snapshot_id()
         base = self.snapshot(cur).files if cur else []
@@ -452,6 +452,7 @@ class LedgerTable:
             committed_at_ms=int(time.time() * 1000),
             operation="append",
             summary={
+                **(extra_summary or {}),
                 "added-data-files": str(len(new_files)),
                 "added-records": str(sum(e["record_count"] for e in new_files)),
                 "total-data-files": str(len(_data_files(base)) + len(new_files)),

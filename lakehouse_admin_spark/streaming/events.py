@@ -55,20 +55,36 @@ def windowed_event_counts_stream(
     )
 
 
-def stream_to_ledger(
-    stream: DataFrame, table: LedgerTable, checkpoint_dir: str
-) -> StreamingQuery:
-    """foreachBatch sink: each micro-batch becomes one ledger append
-    (an atomic snapshot commit — exactly-once via the streaming
-    checkpoint + idempotent-by-batch append)."""
+def make_ledger_batch_sink(table: LedgerTable):
+    """The idempotent foreachBatch body: each micro-batch appends ONE
+    snapshot stamped with its ``batch_id``; a batch whose id is already
+    committed is skipped. This closes the replay window between a
+    completed append and the streaming checkpoint commit — the standard
+    foreachBatch exactly-once pattern (checkpoint replays the batch,
+    the sink recognizes the stamp and no-ops)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        table.append(batch_df)
+        committed = {
+            s.summary.get("streaming-batch-id") for s in table.snapshots()
+        }
+        if str(batch_id) in committed:
+            return
+        table.append(batch_df, extra_summary={"streaming-batch-id": str(batch_id)})
 
+    return sink
+
+
+def stream_to_ledger(
+    stream: DataFrame, table: LedgerTable, checkpoint_dir: str
+) -> StreamingQuery:
+    """foreachBatch sink: each micro-batch becomes one ledger append
+    (an atomic snapshot commit). Exactly-once: the streaming checkpoint
+    replays unacknowledged batches and the batch-id-stamped append
+    deduplicates them (see make_ledger_batch_sink)."""
     return (
-        stream.writeStream.foreachBatch(sink)
+        stream.writeStream.foreachBatch(make_ledger_batch_sink(table))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -20,6 +20,7 @@ import datetime as dt
 import json
 import os
 import threading
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from lakehouse_admin_spark import maintenance
@@ -103,15 +104,60 @@ class TaskQueue:
         if persist_path and os.path.exists(persist_path):
             self._load()
 
-    def _load(self) -> None:
-        """Recover queue state across processes (the reference's queue
-        lives in MySQL and survives restarts; the JSONL file is our
-        equivalent). Tasks stuck 'running' from a dead process revert to
-        queued so the claim/execute cycle can retry them."""
+    @contextmanager
+    def _exclusive(self):
+        """Mutation critical section. For persisted queues this is an
+        OS-level advisory lock (fcntl.flock on a sidecar .lock file)
+        around load-modify-persist, so CONCURRENT PROCESSES sharing a
+        warehouse cannot clobber each other's enqueues or double-claim
+        a task; the in-memory state is re-synced from disk (which is
+        authoritative at lock entry) before the mutation applies. The
+        threading.Lock still serializes within the process."""
+        with self._lock:
+            if not self.persist_path:
+                yield
+                return
+            import fcntl
 
+            os.makedirs(os.path.dirname(self.persist_path) or ".", exist_ok=True)
+            with open(self.persist_path + ".lock", "w") as lock_fh:
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+                try:
+                    if os.path.exists(self.persist_path):
+                        # another process may have advanced the state
+                        self._tasks = self._parse_file(revert_running=False)
+                        if self._tasks:
+                            self._next_id = max(self._tasks) + 1
+                    yield
+                finally:
+                    fcntl.flock(lock_fh, fcntl.LOCK_UN)
+
+    def _load(self) -> None:
+        """Recover queue state at STARTUP (the reference's queue lives
+        in MySQL and survives restarts; the JSONL file is our
+        equivalent). Tasks stuck 'running' from a dead process revert to
+        queued so the claim/execute cycle can retry them — an init-only
+        policy: mid-flight syncs (_exclusive) never revert, because a
+        running task may legitimately belong to another live process.
+        The revert is PERSISTED under the file lock so later syncs
+        don't resurrect the stale running state from disk."""
+        import fcntl
+
+        with open(self.persist_path + ".lock", "w") as lock_fh:
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            try:
+                self._tasks = self._parse_file(revert_running=True)
+                if self._tasks:
+                    self._next_id = max(self._tasks) + 1
+                    self._persist()
+            finally:
+                fcntl.flock(lock_fh, fcntl.LOCK_UN)
+
+    def _parse_file(self, revert_running: bool) -> dict[int, "Task"]:
         def ts(v):
             return dt.datetime.fromisoformat(v) if v else None
 
+        tasks: dict[int, Task] = {}
         with open(self.persist_path) as fh:
             for line in fh:
                 if not line.strip():
@@ -132,18 +178,34 @@ class TaskQueue:
                     input=d.get("input") or {},
                     result=d.get("result") or {},
                 )
-                if t.status == RUNNING:  # orphaned by a dead process
+                if revert_running and t.status == RUNNING:
                     t.status = QUEUED
                     t.picked_up_at = None
-                self._tasks[t.id] = t
-        if self._tasks:
-            self._next_id = max(self._tasks) + 1
+                tasks[t.id] = t
+        return tasks
+
+    def _sync_reads(self) -> None:
+        """Refresh from disk under a SHARED lock so cross-process reads
+        (list/counts/get — the CLI history surface) observe other
+        processes' enqueues and completions."""
+        if not self.persist_path or not os.path.exists(self.persist_path):
+            return
+        import fcntl
+
+        with self._lock, open(self.persist_path + ".lock", "w") as lock_fh:
+            fcntl.flock(lock_fh, fcntl.LOCK_SH)
+            try:
+                self._tasks = self._parse_file(revert_running=False)
+                if self._tasks:
+                    self._next_id = max(self._tasks) + 1
+            finally:
+                fcntl.flock(lock_fh, fcntl.LOCK_UN)
 
     # -- T1 enqueue ----------------------------------------------------
     def enqueue(self, database: str, table: str, kind: str, input: dict | None = None) -> Task:
         if kind not in KINDS:
             raise ValueError(f"unknown task kind {kind!r}")
-        with self._lock:
+        with self._exclusive():
             t = Task(
                 id=self._next_id,
                 database=database,
@@ -162,7 +224,7 @@ class TaskQueue:
         """Oldest queued task, only while running-count < concurrency
         (reference: service_task_queue.go:222-313; the serializable-tx
         CAS degenerates to this lock)."""
-        with self._lock:
+        with self._exclusive():
             running = sum(1 for t in self._tasks.values() if t.status == RUNNING)
             if running >= self.concurrency:
                 return None
@@ -179,7 +241,7 @@ class TaskQueue:
     def complete(self, task_id: int, result: dict | None = None, error: str | None = None) -> bool:
         """Guarded by status==running; idempotent no-op otherwise
         (reference: service_task_queue.go:315-359)."""
-        with self._lock:
+        with self._exclusive():
             t = self._tasks.get(task_id)
             if t is None or t.status != RUNNING:
                 return False
@@ -193,7 +255,7 @@ class TaskQueue:
 
     # -- T4 partial result update -------------------------------------
     def update_result(self, task_id: int, update: dict, nested_key: str | None = None) -> bool:
-        with self._lock:
+        with self._exclusive():
             t = self._tasks.get(task_id)
             if t is None:
                 return False
@@ -205,7 +267,7 @@ class TaskQueue:
     def retry(self, task_id: int) -> Task | None:
         """Only error && !retried; marks retried and clones as a fresh
         queued task (reference: service_task_queue.go:86-202)."""
-        with self._lock:
+        with self._exclusive():
             t = self._tasks.get(task_id)
             if t is None or t.status != ERROR or t.retried:
                 return None
@@ -245,6 +307,7 @@ class TaskQueue:
         """Filtered listing, started_at DESC, LIMIT/OFFSET (default page
         20 — reference: service_task_queue.go:461-507). Returns
         (page, total)."""
+        self._sync_reads()
         rows = [
             t
             for t in self._tasks.values()
@@ -279,6 +342,7 @@ class TaskQueue:
             return len(victims)
 
     def get(self, task_id: int) -> Task | None:
+        self._sync_reads()
         return self._tasks.get(task_id)
 
     def _persist(self) -> None:
@@ -453,9 +517,25 @@ def execute_task(
                 metrics: dict[str, int] = {}
                 d = dt.date.fromisoformat(task.input["from"])
                 until = dt.date.fromisoformat(task.input["until"])
-                spec_day_fields = [
-                    f.name for f in tbl.partition_spec() if f.transform == "day"
-                ]
+                # day fields resolved across ALL spec versions: after
+                # partition evolution, files written under an older spec
+                # still carry the old field name, and the rewrite
+                # matches raw partition names
+                spec_day_fields = sorted(
+                    {
+                        f.name
+                        for spec in tbl.all_specs().values()
+                        for f in spec
+                        if f.transform == "day"
+                    }
+                )
+                if not spec_day_fields:
+                    # a date-chunked optimize on a table with no day
+                    # partitioning would silently no-op; surface it
+                    raise ValueError(
+                        f"{task.database}.{task.table}: date-chunked optimize "
+                        "found no day-transform partition field in any spec"
+                    )
                 while d <= until:
                     for fname in spec_day_fields:
                         m = _run(lambda: maintenance.rewrite_data_files(

@@ -201,3 +201,28 @@ def test_stream_stream_join_matches_batch(spark, tmp_path_factory):
         ).collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_ledger_batch_sink_replay_is_idempotent(spark, tmp_path_factory):
+    """Checkpoint replay delivers the same batch_id twice; the
+    batch-id-stamped append must no-op the second delivery (the
+    exactly-once guarantee stream_to_ledger claims)."""
+    from lakehouse_admin_spark.streaming.events import make_ledger_batch_sink
+
+    catalog = LedgerCatalog(spark, str(tmp_path_factory.mktemp("wh_idem")))
+    ev = load_table(spark, SF_SMOKE, "events").limit(100)
+    tbl = catalog.create_table(
+        "main",
+        "events_idem",
+        ev.schema,
+        [PartitionField(source="ts", transform="day", name="ts_day")],
+    )
+    sink = make_ledger_batch_sink(tbl)
+    sink(ev, 0)
+    n_after_first = tbl.read().count()
+    sink(ev, 0)  # replay of the SAME batch → skipped
+    assert tbl.read().count() == n_after_first
+    assert len(tbl.snapshots()) == 1
+    sink(ev, 1)  # a genuinely new batch appends
+    assert tbl.read().count() == 2 * n_after_first
+    assert [s.summary.get("streaming-batch-id") for s in tbl.snapshots()] == ["0", "1"]

@@ -305,3 +305,79 @@ def test_persistence_recovers_state(tmp_path):
     # id sequence continues, no collisions
     t3 = q2.enqueue("db", "t", T.KIND_ORPHANS)
     assert t3.id > t2.id
+
+
+def test_two_queue_instances_share_state_without_clobber(tmp_path):
+    """Two live queue handles on the same persist file (the two-CLI
+    scenario): enqueues interleave without loss, claims never hand the
+    same task to both, completion state is visible across handles."""
+    path = str(tmp_path / "tasks.jsonl")
+    qa = T.TaskQueue(concurrency=4, persist_path=path)
+    qb = T.TaskQueue(concurrency=4, persist_path=path)
+    ta = qa.enqueue("db", "t", T.KIND_OPTIMIZE)
+    tb = qb.enqueue("db", "t", T.KIND_EXPIRE)  # qb must SEE ta, not clobber
+    assert tb.id != ta.id
+    ca, cb = qa.claim(), qb.claim()
+    assert ca is not None and cb is not None
+    assert ca.id != cb.id  # never double-claimed
+    assert {ca.id, cb.id} == {ta.id, tb.id}
+    assert qa.complete(ca.id, result={"ok": 1})
+    # qb observes qa's completion after its next sync
+    qb.enqueue("db", "t", T.KIND_ORPHANS)
+    assert qb.get(ca.id).status == T.SUCCESS
+    # and nothing was lost end-to-end
+    page, total = qa.list(limit=10)
+    assert total == 3
+
+
+def test_date_chunked_optimize_requires_day_field(spark, tmp_path):
+    """A date-chunked optimize on a month/identity-partitioned table
+    must error, not silently succeed with empty metrics (ADVICE r1)."""
+    from lakehouse_admin_spark.sources.ledger import LedgerCatalog, PartitionField
+    from lakehouse_admin_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    catalog = LedgerCatalog(spark, str(tmp_path / "wh"))
+    ev = load_table(spark, SF_SMOKE, "events").limit(50)
+    tbl = catalog.create_table(
+        "main",
+        "events_monthly",
+        ev.schema,
+        [PartitionField(source="ts", transform="month", name="ts_month")],
+    )
+    tbl.append(ev)
+    q = T.TaskQueue()
+    task = q.enqueue(
+        "main", "events_monthly", T.KIND_OPTIMIZE,
+        {"from": "2024-01-01", "until": "2024-01-02"},
+    )
+    q.claim()
+    done = T.execute_task(q, catalog, task)
+    assert done.status == T.ERROR
+    assert "no day-transform" in done.error_message
+
+
+def test_date_chunked_optimize_resolves_old_spec_day_field(spark, tmp_path):
+    """After partition evolution the day field may exist only in the
+    OLD spec; the chunked rewrite must still find those files."""
+    from lakehouse_admin_spark.sources.fixtures import build_events_ledger
+    from lakehouse_admin_spark.sources.ledger import LedgerCatalog, PartitionField
+    from tests.conftest import SF_SMOKE
+
+    catalog = LedgerCatalog(spark, str(tmp_path / "wh2"))
+    tbl = build_events_ledger(spark, SF_SMOKE, catalog, name="events_evospec")
+    days = sorted({e["partition"]["ts_day"] for e in tbl.live_files()})
+    # evolve away from day partitioning; old files keep ts_day + spec 0
+    tbl.evolve_partition_spec(
+        [PartitionField(source="event_type", transform="identity", name="event_type")]
+    )
+    q = T.TaskQueue()
+    task = q.enqueue(
+        "main", "events_evospec", T.KIND_OPTIMIZE,
+        {"from": days[0], "until": days[0], "target_file_size_bytes": 1 << 40},
+    )
+    q.claim()
+    done = T.execute_task(q, catalog, task)
+    assert done.status == T.SUCCESS
+    metrics = done.result["procedure"]
+    assert metrics.get("rewritten_data_files_count", 0) > 0
