@@ -74,7 +74,7 @@ def rewrite_data_files(
         key = (e.get("spec_id", 0), tuple(sorted(e["partition"].items(), key=str)))
         groups.setdefault(key, []).append(e)
 
-    plan: list[tuple[dict, int, list[str], int]] = []  # (partition, spec_id, paths, bytes)
+    plan: list[tuple[dict, int, list[dict], int]] = []  # (partition, spec_id, entries, bytes)
     for (spec_id, _key), group in sorted(groups.items()):
         small = [e for e in group if e["file_size_in_bytes"] < target_file_size_bytes]
         if len(small) < min_input_files:
@@ -83,7 +83,7 @@ def rewrite_data_files(
             (
                 small[0]["partition"],
                 spec_id,
-                [e["file_path"] for e in small],
+                small,
                 sum(e["file_size_in_bytes"] for e in small),
             )
         )
@@ -101,19 +101,19 @@ def rewrite_data_files(
     # stay deleted afterwards
     delete_paths = [e["file_path"] for e in files if e.get("content", 0) == 1]
 
-    def _rewrite_group(args: tuple[dict, int, list[str], int]) -> list[dict]:
-        partition, spec_id, paths, nbytes = args
+    def _rewrite_group(args: tuple[dict, int, list[dict], int]) -> list[dict]:
+        partition, spec_id, group, nbytes = args
         n_out = max(1, math.ceil(nbytes / target_file_size_bytes))
         return table.write_file_group(
-            paths, partition, spec_id, n_out, delete_paths=delete_paths
+            group, partition, spec_id, n_out, delete_paths=delete_paths
         )
 
     with ThreadPoolExecutor(max_workers=max(1, max_concurrent_file_group_rewrites)) as pool:
         per_group = list(pool.map(_rewrite_group, plan))
 
-    removed = [p for _part, _sid, paths, _b in plan for p in paths]
+    removed = [e["file_path"] for _part, _sid, group, _b in plan for e in group]
     new_entries = [e for entries in per_group for e in entries]
-    rewritten_bytes = sum(b for _part, _sid, _paths, b in plan)
+    rewritten_bytes = sum(b for _part, _sid, _g, b in plan)
     table.commit_rewrite(removed, new_entries, operation="replace")
     return {
         "rewritten_data_files_count": len(removed),

@@ -174,18 +174,74 @@ class LedgerTable:
     def default_spec_id(self) -> int:
         return int(self._load_meta().get("default_spec_id", 0))
 
+    def _schema_versions(self, meta: dict) -> tuple[dict[str, list[dict]], int]:
+        """(versions, current_id). Columns carry stable FIELD IDS
+        (Iceberg resolution model, reference renders schemas through
+        field-id-resolved metadata, iceberg_client.go:408-420); legacy
+        metadata without ids gets positional ids."""
+        cols = meta["columns"]
+        for i, c in enumerate(cols):
+            c.setdefault("id", i)
+        versions = meta.get("schema_versions") or {"0": cols}
+        return versions, int(meta.get("current_schema_id", 0))
+
+    def _push_schema_version(self, meta: dict, new_cols: list[dict]) -> None:
+        versions, cur = self._schema_versions(meta)
+        new_id = max(int(k) for k in versions) + 1
+        versions[str(new_id)] = new_cols
+        meta["schema_versions"] = versions
+        meta["current_schema_id"] = new_id
+        meta["columns"] = new_cols
+        self._store_meta(meta)
+
     def add_column(self, name: str, type_ddl: str) -> None:
-        """Schema evolution: append a nullable column. Existing data
-        files are NOT rewritten — reads project them through the
-        unified schema and null-fill (Iceberg add-column semantics).
-        Name-based resolution: renames are not supported (Iceberg does
-        those via field ids; a rename here would require a mapping
-        table — documented limitation)."""
+        """Schema evolution: append a nullable column with a fresh
+        field id. Existing data files are NOT rewritten — reads project
+        each file's write-time schema version onto the current one and
+        null-fill (Iceberg add-column semantics)."""
         meta = self._load_meta()
         if any(c["name"] == name for c in meta["columns"]):
             raise ValueError(f"column {name!r} already exists")
-        meta["columns"] = meta["columns"] + [{"name": name, "type": type_ddl}]
-        self._store_meta(meta)
+        versions, _cur = self._schema_versions(meta)
+        next_id = 1 + max(c["id"] for v in versions.values() for c in v)
+        self._push_schema_version(
+            meta, meta["columns"] + [{"name": name, "type": type_ddl, "id": next_id}]
+        )
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Schema evolution: rename a column. The field ID is stable, so
+        files written under the old name keep resolving — reads map each
+        file's schema epoch onto the current names by id (the Iceberg
+        rename model; name-based formats cannot do this). The current
+        partition spec's source references follow the rename (Iceberg
+        specs bind to field ids; historical specs keep their recorded
+        names — their files' partition VALUES are already materialized)."""
+        meta = self._load_meta()
+        self._schema_versions(meta)  # ensure field ids exist before copying
+        names = [c["name"] for c in meta["columns"]]
+        if old not in names:
+            raise KeyError(f"column {old!r} not found")
+        if any(c["name"] == new for c in meta["columns"]):
+            raise ValueError(f"column {new!r} already exists")
+        new_cols = [
+            {**c, "name": new} if c["name"] == old else dict(c) for c in meta["columns"]
+        ]
+        # current spec sources follow the rename (top-level or nested prefix)
+        def fix_source(src: str) -> str:
+            if src == old:
+                return new
+            if src.startswith(old + "."):
+                return new + src[len(old):]
+            return src
+
+        spec = [
+            {**f, "source": fix_source(f["source"])} for f in meta["partition_spec"]
+        ]
+        meta["partition_spec"] = spec
+        specs = meta.get("partition_specs")
+        if specs:
+            specs[str(meta.get("default_spec_id", 0))] = spec
+        self._push_schema_version(meta, new_cols)
 
     def unified_schema(self):
         """StructType of the CURRENT table schema (post-evolution)."""
@@ -371,22 +427,62 @@ class LedgerTable:
             "record_count": meta.num_rows,
             "file_size_in_bytes": os.path.getsize(fpath),
             "spec_id": spec_id,
+            "schema_id": int(self._load_meta().get("current_schema_id", 0)),
             "content": 0,
             "file_format": "PARQUET",
             "column_stats": _column_stats(meta),
         }
 
+    def _read_entries(self, entries: list[dict], with_meta: bool = False) -> DataFrame:
+        """Scan data-file entries through the CURRENT schema, resolving
+        columns by FIELD ID per schema epoch: files are grouped by their
+        write-time schema_id, each group is read with its own schema and
+        projected onto current names (renames follow the id; columns
+        added later null-fill), then the groups union by name. One scan
+        per epoch — epochs are few, files within them many.
+
+        with_meta=True appends (_mor_fp, _mor_pos) from the ``_metadata``
+        hidden columns for merge-on-read bookkeeping."""
+        from pyspark.sql.types import StructType
+
+        meta = self._load_meta()
+        versions, cur_id = self._schema_versions(meta)
+        cur_cols = versions[str(cur_id)]
+        by_epoch: dict[int, list[str]] = {}
+        for e in entries:
+            by_epoch.setdefault(int(e.get("schema_id", 0)), []).append(e["file_path"])
+        out = None
+        for sid in sorted(by_epoch):
+            old_cols = versions.get(str(sid), cur_cols)
+            old_by_id = {c["id"]: c for c in old_cols}
+            ddl = ", ".join(f"`{c['name']}` {c['type']}" for c in old_cols)
+            proj = []
+            for c in cur_cols:
+                o = old_by_id.get(c["id"])
+                if o is not None:
+                    proj.append(F.col(f"`{o['name']}`").alias(c["name"]))
+                else:
+                    proj.append(F.lit(None).cast(c["type"]).alias(c["name"]))
+            if with_meta:
+                proj.append(F.col("_metadata.file_path").alias("_mor_fp"))
+                proj.append(F.col("_metadata.row_index").alias("_mor_pos"))
+            part = (
+                self.spark.read.schema(StructType.fromDDL(ddl))
+                .parquet(*by_epoch[sid])
+                .select(*proj)
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
     def _apply_position_deletes(self, df: DataFrame, delete_paths: list[str]) -> DataFrame:
-        """Anti-join content=1 position deletes on (file_path, pos) via
-        the ``_metadata`` hidden columns. Broadcast: the delete side is
-        proportional to deleted rows, not the table."""
+        """Anti-join content=1 position deletes on the (_mor_fp,
+        _mor_pos) columns a with_meta read carries. Broadcast: the
+        delete side is proportional to deleted rows, not the table."""
         if not delete_paths:
-            return df
+            return df.drop("_mor_fp", "_mor_pos")
         dels = self.spark.read.parquet(*delete_paths)
         return (
-            df.withColumn("_mor_fp", F.col("_metadata.file_path"))
-            .withColumn("_mor_pos", F.col("_metadata.row_index"))
-            .join(
+            df.join(
                 F.broadcast(
                     dels.select(
                         F.col("file_path").alias("_mor_fp"),
@@ -401,18 +497,19 @@ class LedgerTable:
 
     def write_file_group(
         self,
-        paths: list[str],
+        group: list[dict],
         partition: dict,
         spec_id: int,
         n_out: int,
         delete_paths: list[str] | None = None,
     ) -> list[dict]:
-        """Rewrite ONE compaction file group (all files share a partition
-        tuple): read the group's files through the unified table schema
-        (a group may mix files written before and after an add_column —
-        inferring from an arbitrary file would silently drop the evolved
-        column), then ``coalesce`` — a NARROW dependency, no shuffle;
-        rows never cross partition boundaries — into n_out outputs.
+        """Rewrite ONE compaction file group (all entries share a
+        partition tuple): read the group through the field-id-resolved
+        current schema (a group may mix schema epochs — renames resolve
+        by id, later-added columns null-fill; inferring from an
+        arbitrary file would silently drop evolved columns), then
+        ``coalesce`` — a NARROW dependency, no shuffle; rows never cross
+        partition boundaries — into n_out outputs.
 
         Mirrors Iceberg's per-file-group binpack rewrite (reference
         submits rewrite_data_files with
@@ -425,7 +522,7 @@ class LedgerTable:
         referencing the OLD paths cannot resurrect rows after the
         rewrite invalidates those paths.
         """
-        df = self.spark.read.schema(self.unified_schema()).parquet(*paths)
+        df = self._read_entries(group, with_meta=True)
         df = self._apply_position_deletes(df, delete_paths or [])
         stage_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, stage_id)
@@ -558,12 +655,10 @@ class LedgerTable:
         data_entries = [e for e in self.live_files() if e.get("content", 0) == 0]
         if not data_entries:
             raise ValueError(f"{self.database}.{self.name}: nothing to delete from")
-        src = self.spark.read.schema(self.unified_schema()).parquet(
-            *[e["file_path"] for e in data_entries]
-        )
+        src = self._read_entries(data_entries, with_meta=True)
         dels = src.filter(condition).select(
-            F.col("_metadata.file_path").alias("file_path"),
-            F.col("_metadata.row_index").alias("pos"),
+            F.col("_mor_fp").alias("file_path"),
+            F.col("_mor_pos").alias("pos"),
         )
         stage_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, stage_id)
@@ -693,11 +788,6 @@ class LedgerTable:
                 f"{self.database}.{self.name}: no files"
                 + (" match the predicates" if predicates else " (empty table)")
             )
-        # read through the unified (post-evolution) schema: files written
-        # before an add_column lack the new field and null-fill
-        df = self.spark.read.schema(self.unified_schema()).parquet(
-            *[e["file_path"] for e in files]
-        )
         # merge-on-read: anti-join position deletes (content = 1) on
         # (file_path, pos). The delete side is tiny relative to data →
         # Spark broadcasts it; data files are never rewritten.
@@ -706,6 +796,9 @@ class LedgerTable:
             for e in self.live_files(snapshot_id)
             if e.get("content", 0) == 1
         ]
+        # field-id-resolved scan: renames map by id per schema epoch,
+        # later-added columns null-fill
+        df = self._read_entries(files, with_meta=True)
         df = self._apply_position_deletes(
             df, [e["file_path"] for e in delete_entries]
         )

@@ -548,3 +548,70 @@ def test_schema_evolution_add_column(spark, catalog):
     assert old_files <= {e["file_path"] for e in tbl.live_files()}
     cols = {c["name"] for c in tbl.schema_string()}
     assert "quality_score" in cols
+
+
+def test_rename_column_field_id_resolution(spark, catalog):
+    """Rename resolves by field id: files written under the old name
+    keep reading correctly, describe shows the new name, and a filter
+    on the new name reaches old files."""
+    ev = load_table(spark, SF_SMOKE, "events").limit(120).cache()
+    tbl = catalog.create_table(
+        "main",
+        "events_rename",
+        ev.schema,
+        [PartitionField(source="ts", transform="day", name="ts_day")],
+    )
+    tbl.append(ev)  # epoch 0: column is `value`
+    total_old = ev.agg(F.sum("value")).collect()[0][0]
+    tbl.rename_column("value", "amount")
+    assert [c["name"] for c in tbl.schema_string()] == [
+        "event_id", "ts", "user_id", "event_type", "amount", "props"
+    ]
+    tbl.append(ev.withColumnRenamed("value", "amount"))  # epoch 1
+    df = tbl.read()
+    assert "amount" in df.columns and "value" not in df.columns
+    got = df.agg(F.round(F.sum("amount"), 2)).collect()[0][0]
+    assert got == round(2 * total_old, 2)
+    # filter on the NEW name must hit OLD-epoch rows too
+    thr = 50.0
+    expect = 2 * ev.filter(F.col("value") >= thr).count()
+    assert df.filter(F.col("amount") >= thr).count() == expect
+
+
+def test_rename_partition_source_and_compact(spark, catalog):
+    """Renaming a partition-source column keeps future writes landing
+    in the same partition layout, and compaction across mixed epochs
+    preserves the renamed column's values."""
+    ev = load_table(spark, SF_SMOKE, "events").limit(100).cache()
+    tbl = catalog.create_table(
+        "main",
+        "events_rename_part",
+        ev.schema,
+        [PartitionField(source="event_type", transform="identity", name="event_type")],
+    )
+    tbl.append(ev)
+    tbl.rename_column("event_type", "etype")
+    assert tbl.partition_spec()[0].source == "etype"
+    tbl.append(ev.withColumnRenamed("event_type", "etype"))
+    parts = {e["partition"]["event_type"] for e in tbl.live_files()}
+    assert parts == {r[0] for r in ev.select("event_type").distinct().collect()}
+    rows_before = tbl.read().count()
+    sum_before = tbl.read().agg(F.round(F.sum("value"), 2)).collect()[0][0]
+    maintenance.rewrite_data_files(tbl, target_file_size_bytes=1 << 40)
+    assert tbl.read().count() == rows_before
+    assert tbl.read().agg(F.round(F.sum("value"), 2)).collect()[0][0] == sum_before
+    assert tbl.read().filter(F.col("etype").isNull()).count() == 0
+
+
+def test_rename_added_column(spark, catalog):
+    """add_column then rename the added column: ids stay distinct from
+    the original fields and null-fill still applies to epoch-0 files."""
+    ev = load_table(spark, SF_SMOKE, "events").limit(60).cache()
+    tbl = catalog.create_table("main", "events_add_rename", ev.schema, [])
+    tbl.append(ev)
+    tbl.add_column("tag", "string")
+    tbl.append(ev.withColumn("tag", F.lit("x")))
+    tbl.rename_column("tag", "label")
+    df = tbl.read()
+    assert df.filter(F.col("label") == "x").count() == 60
+    assert df.filter(F.col("label").isNull()).count() == 60
