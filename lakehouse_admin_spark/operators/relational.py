@@ -154,6 +154,51 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "revenue_by_nation_bucketed",
+    oracle="""
+    SELECT r_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS lineitem_count
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def revenue_by_nation_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """revenue_by_nation over BUCKETED fact copies: lineitem and orders
+    are materialized once, bucketed+sorted on orderkey
+    (sources/bucketing.py), so the fact-fact SortMergeJoin reads
+    co-located buckets and plans with NO Exchange on either side — the
+    one shuffle the unbucketed star join pays is gone (pinned in
+    tests/test_plans.py::test_bucketed_star_join_no_fact_exchange).
+    Same oracle as revenue_by_nation: layout must never change results.
+    """
+    from lakehouse_admin_spark.sources.bucketing import get_bucketed_fact_pair
+
+    li, orders = get_bucketed_fact_pair(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.hint("merge")
+        .join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("lineitem_count"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
     "customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment

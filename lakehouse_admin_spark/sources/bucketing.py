@@ -43,6 +43,44 @@ def write_bucketed(
     writer.mode("overwrite").format("parquet").saveAsTable(table_name)
 
 
+_BUILT: set[str] = set()
+_LOCK = None
+
+
+def get_bucketed_fact_pair(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Session-cached bucketed copies of lineitem and orders, bucketed
+    (and sorted) on their orderkey — built ONCE per (process, sf tier);
+    every subsequent star join reuses the co-located layout. This is the
+    write-once/join-many trade the reference's warehouse would make at
+    100 TB: the one fact-fact shuffle moves from every query into a
+    single materialization."""
+    import threading
+
+    from lakehouse_admin_spark.sources.tables import load_table
+
+    global _LOCK
+    if _LOCK is None:
+        _LOCK = threading.Lock()
+    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_").replace("-", "_")
+    ln, rn = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    with _LOCK:
+        if ln not in _BUILT:
+            write_bucketed(
+                load_table(spark, sf_dir, "lineitem"), ln, "l_orderkey",
+                n_buckets, sort_col="l_orderkey",
+            )
+            write_bucketed(
+                load_table(spark, sf_dir, "orders"), rn, "o_orderkey",
+                n_buckets, sort_col="o_orderkey",
+            )
+            _BUILT.add(ln)
+    return spark.table(ln), spark.table(rn)
+
+
 def bucketed_join_pair(
     spark: SparkSession,
     left: DataFrame,

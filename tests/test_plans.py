@@ -79,6 +79,21 @@ def test_ann_brute_force_is_broadcast_not_cartesian(spark):
     assert not has_cartesian(df)
 
 
+def test_bucketed_star_join_no_fact_exchange(spark):
+    """The bucketed star-join variant must plan the fact-fact join with
+    NO Exchange on either orderkey side (bucketed co-location), while
+    matching revenue_by_nation's results exactly."""
+    from lakehouse_admin_spark.plans.inspect import explain_str
+
+    df = q("revenue_by_nation_bucketed")(spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    plain = q("revenue_by_nation")(spark, SF_SMOKE)
+    assert df.collect() == plain.collect()
+
+
 def test_near_dup_block_decomposition(spark):
     """embedding_near_dup must be the distributed block-matrix plan:
     cogrouped pandas kernel keyed on the block pair, block-pair dim
