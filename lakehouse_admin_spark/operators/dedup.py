@@ -22,6 +22,8 @@ shingles can be dropped by document-frequency filtering, see
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -246,8 +248,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial mins per doc) — no arrays in flight, fully partial-
     aggregatable, the same shape at any corpus size.
     """
-    ex = exploded_shingles(spark, sf_dir)
+    return _sig_from_exploded(exploded_shingles(spark, sf_dir))
 
+
+def _sig_from_exploded(ex: DataFrame) -> DataFrame:
+    """(doc_id, sig) from a (doc_id, shingle) posting list — ONE hash
+    aggregate, 16 partial mins per doc."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
         for j in range(NUM_HASHES)
@@ -255,6 +261,24 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ex.groupBy("doc_id").agg(*aggs)
     return agg.select(
         "doc_id", F.array(*[F.col(f"h{j}") for j in range(NUM_HASHES)]).alias("sig")
+    )
+
+
+def _band_buckets_from_sig(sig: DataFrame) -> DataFrame:
+    """(band, band_key, doc_id) LSH banding of a signature table."""
+    rows_per_band = NUM_HASHES // LSH_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+            ).alias("band_key"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    return (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select(F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"), "doc_id")
     )
 
 
@@ -283,23 +307,10 @@ def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 of the concatenated band slice. Docs sharing (band, band_key) are
     near-dup candidates. Exposed as a query so the signature/banding math
     is oracle-pinned end-to-end."""
-    sig = minhash_signatures(spark, sf_dir)
-    rows_per_band = NUM_HASHES // LSH_BANDS
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
-            ).alias("band_key"),
-        )
-        for b in range(LSH_BANDS)
-    ]
     # One explode instead of a 4-way union: the (expensive) signature
     # pipeline is evaluated once per row, not once per band.
-    return (
-        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
-        .select(F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"), "doc_id")
-        .orderBy("band", "band_key", "doc_id")
+    return _band_buckets_from_sig(minhash_signatures(spark, sf_dir)).orderBy(
+        "band", "band_key", "doc_id"
     )
 
 
@@ -362,6 +373,122 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .persist()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    verified = jaccard_pairs(spark, sf_dir, restrict_docs=cand_docs).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return cand.join(verified, ["doc_a", "doc_b"]).orderBy("doc_a", "doc_b")
+
+
+INCR_DELTA_MOD = 10  # doc_id % 10 == 0 → the "newly ingested" delta
+_INDEX_DIRS: dict[str, str] = {}
+
+
+def _persisted_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing LSH index: band buckets of the EXISTING corpus
+    (doc_id % INCR_DELTA_MOD != 0), materialized to parquet once per
+    process and read back — the delta pipeline joins against this
+    stored table, never recomputing corpus signatures. At 100 TB this
+    is the persisted posting/bucket table a production dedup service
+    maintains between ingests."""
+    import tempfile
+    import threading
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    lock = getattr(_persisted_bucket_index, "_lock", None)
+    if lock is None:
+        lock = _persisted_bucket_index._lock = threading.Lock()
+    with lock:
+        path = _INDEX_DIRS.get(tag)
+        if path is None:
+            path = os.path.join(
+                tempfile.mkdtemp(prefix="lsh_index_"), f"buckets_{tag}.parquet"
+            )
+            ex = exploded_shingles(spark, sf_dir).filter(
+                F.col("doc_id") % INCR_DELTA_MOD != 0
+            )
+            _band_buckets_from_sig(_sig_from_exploded(ex)).write.parquet(path)
+            _INDEX_DIRS[tag] = path
+    return spark.read.parquet(path)
+
+
+@query(
+    "incremental_near_dup",
+    oracle=_ORACLE_SHINGLES
+    + """
+    , sig AS (
+        SELECT doc_id,
+               [list_aggregate(list_transform(shingles, x -> md5(CAST(j AS VARCHAR) || ':' || x)), 'min')
+                FOR j IN range(0, 16)] AS sig
+        FROM sh WHERE len(shingles) > 0
+    ),
+    bands AS (SELECT doc_id, UNNEST(range(0, 4)) AS band, sig FROM sig),
+    keyed AS (
+        SELECT band,
+               md5(sig[band*4+1] || sig[band*4+2] || sig[band*4+3] || sig[band*4+4]) AS band_key,
+               doc_id
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM keyed a JOIN keyed b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+    ),
+    common AS (
+        SELECT a.doc_id AS ca, b.doc_id AS cb, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE), 4) AS jaccard
+    FROM cand c
+    JOIN common ON common.ca = c.doc_a AND common.cb = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE ROUND(n_common / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE), 4) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the delta ingest (doc_id % 10 == 0) is checked
+    against the PERSISTED LSH index of the existing corpus — and among
+    itself — without recomputing corpus signatures. Signature work is
+    proportional to the DELTA; the index join shuffles on (band,
+    band_key) exactly like the full pipeline.
+
+    Correctness contract: because band keys are per-doc deterministic,
+    the incremental result must equal the FULL recompute restricted to
+    pairs touching a delta doc — which is precisely what the oracle
+    computes (full pipeline + delta-pair filter). Verification uses the
+    same exact-Jaccard join at ≥ 0.5.
+    """
+    index = _persisted_bucket_index(spark, sf_dir)
+    delta_ex = exploded_shingles(spark, sf_dir).filter(
+        F.col("doc_id") % INCR_DELTA_MOD == 0
+    )
+    delta = _band_buckets_from_sig(_sig_from_exploded(delta_ex)).persist()
+    everything = index.unionByName(delta)
+    d = delta.alias("d")
+    e = everything.alias("e")
+    cand = (
+        d.join(
+            e,
+            (F.col("d.band") == F.col("e.band"))
+            & (F.col("d.band_key") == F.col("e.band_key"))
+            & (F.col("d.doc_id") != F.col("e.doc_id")),
+        )
+        .select(
+            F.least(F.col("d.doc_id"), F.col("e.doc_id")).alias("doc_a"),
+            F.greatest(F.col("d.doc_id"), F.col("e.doc_id")).alias("doc_b"),
+        )
         .distinct()
         .persist()
     )

@@ -173,3 +173,12 @@ def test_salted_join_matches_plain(spark):
     plain = ev.join(users, "user_id").select("event_id", "tag")
     salted = salted_join(ev, users, "user_id", n_salts=4).select("event_id", "tag")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_incremental_near_dup_equals_full_restricted(spark):
+    """Incremental (delta vs persisted index) must equal the full
+    recompute restricted to pairs touching a delta doc."""
+    full = q("minhash_near_dup")(spark, SF_SMOKE).collect()
+    incr = q("incremental_near_dup")(spark, SF_SMOKE).collect()
+    expect = [r for r in full if r.doc_a % 10 == 0 or r.doc_b % 10 == 0]
+    assert sorted(map(tuple, incr)) == sorted(map(tuple, expect))
