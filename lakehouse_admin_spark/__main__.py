@@ -20,6 +20,7 @@ same verbs. Machine-readable: every command prints one JSON document.
     python -m lakehouse_admin_spark orphans       -w /path -d main -t events_ledger [--run]
     python -m lakehouse_admin_spark rollback      -w /path -d main -t events_ledger --snapshot 3
     python -m lakehouse_admin_spark tasks         -w /path [--status success]
+    python -m lakehouse_admin_spark settings      -w /path [--set task_concurrency=4]
 """
 
 from __future__ import annotations
@@ -61,12 +62,13 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--snapshot", type=int)
         sp.add_argument("--status")
         sp.add_argument("--run", action="store_true")
+        sp.add_argument("--set", action="append", default=[], dest="set_kv")
         return sp
 
     for name in (
         "databases", "tables", "describe", "summary", "drilldown", "files",
         "refresh", "integrity", "optimize", "expire", "orphans", "rollback",
-        "tasks",
+        "tasks", "settings",
     ):
         cmd(name)
 
@@ -120,6 +122,19 @@ def main(argv: list[str] | None = None) -> int:
         statuses = [args.status] if args.status else None
         page, total = admin.tasks.list(statuses=statuses, limit=100)
         _emit({"total": total, "tasks": [t.to_json() for t in page]})
+    elif args.cmd == "settings":
+        # GET/PUT /api/settings (reference: service_settings.go:30-34):
+        # known keys only; updates are runtime-effective (the engine
+        # reads the store per call)
+        from lakehouse_admin_spark.settings import DEFAULTS
+
+        for kv in args.set_kv:
+            k, _, v = kv.partition("=")
+            if k not in DEFAULTS:
+                _emit({"error": f"unknown setting {k!r}", "known": sorted(DEFAULTS)})
+                return 1
+            admin.settings.set(k, v)
+        _emit({"settings": admin.settings.all()})
     return 0
 
 

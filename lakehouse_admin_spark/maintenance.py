@@ -137,6 +137,56 @@ def rewrite_manifests(table: LedgerTable, snapshot_id: int | None = None) -> dic
     }
 
 
+def rewrite_position_delete_files(table: LedgerTable) -> dict[str, int]:
+    """Drop dangling position deletes and compact the survivors — the
+    Iceberg ``rewrite_position_delete_files`` analog. A delete row is
+    DANGLING when the data file it references was itself rewritten or
+    dropped (compaction applies pending deletes, so its refs die with
+    the old paths); without this procedure fully-applied delete files
+    linger in every scan's anti-join forever.
+
+    Distributed: the delete rows semi-join (broadcast — the live-file
+    URI list is manifest-sized) against the live data files; survivors
+    rewrite into one compacted delete file."""
+    files = table.live_files()
+    delete_entries = [e for e in files if e.get("content", 0) == 1]
+    if not delete_entries:
+        return {"rewritten_delete_files_count": 0, "removed_dangling_deletes": 0}
+    spark = table.spark
+    data_uris = [
+        ("file:" + e["file_path"],)
+        for e in files
+        if e.get("content", 0) == 0
+    ]
+    dels = spark.read.parquet(*[e["file_path"] for e in delete_entries])
+    total = dels.count()
+    uris_df = spark.createDataFrame(data_uris or [("",)], "file_path string")
+    from pyspark.sql import functions as F
+
+    kept = dels.join(F.broadcast(uris_df), "file_path", "left_semi")
+    n_kept = kept.count()
+    removed_paths = [e["file_path"] for e in delete_entries]
+    new_entries: list[dict] = []
+    if n_kept > 0:
+        import os as _os
+        import uuid as _uuid
+
+        out_dir = _os.path.join(table.data_dir, _uuid.uuid4().hex[:12])
+        kept.coalesce(1).write.mode("append").parquet(out_dir)
+        for dirpath, _d, filenames in _os.walk(out_dir):
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    entry = table._file_entry(_os.path.join(dirpath, fn), {}, table.default_spec_id())
+                    entry["content"] = 1
+                    new_entries.append(entry)
+    table.commit_rewrite(removed_paths, new_entries, operation="replace")
+    return {
+        "rewritten_delete_files_count": len(removed_paths),
+        "added_delete_files_count": len(new_entries),
+        "removed_dangling_deletes": total - n_kept,
+    }
+
+
 def expire_snapshots(
     table: LedgerTable,
     older_than_ms: int | None = None,

@@ -89,3 +89,28 @@ def test_sql_surface(admin, spark):
         "SELECT operation, COUNT(*) c FROM events_ledger__snapshots GROUP BY 1"
     ).collect()
     assert {r["operation"] for r in snaps} >= {"append"}
+
+
+def test_settings_cli_surface(admin, capsys):
+    """GET/PUT /api/settings via the CLI facade: list, update a known
+    key (runtime-effective), reject unknown keys."""
+    import json
+
+    from lakehouse_admin_spark import __main__ as cli
+
+    wh = admin.catalog.warehouse
+    assert cli.main(["-w", wh, "settings"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["settings"]["task_concurrency"] == "1"
+    assert cli.main(["-w", wh, "settings", "--set", "task_concurrency=4"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["settings"]["task_concurrency"] == "4"
+    # runtime-effective: a fresh facade over the same warehouse sees it
+    from lakehouse_admin_spark.engine import LakehouseAdmin
+
+    again = LakehouseAdmin(admin.spark, wh)
+    assert again.settings.get_int("task_concurrency") == 4
+    again.settings.set("task_concurrency", "1")
+    assert cli.main(["-w", wh, "settings", "--set", "bogus=1"]) == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "unknown setting" in err["error"]

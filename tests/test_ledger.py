@@ -615,3 +615,43 @@ def test_rename_added_column(spark, catalog):
     df = tbl.read()
     assert df.filter(F.col("label") == "x").count() == 60
     assert df.filter(F.col("label").isNull()).count() == 60
+
+
+def test_rewrite_position_delete_files(spark, catalog):
+    """After compaction applies pending deletes, the delete files are
+    dangling; the procedure drops them and reads stay identical."""
+    ev = load_table(spark, SF_SMOKE, "events").cache()
+    tbl = catalog.create_table(
+        "main",
+        "events_mor_rpd",
+        ev.schema,
+        [PartitionField(source="ts", transform="day", name="ts_day")],
+    )
+    # two appends → ≥2 files per partition so binpack actually rewrites
+    tbl.append(ev.filter(F.col("event_id") % 2 == 0))
+    tbl.append(ev.filter(F.col("event_id") % 2 == 1))
+    tbl.delete_where(F.col("value") < 20.0)
+    live_before = tbl.read().count()
+    assert live_before < ev.count()
+    # full compaction rewrites every data file → all delete refs dangle
+    maintenance.rewrite_data_files(tbl, target_file_size_bytes=1 << 40)
+    metrics = maintenance.rewrite_position_delete_files(tbl)
+    assert metrics["rewritten_delete_files_count"] > 0
+    assert metrics["removed_dangling_deletes"] > 0
+    assert metrics.get("added_delete_files_count", 0) == 0  # nothing survives
+    contents = {e.get("content", 0) for e in tbl.snapshot(tbl.current_snapshot_id()).files}
+    assert contents == {0}
+    assert tbl.read().count() == live_before
+
+
+def test_rewrite_position_delete_files_keeps_live_refs(spark, catalog):
+    """Deletes referencing still-live data files survive the rewrite
+    (compacted into one delete file) and keep masking rows."""
+    from lakehouse_admin_spark.sources.fixtures import build_events_mor_ledger
+
+    tbl = build_events_mor_ledger(spark, SF_SMOKE, catalog, name="events_mor_keep")
+    live_before = tbl.read().count()
+    metrics = maintenance.rewrite_position_delete_files(tbl)  # no compaction ran
+    assert metrics["removed_dangling_deletes"] == 0
+    assert metrics["added_delete_files_count"] == 1
+    assert tbl.read().count() == live_before
