@@ -358,12 +358,22 @@ class LedgerTable:
     # ------------------------------------------------------------------
     # writes (distributed Spark jobs; stats harvested from footers)
     # ------------------------------------------------------------------
+    def sort_order(self) -> list[str]:
+        """Write-time sort columns (Iceberg write.sort-order analog):
+        set via create_table(sort_order=...); empty = unsorted."""
+        return list(self._load_meta().get("sort_order") or [])
+
     def _stage_write(self, df: DataFrame) -> list[dict]:
         """Write df's rows as new data files, return their file entries.
 
         The write is a normal distributed parquet write partitioned by
-        the transform columns (hive layout). Per-file record counts and
-        sizes come from parquet FOOTERS via pyarrow — metadata-only
+        the transform columns (hive layout). With a table sort order,
+        rows are RANGE-partitioned on (partition cols, sort cols) and
+        sorted within tasks — so a partition's files carry DISJOINT
+        sort-key ranges and the footer min/max stats become selective
+        enough for plan_files to skip files on sort-key predicates (the
+        point of Iceberg's write.sort-order). Per-file record counts
+        and sizes come from parquet FOOTERS via pyarrow — metadata-only
         reads, the moral equivalent of Iceberg collecting manifest
         stats at commit time. No data is re-read.
         """
@@ -376,12 +386,23 @@ class LedgerTable:
         staged = df
         for f_, pcol in zip(spec, pcols):
             staged = staged.withColumn(pcol, transform_expr(f_))
+        sort_cols = self.sort_order()
         writer = staged.write.mode("append")
-        if pcols:
-            # repartition by partition value so each partition's rows
-            # land in few files (mirrors Iceberg's fanout writer)
-            staged = staged.repartition(*[F.col(c) for c in pcols])
-            writer = staged.write.mode("append").partitionBy(*pcols)
+        if pcols or sort_cols:
+            keys = [F.col(c) for c in pcols] + [F.col(c) for c in sort_cols]
+            if sort_cols:
+                # explicit partition count: AQE would coalesce a small
+                # range shuffle to one task (one file, full-range
+                # stats); production sizing targets file bytes instead
+                n = self.spark.sparkContext.defaultParallelism
+                staged = staged.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
+            else:
+                # hash by partition value so each partition's rows land
+                # in few files (mirrors Iceberg's fanout writer)
+                staged = staged.repartition(*keys)
+            writer = staged.write.mode("append")
+            if pcols:
+                writer = writer.partitionBy(*pcols)
         out_dir = os.path.join(self.data_dir, stage_id)
         writer.parquet(out_dir)
         return self._harvest_files(out_dir, spec, pcols)
@@ -851,6 +872,7 @@ class LedgerCatalog:
         name: str,
         df_schema,
         partition_spec: list[PartitionField] | None = None,
+        sort_order: list[str] | None = None,
     ) -> LedgerTable:
         _validate_ident(database)
         _validate_ident(name)
@@ -872,6 +894,7 @@ class LedgerCatalog:
                 "partition_spec": spec_json,
                 "partition_specs": {"0": spec_json},
                 "default_spec_id": 0,
+                "sort_order": list(sort_order or []),
                 "current_snapshot_id": None,
                 "created_ms": int(time.time() * 1000),
             }

@@ -655,3 +655,28 @@ def test_rewrite_position_delete_files_keeps_live_refs(spark, catalog):
     assert metrics["removed_dangling_deletes"] == 0
     assert metrics["added_delete_files_count"] == 1
     assert tbl.read().count() == live_before
+
+
+def test_sorted_write_enables_file_skipping(spark, catalog):
+    """write.sort-order analog: range-partitioned sorted writes give
+    files disjoint sort-key ranges, so a sort-key predicate prunes
+    files by footer stats; an unsorted twin prunes nothing."""
+    ev = load_table(spark, SF_SMOKE, "events").cache()
+    hi = ev.approxQuantile("value", [0.9], 0.01)[0]
+    sorted_tbl = catalog.create_table(
+        "main", "events_sorted", ev.schema, [], sort_order=["value"]
+    )
+    sorted_tbl.append(ev)
+    plain_tbl = catalog.create_table("main", "events_unsorted", ev.schema, [])
+    plain_tbl.append(ev)
+
+    pred = [("value", ">=", hi)]
+    total_sorted = len(sorted_tbl.live_files())
+    assert total_sorted > 1  # range partitioning produced several files
+    planned_sorted = len(sorted_tbl.plan_files(pred))
+    planned_plain = len(plain_tbl.plan_files(pred))
+    assert planned_sorted < total_sorted  # skipping happened
+    assert planned_plain == len(plain_tbl.live_files())  # nothing skipped
+    # correctness unchanged: pruned read returns exactly the rows
+    expect = ev.filter(F.col("value") >= hi).count()
+    assert sorted_tbl.read(predicates=pred).count() == expect
