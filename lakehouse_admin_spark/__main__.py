@@ -82,14 +82,25 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     admin = LakehouseAdmin(spark, args.warehouse)
 
+    def _humanized(rows: list[dict]) -> list[dict]:
+        # display-edge humanization (F15, reference format.ts semantics)
+        from lakehouse_admin_spark.functions.humanize import format_bytes, format_number
+
+        for r in rows:
+            if "total_data_file_size_in_bytes" in r and r["total_data_file_size_in_bytes"] is not None:
+                r["total_size_human"] = format_bytes(r["total_data_file_size_in_bytes"])
+            if "record_count" in r and r["record_count"] is not None:
+                r["record_count_human"] = format_number(r["record_count"])
+        return rows
+
     if args.cmd == "databases":
         _emit({"databases": admin.list_databases()})
     elif args.cmd == "tables":
-        _emit({"tables": _df_rows(admin.list_tables_with_summaries(args.database))})
+        _emit({"tables": _humanized(_df_rows(admin.list_tables_with_summaries(args.database)))})
     elif args.cmd == "describe":
         _emit(admin.describe(args.database, args.table))
     elif args.cmd == "summary":
-        _emit({"summaries": _df_rows(admin.list_tables_with_summaries(args.database))})
+        _emit({"summaries": _humanized(_df_rows(admin.list_tables_with_summaries(args.database)))})
     elif args.cmd == "drilldown":
         _emit({"levels": _df_rows(admin.drilldown(args.database, args.table, selected))})
     elif args.cmd == "files":

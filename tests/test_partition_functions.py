@@ -127,3 +127,45 @@ def test_render_values_sorted():
 def test_nested_day_normalization():
     out = normalize_values(NESTED_SPEC, {"goal.conversionHappenedAt_day": "2026-03-25"})
     assert out == {"year": "2026", "month": "03", "day": "25"}
+
+
+# -- F15 humanization goldens (reference: frontend/src/utils/format.ts) ------
+
+
+def test_format_bytes_goldens():
+    from lakehouse_admin_spark.functions.humanize import format_bytes
+
+    assert format_bytes(0) == "0 Bytes"
+    assert format_bytes(512) == "512 Bytes"
+    assert format_bytes(1024) == "1 KB"
+    assert format_bytes(1536) == "1.5 KB"
+    assert format_bytes(1610612736) == "1.5 GB"
+    assert format_bytes(536870912 * 3) == "1.5 GB"
+    assert format_bytes(1125899906842624) == "1 PB"
+
+
+def test_format_number_and_duration_goldens():
+    from lakehouse_admin_spark.functions.humanize import (
+        format_duration,
+        format_number,
+    )
+
+    assert format_number(1234567) == "1,234,567"
+    assert format_number(0) == "0"
+    assert format_duration(1540) == "1.54s"
+    assert format_duration(59999) == "60s"  # JS rounds 59.999 → "60s"
+    assert format_duration(6.09 * 60 * 1000) == "6.09m"
+    assert format_duration(1.25 * 3600 * 1000) == "1.25h"
+    assert format_duration(500) == "0.5s"
+
+
+def test_format_timestamps_goldens():
+    from lakehouse_admin_spark.functions.humanize import (
+        format_date_time,
+        format_timestamp,
+    )
+
+    assert format_timestamp("2025-11-21T10:30:45Z") == "2025-11-21T10:30:45Z"
+    assert format_timestamp("2026-02-04T19:07:55.123Z") == "2026-02-04T19:07:55.123Z"
+    assert format_date_time("2026-02-04T19:07:55.999Z") == "2026-02-04 19:07:55"
+    assert format_date_time("2026-02-04T19:07:55+02:00") == "2026-02-04 17:07:55"
