@@ -221,10 +221,22 @@ def expire_snapshots(
                 expired.remove(s)
                 keep.append(s)
 
+    # kept snapshots may be DELTA commits whose materialization walks
+    # through soon-to-be-deleted ancestors: fold them (full list inline)
+    # BEFORE the ancestry is destroyed
+    expired_ids = {s.snapshot_id for s in expired}
+    if expired_ids:
+        for s in keep:
+            if not s.is_fold:
+                table._write_snapshot(s.fold())
     live_paths = {e["file_path"] for s in keep for e in s.files}
+    # materialize every expired snapshot's file list BEFORE deleting any
+    # snapshot JSON — a delta snapshot's materialization walks ancestors
+    # that may themselves be expired
+    expired_files = {s.snapshot_id: list(s.files) for s in expired}
     deleted_files = 0
     for s in expired:
-        for e in s.files:
+        for e in expired_files[s.snapshot_id]:
             p = e["file_path"]
             if p not in live_paths and os.path.exists(p):
                 os.remove(p)

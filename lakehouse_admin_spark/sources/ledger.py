@@ -84,24 +84,115 @@ def transform_expr(f: PartitionField) -> Column:
     raise ValueError(f"unknown transform {t!r}")
 
 
-@dataclass
+FOLD_EVERY = 32  # delta-chain length bound: every Nth commit folds
+
+
 class Snapshot:
-    snapshot_id: int
-    parent_id: int | None
-    committed_at_ms: int
-    operation: str  # append | overwrite | delete | replace (rewrite)
-    summary: dict[str, str]
-    files: list[dict]  # {file_path, partition{name:str}, record_count, file_size_in_bytes, spec_id}
+    """One commit. Two storage forms (Iceberg manifest-reuse analog):
+
+    - FOLD: ``files`` holds the complete live-file list. Written for
+      the first commit, every :data:`FOLD_EVERY`-th commit, on
+      overwrite/rollback, and by expire_snapshots for kept snapshots
+      about to lose ancestors.
+    - DELTA: ``added`` (new manifest entries) + ``removed`` (file
+      paths dropped) relative to the parent — the commit writes
+      O(delta) JSON, not O(files); the live set materializes lazily by
+      walking ancestry to the nearest fold and replaying deltas
+      (bounded by FOLD_EVERY). This is what keeps the commit hot path
+      (streaming appends!) independent of table size.
+    """
+
+    def __init__(
+        self,
+        snapshot_id: int,
+        parent_id: int | None,
+        committed_at_ms: int,
+        operation: str,  # append | overwrite | delete | replace | rollback
+        summary: dict[str, str],
+        files: list[dict] | None = None,
+        *,
+        added: list[dict] | None = None,
+        removed: list[str] | None = None,
+        delta_depth: int = 0,
+    ):
+        self.snapshot_id = snapshot_id
+        self.parent_id = parent_id
+        self.committed_at_ms = committed_at_ms
+        self.operation = operation
+        self.summary = summary
+        self._files = files
+        self.added = added or []
+        self.removed = removed or []
+        self.delta_depth = delta_depth
+        self._table: "LedgerTable | None" = None
+        self._materialized: list[dict] | None = None
+
+    @property
+    def is_fold(self) -> bool:
+        return self._files is not None
+
+    @property
+    def depth(self) -> int:
+        return 0 if self.is_fold else self.delta_depth
+
+    @property
+    def files(self) -> list[dict]:
+        """The complete live-file list AT this snapshot (materialized
+        on demand for delta snapshots; cached per instance)."""
+        if self._files is not None:
+            return self._files
+        if self._materialized is None:
+            if self._table is None:
+                raise ValueError(
+                    f"delta snapshot {self.snapshot_id} requires table context"
+                )
+            chain: list[Snapshot] = [self]
+            cur: Snapshot = self
+            while not cur.is_fold and cur.parent_id is not None:
+                cur = self._table.snapshot(cur.parent_id)
+                chain.append(cur)
+            if chain[-1].is_fold:
+                entries = {e["file_path"]: e for e in chain[-1]._files}
+                deltas = chain[:-1]
+            else:  # parentless delta: empty base
+                entries = {}
+                deltas = chain
+            for s in reversed(deltas):
+                for p in s.removed:
+                    entries.pop(p, None)
+                for e in s.added:
+                    entries[e["file_path"]] = e
+            self._materialized = list(entries.values())
+        return self._materialized
+
+    def fold(self) -> "Snapshot":
+        """A fold-form copy of this snapshot (full file list inline)."""
+        out = Snapshot(
+            self.snapshot_id,
+            self.parent_id,
+            self.committed_at_ms,
+            self.operation,
+            self.summary,
+            files=list(self.files),
+        )
+        out._table = self._table
+        return out
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "snapshot_id": self.snapshot_id,
             "parent_id": self.parent_id,
             "committed_at_ms": self.committed_at_ms,
             "operation": self.operation,
             "summary": self.summary,
-            "files": self.files,
         }
+        if self._files is not None:
+            d["files"] = self._files
+        else:
+            d["added"] = self.added
+            d["removed"] = self.removed
+            d["delta_depth"] = self.delta_depth
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "Snapshot":
@@ -111,7 +202,10 @@ class Snapshot:
             d["committed_at_ms"],
             d["operation"],
             d.get("summary", {}),
-            d.get("files", []),
+            files=d.get("files"),
+            added=d.get("added"),
+            removed=d.get("removed"),
+            delta_depth=int(d.get("delta_depth", 0)),
         )
 
 
@@ -275,7 +369,9 @@ class LedgerTable:
         for fn in sorted(os.listdir(self.meta_dir)):
             if fn.startswith("snap-") and fn.endswith(".json"):
                 with open(os.path.join(self.meta_dir, fn)) as fh:
-                    out.append(Snapshot.from_json(json.load(fh)))
+                    s = Snapshot.from_json(json.load(fh))
+                    s._table = self
+                    out.append(s)
         out.sort(key=lambda s: s.snapshot_id)
         return out
 
@@ -284,13 +380,16 @@ class LedgerTable:
         if not os.path.exists(path):
             raise KeyError(f"snapshot {snapshot_id} not found for {self.database}.{self.name}")
         with open(path) as fh:
-            return Snapshot.from_json(json.load(fh))
+            s = Snapshot.from_json(json.load(fh))
+            s._table = self
+            return s
 
     def _write_snapshot(self, snap: Snapshot) -> None:
         with open(os.path.join(self.meta_dir, f"snap-{snap.snapshot_id}.json"), "w") as fh:
             json.dump(snap.to_json(), fh, indent=1)
 
     def _commit(self, snap: Snapshot) -> None:
+        snap._table = self
         self._write_snapshot(snap)
         meta = self._load_meta()
         meta["current_snapshot_id"] = snap.snapshot_id
@@ -300,6 +399,34 @@ class LedgerTable:
     def _next_snapshot_id(self) -> int:
         snaps = self.snapshots()
         return (snaps[-1].snapshot_id + 1) if snaps else 1
+
+    def _commit_delta(
+        self,
+        operation: str,
+        summary: dict[str, str],
+        added: list[dict],
+        removed: list[str],
+        parent: "Snapshot | None",
+    ) -> Snapshot:
+        """Commit as an O(delta) snapshot, folding to a full list every
+        FOLD_EVERY commits (and for the first commit) so delta chains —
+        and thus materialization cost — stay bounded."""
+        depth = (parent.depth + 1) if parent is not None else 0
+        snap = Snapshot(
+            snapshot_id=self._next_snapshot_id(),
+            parent_id=parent.snapshot_id if parent else None,
+            committed_at_ms=int(time.time() * 1000),
+            operation=operation,
+            summary=summary,
+            added=added,
+            removed=removed,
+            delta_depth=depth,
+        )
+        snap._table = self
+        if parent is None or depth >= FOLD_EVERY:
+            snap = snap.fold()
+        self._commit(snap)
+        return snap
 
     # ------------------------------------------------------------------
     # manifest parquet (the distributed metadata path)
@@ -561,28 +688,33 @@ class LedgerTable:
         return entries
 
     def append(self, df: DataFrame, extra_summary: dict[str, str] | None = None) -> Snapshot:
+        """Append commit — the hot path (streaming sinks land here):
+        O(delta) end to end. Running totals come from the PARENT's
+        summary, so neither the commit JSON nor driver memory ever
+        touches the full file list."""
         new_files = self._stage_write(df)
         cur = self.current_snapshot_id()
-        base = self.snapshot(cur).files if cur else []
-        snap = Snapshot(
-            snapshot_id=self._next_snapshot_id(),
-            parent_id=cur,
-            committed_at_ms=int(time.time() * 1000),
+        parent = self.snapshot(cur) if cur else None
+        prev_files = int(parent.summary.get("total-data-files", -1)) if parent else 0
+        prev_records = int(parent.summary.get("total-records", -1)) if parent else 0
+        if prev_files < 0 or prev_records < 0:  # legacy summary: recount once
+            base = _data_files(parent.files) if parent else []
+            prev_files = len(base)
+            prev_records = sum(e["record_count"] for e in base)
+        added_records = sum(e["record_count"] for e in new_files)
+        return self._commit_delta(
             operation="append",
             summary={
                 **(extra_summary or {}),
                 "added-data-files": str(len(new_files)),
-                "added-records": str(sum(e["record_count"] for e in new_files)),
-                "total-data-files": str(len(_data_files(base)) + len(new_files)),
-                "total-records": str(
-                    sum(e["record_count"] for e in _data_files(base))
-                    + sum(e["record_count"] for e in new_files)
-                ),
+                "added-records": str(added_records),
+                "total-data-files": str(prev_files + len(new_files)),
+                "total-records": str(prev_records + added_records),
             },
-            files=base + new_files,
+            added=new_files,
+            removed=[],
+            parent=parent,
         )
-        self._commit(snap)
-        return snap
 
     def overwrite(self, df: DataFrame) -> Snapshot:
         new_files = self._stage_write(df)
@@ -597,7 +729,7 @@ class LedgerTable:
                 "total-data-files": str(len(new_files)),
                 "total-records": str(sum(e["record_count"] for e in new_files)),
             },
-            files=new_files,
+            files=new_files,  # full replacement IS the fold
         )
         self._commit(snap)
         return snap
@@ -608,22 +740,21 @@ class LedgerTable:
         scoped DELETE on an Iceberg table (metadata-only when aligned to
         partition boundaries)."""
         cur = self.current_snapshot_id()
-        base = self.snapshot(cur).files if cur else []
+        parent = self.snapshot(cur) if cur else None
+        base = parent.files if parent else []
+        removed = [e["file_path"] for e in base if predicate(e["partition"])]
         kept = [e for e in base if not predicate(e["partition"])]
-        snap = Snapshot(
-            snapshot_id=self._next_snapshot_id(),
-            parent_id=cur,
-            committed_at_ms=int(time.time() * 1000),
+        return self._commit_delta(
             operation="delete",
             summary={
-                "deleted-data-files": str(len(base) - len(kept)),
+                "deleted-data-files": str(len(removed)),
                 "total-data-files": str(len(_data_files(kept))),
                 "total-records": str(sum(e["record_count"] for e in _data_files(kept))),
             },
-            files=kept,
+            added=[],
+            removed=removed,
+            parent=parent,
         )
-        self._commit(snap)
-        return snap
 
     def replace_files(
         self, removed: list[str], df: DataFrame, operation: str = "replace"
@@ -639,13 +770,11 @@ class LedgerTable:
         atomic commit covering every rewritten file group
         (partial-progress disabled, the reference's dist default)."""
         cur = self.current_snapshot_id()
-        base = self.snapshot(cur).files if cur else []
+        parent = self.snapshot(cur) if cur else None
+        base = parent.files if parent else []
         removed_set = set(removed)
         kept = [e for e in base if e["file_path"] not in removed_set]
-        snap = Snapshot(
-            snapshot_id=self._next_snapshot_id(),
-            parent_id=cur,
-            committed_at_ms=int(time.time() * 1000),
+        return self._commit_delta(
             operation=operation,
             summary={
                 "rewritten-data-files": str(len(removed_set)),
@@ -656,10 +785,10 @@ class LedgerTable:
                     + sum(e["record_count"] for e in new_files)
                 ),
             },
-            files=kept + new_files,
+            added=new_files,
+            removed=list(removed_set),
+            parent=parent,
         )
-        self._commit(snap)
-        return snap
 
     def delete_where(self, condition: Column) -> Snapshot:
         """Merge-on-read row delete: write POSITION DELETE files
@@ -692,28 +821,22 @@ class LedgerTable:
                     entry["content"] = 1
                     new_entries.append(entry)
         cur = self.current_snapshot_id()
-        base = self.snapshot(cur).files if cur else []
+        parent = self.snapshot(cur) if cur else None
         n_deleted = sum(e["record_count"] for e in new_entries)
-        data_records = sum(
-            e["record_count"] for e in base if e.get("content", 0) == 0
-        )
-        snap = Snapshot(
-            snapshot_id=self._next_snapshot_id(),
-            parent_id=cur,
-            committed_at_ms=int(time.time() * 1000),
+        prev_files = int(parent.summary.get("total-data-files", 0)) if parent else 0
+        prev_records = int(parent.summary.get("total-records", 0)) if parent else 0
+        return self._commit_delta(
             operation="delete",
             summary={
                 "added-delete-files": str(len(new_entries)),
                 "added-position-deletes": str(n_deleted),
-                "total-data-files": str(
-                    sum(1 for e in base if e.get("content", 0) == 0)
-                ),
-                "total-records": str(data_records),
+                "total-data-files": str(prev_files),
+                "total-records": str(prev_records),
             },
-            files=base + new_entries,
+            added=new_entries,
+            removed=[],
+            parent=parent,
         )
-        self._commit(snap)
-        return snap
 
     def rollback_to(self, snapshot_id: int) -> Snapshot:
         """Rollback: new commit whose file set is the target snapshot's

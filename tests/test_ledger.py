@@ -680,3 +680,58 @@ def test_sorted_write_enables_file_skipping(spark, catalog):
     # correctness unchanged: pruned read returns exactly the rows
     expect = ev.filter(F.col("value") >= hi).count()
     assert sorted_tbl.read(predicates=pred).count() == expect
+
+
+def test_delta_commits_are_o_delta_and_fold_periodically(spark, catalog):
+    """Commit JSON is O(delta): append snapshots store only the added
+    entries; every FOLD_EVERY-th commit folds to a full list; reads and
+    time travel stay exact across the chain."""
+    import json as _json
+
+    from lakehouse_admin_spark.sources.ledger import FOLD_EVERY
+
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    tbl = catalog.create_table("main", "delta_chain", df.schema, [])
+    n_commits = FOLD_EVERY + 3
+    for _ in range(n_commits):
+        tbl.append(df)
+    snaps = tbl.snapshots()
+    assert len(snaps) == n_commits
+    forms = []
+    for s in snaps:
+        with open(f"{tbl.meta_dir}/snap-{s.snapshot_id}.json") as fh:
+            d = _json.load(fh)
+        forms.append("fold" if "files" in d else "delta")
+        if "files" not in d:
+            assert len(d["added"]) >= 1  # only the delta is stored
+            assert d["removed"] == []
+    assert forms[0] == "fold"  # first commit
+    assert "fold" in forms[1:]  # periodic fold happened
+    assert forms.count("delta") >= FOLD_EVERY - 1
+    # exactness across the whole chain
+    assert tbl.read().count() == 10 * n_commits
+    mid = snaps[n_commits // 2].snapshot_id
+    assert tbl.read(mid).count() == 10 * (n_commits // 2 + 1)
+    assert int(snaps[-1].summary["total-records"]) == 10 * n_commits
+
+
+def test_delta_commit_survives_delete_and_rewrite(spark, catalog):
+    """Removed paths propagate through delta materialization: delete a
+    partition mid-chain, compact, and the live set stays exact."""
+    ev = load_table(spark, SF_SMOKE, "events").limit(200).cache()
+    tbl = catalog.create_table(
+        "main",
+        "delta_mixed",
+        ev.schema,
+        [PartitionField(source="event_type", transform="identity", name="event_type")],
+    )
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    for t in types:
+        tbl.append(ev.filter(F.col("event_type") == t))
+    victim = types[0]
+    tbl.delete_partitions(lambda p: p.get("event_type") == victim)
+    expect = ev.filter(F.col("event_type") != victim).count()
+    assert tbl.read().count() == expect
+    maintenance.rewrite_data_files(tbl, target_file_size_bytes=1 << 40, min_input_files=1)
+    assert tbl.read().count() == expect
+    assert {e["partition"]["event_type"] for e in tbl.live_files()} == set(types[1:])
