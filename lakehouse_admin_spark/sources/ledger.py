@@ -43,6 +43,14 @@ from pyspark.sql import functions as F
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
+class CommitConflictError(RuntimeError):
+    """Optimistic-concurrency failure: the table's current snapshot
+    advanced between this writer's read and its commit (Iceberg's
+    commit-conflict semantics). Callers re-read and retry; append
+    retries automatically (its delta is parent-independent)."""
+
+
+
 @dataclass(frozen=True)
 class PartitionField:
     """One field of a partition spec: a source column + transform."""
@@ -388,13 +396,32 @@ class LedgerTable:
         with open(os.path.join(self.meta_dir, f"snap-{snap.snapshot_id}.json"), "w") as fh:
             json.dump(snap.to_json(), fh, indent=1)
 
-    def _commit(self, snap: Snapshot) -> None:
-        snap._table = self
-        self._write_snapshot(snap)
-        meta = self._load_meta()
-        meta["current_snapshot_id"] = snap.snapshot_id
-        meta["last_updated_ms"] = snap.committed_at_ms
-        self._store_meta(meta)
+    def _commit(self, snap: Snapshot, expected_parent: object = "__FROM_SNAP__") -> None:
+        """Atomic commit with optimistic concurrency: under an OS file
+        lock, verify the current snapshot still equals the parent this
+        writer built against, then swap the pointer. A concurrent
+        commit in between raises CommitConflictError instead of
+        silently losing the other writer's snapshot."""
+        import fcntl
+
+        expected = snap.parent_id if expected_parent == "__FROM_SNAP__" else expected_parent
+        with open(os.path.join(self.meta_dir, "commit.lock"), "w") as lock_fh:
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            try:
+                cur = self._load_meta().get("current_snapshot_id")
+                if cur != expected:
+                    raise CommitConflictError(
+                        f"{self.database}.{self.name}: commit built against "
+                        f"snapshot {expected} but current is {cur}"
+                    )
+                snap._table = self
+                self._write_snapshot(snap)
+                meta = self._load_meta()
+                meta["current_snapshot_id"] = snap.snapshot_id
+                meta["last_updated_ms"] = snap.committed_at_ms
+                self._store_meta(meta)
+            finally:
+                fcntl.flock(lock_fh, fcntl.LOCK_UN)
 
     def _next_snapshot_id(self) -> int:
         snaps = self.snapshots()
@@ -693,28 +720,34 @@ class LedgerTable:
         summary, so neither the commit JSON nor driver memory ever
         touches the full file list."""
         new_files = self._stage_write(df)
-        cur = self.current_snapshot_id()
-        parent = self.snapshot(cur) if cur else None
-        prev_files = int(parent.summary.get("total-data-files", -1)) if parent else 0
-        prev_records = int(parent.summary.get("total-records", -1)) if parent else 0
-        if prev_files < 0 or prev_records < 0:  # legacy summary: recount once
-            base = _data_files(parent.files) if parent else []
-            prev_files = len(base)
-            prev_records = sum(e["record_count"] for e in base)
         added_records = sum(e["record_count"] for e in new_files)
-        return self._commit_delta(
-            operation="append",
-            summary={
-                **(extra_summary or {}),
-                "added-data-files": str(len(new_files)),
-                "added-records": str(added_records),
-                "total-data-files": str(prev_files + len(new_files)),
-                "total-records": str(prev_records + added_records),
-            },
-            added=new_files,
-            removed=[],
-            parent=parent,
-        )
+        last_err: Exception | None = None
+        for _attempt in range(5):  # staged files are parent-independent
+            cur = self.current_snapshot_id()
+            parent = self.snapshot(cur) if cur else None
+            prev_files = int(parent.summary.get("total-data-files", -1)) if parent else 0
+            prev_records = int(parent.summary.get("total-records", -1)) if parent else 0
+            if prev_files < 0 or prev_records < 0:  # legacy summary: recount once
+                base = _data_files(parent.files) if parent else []
+                prev_files = len(base)
+                prev_records = sum(e["record_count"] for e in base)
+            try:
+                return self._commit_delta(
+                    operation="append",
+                    summary={
+                        **(extra_summary or {}),
+                        "added-data-files": str(len(new_files)),
+                        "added-records": str(added_records),
+                        "total-data-files": str(prev_files + len(new_files)),
+                        "total-records": str(prev_records + added_records),
+                    },
+                    added=new_files,
+                    removed=[],
+                    parent=parent,
+                )
+            except CommitConflictError as ex:  # re-read head and retry
+                last_err = ex
+        raise last_err
 
     def overwrite(self, df: DataFrame) -> Snapshot:
         new_files = self._stage_write(df)
@@ -842,6 +875,7 @@ class LedgerTable:
         """Rollback: new commit whose file set is the target snapshot's
         (reference: rollback_to_snapshot,
         backend/internal/service_iceberg_mutations.go:37-48)."""
+        cur_head = self.current_snapshot_id()
         target = self.snapshot(snapshot_id)
         snap = Snapshot(
             snapshot_id=self._next_snapshot_id(),
@@ -860,7 +894,7 @@ class LedgerTable:
             },
             files=list(target.files),
         )
-        self._commit(snap)
+        self._commit(snap, expected_parent=cur_head)
         return snap
 
     # ------------------------------------------------------------------

@@ -735,3 +735,35 @@ def test_delta_commit_survives_delete_and_rewrite(spark, catalog):
     maintenance.rewrite_data_files(tbl, target_file_size_bytes=1 << 40, min_input_files=1)
     assert tbl.read().count() == expect
     assert {e["partition"]["event_type"] for e in tbl.live_files()} == set(types[1:])
+
+
+def test_commit_conflict_detection_and_append_retry(spark, catalog):
+    """Optimistic concurrency: a commit built against a stale head
+    raises CommitConflictError; append auto-retries against the new
+    head and lineage stays linear across two handles."""
+    from lakehouse_admin_spark.sources.ledger import (
+        CommitConflictError,
+        LedgerTable,
+        Snapshot,
+    )
+
+    df = spark.range(5).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "conflict_tbl", df.schema, [])
+    tbl.append(df)
+    head = tbl.current_snapshot_id()
+    # hand-build a snapshot against a stale parent → conflict
+    stale = Snapshot(99, None, 1, "append", {}, files=[])
+    import pytest as _pytest
+
+    with _pytest.raises(CommitConflictError):
+        tbl._commit(stale)  # expected parent None, current is `head`
+    assert tbl.current_snapshot_id() == head  # nothing was swapped
+    # two handles appending in turn: both succeed, linear lineage
+    other = LedgerTable(spark, tbl.warehouse, "main", "conflict_tbl")
+    other.append(df)
+    tbl.append(df)
+    snaps = tbl.snapshots()
+    assert [s.parent_id for s in snaps] == [None] + [
+        s.snapshot_id for s in snaps[:-1]
+    ]
+    assert tbl.read().count() == 15
