@@ -517,3 +517,164 @@ def ivf_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     _, assignments = kmeans_lloyd(emb, k=8, iters=3)
     return assignments.orderBy("vec_id")
+
+
+PQ_M = 8  # subspaces (64 dims → 8 × 8)
+PQ_K = 16  # codewords per subspace
+PQ_D = 8  # dims per subspace
+
+
+def _pq_oracle() -> str:
+    """DuckDB replay of the full PQ pipeline: codebook = subvectors of
+    the 16 lowest vec_ids, encode by rounded-L2 argmin (ties → lowest
+    codeword), ADC ranking for stride-100 queries."""
+    sq = (
+        "(CAST(e.embedding[m.m * 8 + d + 1] AS DOUBLE)"
+        " - CAST(cb.embedding[m.m * 8 + d + 1] AS DOUBLE))"
+    )
+    return f"""
+    WITH cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k, embedding
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    subdist AS (
+        SELECT e.vec_id, m.m, cb.k,
+               ROUND(list_sum(list_transform(range({PQ_D}), d ->
+                   {sq} * {sq})), 6) AS d2
+        FROM embeddings e
+        CROSS JOIN (SELECT UNNEST(range({PQ_M})) AS m) m
+        CROSS JOIN cb
+    ),
+    codes AS (
+        SELECT vec_id, m, k AS code FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+            FROM subdist
+        ) WHERE rn = 1
+    ),
+    lut AS (SELECT * FROM subdist WHERE vec_id % {QUERY_STRIDE} = 0),
+    adc AS (
+        SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(SUM(l.d2), 6) AS approx_dist
+        FROM codes c
+        JOIN lut l ON l.m = c.m AND l.k = c.code
+        WHERE c.vec_id <> l.vec_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, approx_dist,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY approx_dist, neighbor_id
+               ) AS INT) AS rank
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, approx_dist, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("ann_pq_topk", oracle=_pq_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the memory-bound scale path): each
+    vector compresses to 8 one-byte codes (8 subspaces × 16 codewords),
+    and queries rank candidates by ADC — summing 8 lookup-table entries
+    instead of a 64-dim dot product. At corpus scale the codes table is
+    ~8 bytes/vector (vs 256 for raw float32), so a scan ranks in
+    memory-bandwidth terms ~32× cheaper; re-ranking survivors against
+    raw vectors composes with ann_topk_cosine.
+
+    Deterministic end to end (codebook = subvectors of the 16 lowest
+    vec_ids, no RNG; argmin on 6dp-rounded distances with
+    lowest-codeword ties), so the DuckDB oracle replays codebook,
+    encoding, and ADC bit-for-bit. Encoding runs as an Arrow-batched
+    kernel (one broadcast (16,8,8) codebook, one vectorized distance
+    per batch); the ADC join broadcasts the tiny query LUTs.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb_rows = emb.orderBy("vec_id").limit(PQ_K).collect()  # 16-row sample
+    cb = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in cb_rows]
+    ).reshape(PQ_K, PQ_M, PQ_D)
+    bc = spark.sparkContext.broadcast(cb)
+
+    def subdists(batch: pd.DataFrame) -> np.ndarray:
+        """(n, M, K) rounded squared L2 between subvectors and codewords."""
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+        ).reshape(-1, PQ_M, PQ_D)
+        diff = x[:, None, :, :] - bc.value[None, :, :, :]  # (n, K, M, D)
+        return np.round((diff * diff).sum(axis=3), 6).transpose(0, 2, 1)
+
+    codes_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            d2 = subdists(pdf)  # (n, M, K)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "codes": list(d2.argmin(axis=2).astype(np.int32)),
+                }
+            )
+
+    lut_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("lut", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+
+    def build_lut(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            d2 = subdists(pdf)  # (n, M, K)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "lut": [row for row in d2],
+                }
+            )
+
+    codes = emb.mapInPandas(encode, codes_schema)
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).mapInPandas(
+        build_lut, lut_schema
+    )
+    adc = (
+        F.broadcast(queries)
+        .crossJoin(codes)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("lut"),
+                        F.col("codes"),
+                        lambda l, c: F.element_at(l, c + F.lit(1)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+        .orderBy("query_id", "rank")
+    )
