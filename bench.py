@@ -40,8 +40,11 @@ HEADLINE = [
     "needs_optimize_partitions",
     "dedup_exact",
     "minhash_near_dup",
+    "incremental_near_dup",
     "ann_topk_cosine",
+    "ann_pq_topk",
     "embedding_near_dup",
+    "embedding_lsh_near_dup",
     "text_quality",
     "token_frequencies",
     "user_sessions",

