@@ -245,3 +245,61 @@ def ledger_delete_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(live).alias("live_rows"),
         )
     )
+
+
+@query("ledger_live_partition_stats", oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS ts_day,
+           CAST(COUNT(*) AS BIGINT) AS record_count,
+           CAST(SUM(CASE WHEN value < 20.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS position_deletes,
+           CAST(SUM(CASE WHEN value < 20.0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS live_records
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """)
+def ledger_live_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-aware partition stats: manifest record counts per
+    partition MINUS position deletes attributed to their partitions —
+    the delete rows (file_path, pos) join back to the data files'
+    manifest partitions, so the whole computation is metadata + delete
+    files, never a data scan. The oracle recomputes per-day totals,
+    delete counts, and live counts from raw rows."""
+    from lakehouse_admin_spark.metadata import files_df
+    from lakehouse_admin_spark.sources.fixtures import build_events_mor_ledger
+
+    catalog = get_catalog(spark)
+    name = "events_mor_" + sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    tbl = build_events_mor_ledger(spark, sf_dir, catalog, name=name)
+    files = files_df(tbl)
+    data = files.filter(F.col("content") == 0).select(
+        F.concat(F.lit("file:"), F.col("file_path")).alias("uri"),
+        F.col("partition")["ts_day"].alias("ts_day"),
+        "record_count",
+    )
+    per_part = data.groupBy("ts_day").agg(
+        F.sum("record_count").alias("record_count")
+    )
+    delete_paths = [
+        e["file_path"]
+        for e in tbl.live_files()
+        if e.get("content", 0) == 1
+    ]
+    dels = spark.read.parquet(*delete_paths).select(F.col("file_path").alias("uri"))
+    per_part_dels = (
+        dels.join(F.broadcast(data.select("uri", "ts_day")), "uri")
+        .groupBy("ts_day")
+        .agg(F.count(F.lit(1)).alias("position_deletes"))
+    )
+    return (
+        per_part.join(per_part_dels, "ts_day", "left")
+        .select(
+            "ts_day",
+            "record_count",
+            F.coalesce(F.col("position_deletes"), F.lit(0)).alias("position_deletes"),
+            (F.col("record_count") - F.coalesce(F.col("position_deletes"), F.lit(0))).alias(
+                "live_records"
+            ),
+        )
+        .orderBy("ts_day")
+    )
