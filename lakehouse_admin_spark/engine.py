@@ -101,6 +101,15 @@ class LakehouseAdmin:
     def integrity(self, database: str, table: str) -> dict:
         return integrity_report(self.catalog.table(database, table))
 
+    # -- metadata tables ----------------------------------------------
+    def snapshots(self, database: str, table: str) -> DataFrame:
+        return md.snapshots_df(self.catalog.table(database, table))
+
+    def partitions(self, database: str, table: str) -> DataFrame:
+        return md.partitions_df(
+            self.catalog.table(database, table), self.settings.optimize_settings()
+        )
+
     # -- tasks ---------------------------------------------------------
     def plan_optimize(
         self,

@@ -329,12 +329,15 @@ class TaskQueue:
                 out[t.status] += 1
         return out
 
-    def flush(self, statuses: list[str] | None = None) -> int:
+    def flush(
+        self, statuses: list[str] | None = None, database: str | None = None
+    ) -> int:
         with self._lock:
             victims = [
                 tid
                 for tid, t in self._tasks.items()
-                if not statuses or t.status in statuses
+                if (not statuses or t.status in statuses)
+                and (database is None or t.database == database)
             ]
             for tid in victims:
                 del self._tasks[tid]

@@ -1,0 +1,136 @@
+"""S12 — HTTP JSON API: the reference's route table (backend/main.go:41-100)
+served over the engine facade, driven with a stdlib urllib client."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from lakehouse_admin_spark.engine import LakehouseAdmin
+from lakehouse_admin_spark.server import AdminHTTPServer
+from lakehouse_admin_spark.sources.fixtures import build_events_ledger
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh_http"))
+    admin = LakehouseAdmin(spark, wh)
+    admin.settings.set("small_file_threshold_bytes", str(10 * 1024 * 1024))
+    build_events_ledger(spark, SF_SMOKE, admin.catalog)
+    admin.refresh_all()
+    with AdminHTTPServer(admin) as srv:
+        yield f"http://127.0.0.1:{srv.port}", admin
+
+
+def _req(base: str, method: str, path: str, body: dict | None = None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(base + path, data=data, method=method)
+    if data:
+        req.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_catalog_and_describe(served):
+    base, _ = served
+    assert _req(base, "GET", "/api/iceberg/databases")[1] == {"databases": ["main"]}
+    assert _req(base, "GET", "/api/iceberg/main/tables")[1] == {
+        "tables": ["events_ledger"]
+    }
+    _, desc = _req(base, "GET", "/api/iceberg/main/events_ledger")
+    assert desc["partitions"] == ["year", "month", "day"]
+    _, snaps = _req(base, "GET", "/api/iceberg/main/events_ledger/snapshots")
+    assert snaps["snapshots"] and {"snapshot_id", "operation"} <= set(
+        snaps["snapshots"][0]
+    )
+    _, parts = _req(base, "GET", "/api/iceberg/main/events_ledger/partitions")
+    assert parts["partitions"] and "needs_optimize" in parts["partitions"][0]
+
+
+def test_browse_drilldown_and_files(served):
+    base, _ = served
+    _, tables = _req(base, "GET", "/api/browse/main/tables")
+    assert tables["tables"][0]["table"] == "events_ledger"
+    _, years = _req(
+        base, "POST", "/api/browse/main/events_ledger/partitions", {"partitions": {}}
+    )
+    y = years["partitions"][0]["name"]
+    _, months = _req(
+        base,
+        "POST",
+        "/api/browse/main/events_ledger/partitions",
+        {"partitions": {"year": y}},
+    )
+    m = months["partitions"][0]["name"]
+    _, days = _req(
+        base,
+        "POST",
+        "/api/browse/main/events_ledger/partitions",
+        {"partitions": {"year": y, "month": m}},
+    )
+    d = days["partitions"][0]["name"]
+    _, files = _req(
+        base,
+        "POST",
+        "/api/browse/main/events_ledger/files",
+        {"partitions": {"year": y, "month": m, "day": d}},
+    )
+    assert files["files"] and files["files"][0]["content"] == 0
+    # incomplete selection → 400, matching the facade's ValueError
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(
+            base,
+            "POST",
+            "/api/browse/main/events_ledger/files",
+            {"partitions": {"year": y}},
+        )
+    assert e.value.code == 400
+
+
+def test_task_flow_over_http(served):
+    base, admin = served
+    _, planned = _req(
+        base,
+        "POST",
+        "/api/tasks/main/events_ledger/optimize",
+        {"from": "2024-01-01", "to": "2024-01-03", "chunk_by": "daily"},
+    )
+    assert planned["tasks"]
+    # int64 ids serialize as strings (reference JSON contract)
+    assert all(isinstance(t["id"], str) for t in planned["tasks"])
+    _, counts = _req(base, "GET", "/api/tasks/counts")
+    assert counts["queued"] >= 1
+    _, page = _req(base, "GET", "/api/tasks/main")
+    assert page["total"] >= len(planned["tasks"])
+    _, done = _req(base, "POST", "/api/worker/run")
+    assert done["completed"] >= 1
+    _, expire = _req(
+        base,
+        "POST",
+        "/api/tasks/main/events_ledger/expire-snapshots",
+        {"retention_days": 1},
+    )
+    assert expire["kind"] == "expire_snapshots"
+    _, flushed = _req(base, "DELETE", "/api/tasks/main")
+    assert flushed["deleted"] >= 1
+    assert _req(base, "GET", "/api/tasks")[1]["total"] == 0
+
+
+def test_settings_refresh_integrity(served):
+    base, _ = served
+    _, got = _req(base, "GET", "/api/settings/task-concurrency")
+    before = got["value"]
+    _, put = _req(base, "PUT", "/api/settings/task-concurrency", {"value": before + 1})
+    assert put["value"] == before + 1
+    _, counts = _req(base, "GET", "/api/refresh/main/events_ledger")
+    assert counts  # refresh returns its upsert counts
+    _, report = _req(base, "GET", "/api/integrity/main/events_ledger")
+    assert report["missing_file_count"] == 0 and report["ok"]
+    # unknown route → 404 JSON error
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "GET", "/api/nope")
+    assert e.value.code == 404
