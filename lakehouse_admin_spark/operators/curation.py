@@ -1,0 +1,307 @@
+r"""Training-corpus curation operators over the ``documents`` table.
+
+The downstream half of a pretraining data pipeline (no counterpart in
+the reference, which manages tables, not corpora): deterministic
+stratified sampling, benchmark-contamination detection, concat-and-chunk
+sequence packing, mixture-weight computation, and PII pattern counts.
+
+Everything is built-in Spark SQL (JVM-side, whole-stage codegen) — no
+Python UDFs — and every randomized-looking step is md5-derived so the
+DuckDB oracle replays it bit-for-bit:
+
+- sampling keeps a doc when ``substr(md5(doc_id), 1, 4)`` falls below a
+  per-source hex threshold — rate control with zero RNG state, stable
+  under re-runs and partition changes (the property a 100 TB pipeline
+  needs: re-executing a failed stage must not change the sample).
+- contamination joins corpus 5-gram shingles against a broadcast eval
+  set; the shuffle key is the shingle, never a doc pair, so cost is the
+  posting-list size, not |corpus| × |eval|.
+- packing is one window cumsum per source partition: chunk ids are
+  arithmetic over the running token count, not a sequential scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_admin_spark.operators.dedup import shingles_expr, tokens_expr
+from lakehouse_admin_spark.registry import query
+from lakehouse_admin_spark.sources.tables import load_table
+
+# Per-source sampling rates as 16-bit hex thresholds: a doc survives when
+# the first 4 hex chars of md5(doc_id) sort below the threshold, so
+# '4000' keeps ~25%, 'c000' ~75%. Even/odd sources get different rates to
+# make the stratification visible in the output.
+SAMPLE_THRESHOLDS = {f"src{i}": ("c000" if i % 2 == 0 else "4000") for i in range(20)}
+
+SEQ_LEN = 256  # tokens per packed training sequence (concat-and-chunk)
+
+# Deterministic eval split for the contamination check: ~5% of doc ids.
+EVAL_MOD, EVAL_KEEP = 100, 5
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def _sample_key() -> F.Column:
+    return F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+
+
+@query(
+    "stratified_sample",
+    oracle=r"""
+    WITH rates AS (
+        SELECT 'src' || CAST(i AS VARCHAR) AS source,
+               CASE WHEN i % 2 = 0 THEN 'c000' ELSE '4000' END AS threshold
+        FROM range(0, 20) t(i)
+    )
+    SELECT d.doc_id, d.source, r.threshold
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.threshold
+    ORDER BY d.doc_id
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsampling: md5-keyed keep decision
+    against a broadcast per-source threshold table.
+
+    The rates table joins broadcast (20 rows); the keep predicate is a
+    scan-local projection+filter, so the whole sample is one pass with
+    no shuffle — and the same doc survives no matter how the input is
+    partitioned or how many times a stage retries.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [(s, t) for s, t in SAMPLE_THRESHOLDS.items()], "source string, threshold string"
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(_sample_key() < F.col("threshold"))
+        .select("doc_id", "source", "threshold")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "contamination_check",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+               )) AS shingles
+        FROM tok WHERE len(w) >= 4
+    ),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+    eval_grams AS (
+        SELECT DISTINCT shingle FROM ex WHERE doc_id % 100 < 5
+    ),
+    corpus AS (SELECT * FROM ex WHERE doc_id % 100 >= 5),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+    hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_shared
+        FROM corpus c JOIN eval_grams e ON c.shingle = e.shingle
+        GROUP BY c.doc_id
+    )
+    SELECT h.doc_id, h.n_shared, s.n_shingles,
+           ROUND(h.n_shared / CAST(s.n_shingles AS DOUBLE), 4) AS overlap
+    FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+    ORDER BY h.doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination report: for each corpus document, the
+    count and share of its distinct 4-gram shingles that also occur in
+    the held-out eval split (doc_id % 100 < 5).
+
+    Plan shape: one shingle posting list, split into eval/corpus sides;
+    the eval side is distinct-ed and broadcast (the eval set is the
+    small, curated side by construction), so the probe is a broadcast
+    hash join against the corpus postings — no shuffle keyed on doc
+    pairs, and the corpus side streams. Only contaminated docs
+    (n_shared > 0) are emitted, which is the report a decontamination
+    pass consumes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ex = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", tokens_expr(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 4)
+        .select("doc_id", F.explode(shingles_expr(F.col("w"), n=4)).alias("shingle"))
+    )
+    is_eval = (F.col("doc_id") % EVAL_MOD) < EVAL_KEEP
+    eval_grams = ex.filter(is_eval).select("shingle").distinct()
+    corpus = ex.filter(~is_eval)
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(eval_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_shared",
+            "n_shingles",
+            F.round(F.col("n_shared") / F.col("n_shingles").cast("double"), 4).alias("overlap"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        FROM tok WHERE n_tokens > 0
+    )
+    SELECT doc_id, source, n_tokens, start_tok,
+           CAST(start_tok // {SEQ_LEN} AS BIGINT) AS first_chunk,
+           CAST((start_tok + n_tokens - 1) // {SEQ_LEN} AS BIGINT) AS last_chunk
+    FROM cum
+    ORDER BY doc_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    doc_id order within each source and cut into SEQ_LEN-token training
+    sequences; each doc's span of chunk ids is pure arithmetic over the
+    running token count.
+
+    One window cumsum per source partition — the shuffle is keyed on
+    source, and chunk assignment needs no sequential pass. At 100 TB
+    the partition key becomes (source, shard) with per-shard chunk-id
+    offsets composed the same way (cumsum of shard totals), which keeps
+    every window bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # repartition BY SOURCE (not round-robin): it satisfies the window's
+    # required hashpartitioning(source) so no second exchange appears,
+    # while still spreading the tokenizer off the single-row-group scan.
+    toks = (
+        docs.repartition("source")
+        .select("doc_id", "source", tokens_expr(F.col("text")).alias("w"))
+        .select("doc_id", "source", F.size("w").cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = toks.withColumn("start_tok", F.coalesce(F.sum("n_tokens").over(win), F.lit(0)))
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_tok",
+        (F.col("start_tok") / SEQ_LEN).cast("long").alias("first_chunk"),
+        ((F.col("start_tok") + F.col("n_tokens") - 1) / SEQ_LEN).cast("long").alias("last_chunk"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "mixture_weights",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    per_source AS (
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM tok GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens,
+           ROUND(total_tokens / CAST(SUM(total_tokens) OVER () AS DOUBLE), 6) AS actual_share,
+           ROUND(0.05 / (total_tokens / CAST(SUM(total_tokens) OVER () AS DOUBLE)), 4)
+               AS weight_to_uniform
+    FROM per_source
+    ORDER BY source
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token shares and the sampling weight that would move
+    the mixture to uniform (1/20 per source) — the bookkeeping behind a
+    domain-mixing config.
+
+    Partial-aggregating groupBy to 20 rows, then a trivial global
+    window over those 20 rows; the expensive side is map-side combined
+    and nothing larger than the source list is ever shuffled.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("source", F.size(tokens_expr(F.col("text"))).cast("long").alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+    )
+    total = Window.partitionBy()
+    share = F.col("total_tokens") / F.sum("total_tokens").over(total).cast("double")
+    return per_source.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(share, 6).alias("actual_share"),
+        F.round(F.lit(1.0 / len(SAMPLE_THRESHOLDS)) / share, 4).alias("weight_to_uniform"),
+    ).orderBy("source")
+
+
+@query(
+    "pii_counts",
+    oracle=rf"""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '{PII_EMAIL}'))) AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(text, '{PII_PHONE}'))) AS BIGINT) AS n_phones,
+           CAST(SUM(CASE WHEN regexp_matches(text, '{PII_EMAIL}')
+                           OR regexp_matches(text, '{PII_PHONE}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_docs
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure report: per-source counts of email- and phone-shaped
+    matches plus how many documents carry at least one. The detection is
+    regexp_extract_all in the scan projection (codegen'd, no UDF); a
+    scrubbing pass would reuse the same patterns with regexp_replace.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0))
+    n_phones = F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), 0))
+    return (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "source",
+            n_emails.alias("e"),
+            n_phones.alias("p"),
+            ((n_emails > 0) | (n_phones > 0)).cast("int").alias("flagged"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("e").cast("long").alias("n_emails"),
+            F.sum("p").cast("long").alias("n_phones"),
+            F.sum("flagged").cast("long").alias("n_flagged_docs"),
+        )
+        .orderBy("source")
+    )

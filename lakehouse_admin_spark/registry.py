@@ -54,6 +54,7 @@ def load_all_operators() -> None:
         advanced,
         analyze,
         browse,
+        curation,
         dedup,
         ledger_ops,
         multimodal,

@@ -182,3 +182,26 @@ def test_incremental_near_dup_equals_full_restricted(spark):
     incr = q("incremental_near_dup")(spark, SF_SMOKE).collect()
     expect = [r for r in full if r.doc_a % 10 == 0 or r.doc_b % 10 == 0]
     assert sorted(map(tuple, incr)) == sorted(map(tuple, expect))
+
+
+def test_contamination_broadcasts_eval_grams(spark):
+    """The eval-shingle side must broadcast: the probe is a broadcast
+    hash join against corpus postings, never a doc-pair shuffle."""
+    df = q("contamination_check")(spark, SF_SMOKE)
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert not has_cartesian(df)
+
+
+def test_stratified_sample_single_pass(spark):
+    """Rates table broadcasts; the keep-filter runs scan-local, so the
+    only exchange is the final presentation sort."""
+    df = q("stratified_sample")(spark, SF_SMOKE)
+    assert join_strategies(df) == ["BroadcastHashJoin"]
+    assert exchange_count(df) <= 1
+
+
+def test_sequence_packing_one_shuffle(spark):
+    """One window cumsum keyed on source + the presentation sort: no
+    third exchange may appear."""
+    df = q("sequence_packing")(spark, SF_SMOKE)
+    assert exchange_count(df) <= 2
