@@ -47,6 +47,8 @@ HEADLINE = [
     "embedding_lsh_near_dup",
     "text_quality",
     "token_frequencies",
+    "contamination_check",
+    "sequence_packing",
     "user_sessions",
     "sql_cte_revenue",
     "ledger_partition_stats",
