@@ -408,20 +408,28 @@ class LedgerTable:
         with open(os.path.join(self.meta_dir, "commit.lock"), "w") as lock_fh:
             fcntl.flock(lock_fh, fcntl.LOCK_EX)
             try:
-                cur = self._load_meta().get("current_snapshot_id")
-                if cur != expected:
-                    raise CommitConflictError(
-                        f"{self.database}.{self.name}: commit built against "
-                        f"snapshot {expected} but current is {cur}"
-                    )
+                self._check_head(expected)
                 snap._table = self
                 self._write_snapshot(snap)
-                meta = self._load_meta()
-                meta["current_snapshot_id"] = snap.snapshot_id
-                meta["last_updated_ms"] = snap.committed_at_ms
-                self._store_meta(meta)
+                self._advance_pointer(snap)
             finally:
                 fcntl.flock(lock_fh, fcntl.LOCK_UN)
+
+    def _check_head(self, expected: int | None) -> None:
+        """Caller holds commit.lock: verify the head hasn't moved."""
+        cur = self._load_meta().get("current_snapshot_id")
+        if cur != expected:
+            raise CommitConflictError(
+                f"{self.database}.{self.name}: commit built against "
+                f"snapshot {expected} but current is {cur}"
+            )
+
+    def _advance_pointer(self, snap: "Snapshot") -> None:
+        """Caller holds commit.lock: swap the current-snapshot pointer."""
+        meta = self._load_meta()
+        meta["current_snapshot_id"] = snap.snapshot_id
+        meta["last_updated_ms"] = snap.committed_at_ms
+        self._store_meta(meta)
 
     def _next_snapshot_id(self) -> int:
         snaps = self.snapshots()
@@ -434,10 +442,15 @@ class LedgerTable:
         added: list[dict],
         removed: list[str],
         parent: "Snapshot | None",
+        prepare: bool = False,
     ) -> Snapshot:
         """Commit as an O(delta) snapshot, folding to a full list every
         FOLD_EVERY commits (and for the first commit) so delta chains —
-        and thus materialization cost — stay bounded."""
+        and thus materialization cost — stay bounded.
+
+        ``prepare=True`` stages the snapshot (file written, pointer NOT
+        moved) for a WarehouseTransaction — the ledger analog of an
+        Iceberg stage-only (WAP) commit."""
         depth = (parent.depth + 1) if parent is not None else 0
         snap = Snapshot(
             snapshot_id=self._next_snapshot_id(),
@@ -452,6 +465,9 @@ class LedgerTable:
         snap._table = self
         if parent is None or depth >= FOLD_EVERY:
             snap = snap.fold()
+        if prepare:
+            self._write_snapshot(snap)
+            return snap
         self._commit(snap)
         return snap
 
@@ -714,7 +730,12 @@ class LedgerTable:
         entries.sort(key=lambda e: e["file_path"])
         return entries
 
-    def append(self, df: DataFrame, extra_summary: dict[str, str] | None = None) -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        extra_summary: dict[str, str] | None = None,
+        prepare: bool = False,
+    ) -> Snapshot:
         """Append commit — the hot path (streaming sinks land here):
         O(delta) end to end. Running totals come from the PARENT's
         summary, so neither the commit JSON nor driver memory ever
@@ -744,12 +765,13 @@ class LedgerTable:
                     added=new_files,
                     removed=[],
                     parent=parent,
+                    prepare=prepare,
                 )
             except CommitConflictError as ex:  # re-read head and retry
                 last_err = ex
         raise last_err
 
-    def overwrite(self, df: DataFrame) -> Snapshot:
+    def overwrite(self, df: DataFrame, prepare: bool = False) -> Snapshot:
         new_files = self._stage_write(df)
         cur = self.current_snapshot_id()
         snap = Snapshot(
@@ -764,10 +786,14 @@ class LedgerTable:
             },
             files=new_files,  # full replacement IS the fold
         )
+        if prepare:
+            snap._table = self
+            self._write_snapshot(snap)
+            return snap
         self._commit(snap)
         return snap
 
-    def delete_partitions(self, predicate) -> Snapshot:
+    def delete_partitions(self, predicate, prepare: bool = False) -> Snapshot:
         """File-level delete: drop every data file whose partition tuple
         matches ``predicate`` (dict[str,str] -> bool). Mirrors partition-
         scoped DELETE on an Iceberg table (metadata-only when aligned to
@@ -787,6 +813,7 @@ class LedgerTable:
             added=[],
             removed=removed,
             parent=parent,
+            prepare=prepare,
         )
 
     def replace_files(
@@ -1002,6 +1029,17 @@ class LedgerCatalog:
         self.spark = spark
         self.warehouse = warehouse
         os.makedirs(warehouse, exist_ok=True)
+        # heal any crashed multi-table transaction before new work: the
+        # partial-commit window closes at catalog open (transactions.py)
+        from lakehouse_admin_spark.sources.transactions import recover_pending
+
+        recover_pending(self)
+
+    def transaction(self):
+        """Begin a multi-table atomic transaction (see transactions.py)."""
+        from lakehouse_admin_spark.sources.transactions import WarehouseTransaction
+
+        return WarehouseTransaction(self)
 
     def create_database(self, database: str) -> None:
         _validate_ident(database)
