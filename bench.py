@@ -73,29 +73,41 @@ def main() -> None:
 
     # Untimed warm pass: one-time fixture builds (ledger fixtures,
     # bucketed fact materialization) happen HERE, so the timed pass
-    # below measures the queries, not their setup.
+    # below measures the queries, not their setup. A query that crashes
+    # costs its own data point, never the whole artifact — record the
+    # error and keep going (r2 lost its entire bench to one broken
+    # query aborting the warm pass).
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        registry.QUERIES[name].fn(spark, sf_dir).collect()
+        try:
+            registry.QUERIES[name].fn(spark, sf_dir).collect()
+        except Exception as exc:  # noqa: BLE001 — must not lose the artifact
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if name in errors:
+            continue
         spec = registry.QUERIES[name]
         t0 = time.perf_counter()
-        rows = spec.fn(spark, sf_dir).collect()
+        try:
+            rows = spec.fn(spark, sf_dir).collect()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         assert rows is not None
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out: dict = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -51,6 +51,56 @@ class MetadataCache:
     # ------------------------------------------------------------------
     # refresh (M5)
     # ------------------------------------------------------------------
+    def _build_entity(
+        self,
+        catalog: LedgerCatalog,
+        database: str,
+        name: str,
+        entity: str,
+        settings: OptimizeSettings | None = None,
+    ) -> DataFrame:
+        """One table's fresh cache rows for ``partitions`` or
+        ``snapshots`` (JSON-flattened so the cache parquet schema is
+        stable across tables with different partition specs)."""
+        tbl = catalog.table(database, name)
+        if entity == "partitions":
+            return (
+                partitions_df(tbl, settings)
+                .withColumn("database", F.lit(database))
+                .withColumn("table", F.lit(name))
+                .withColumn("partition_json", F.to_json(F.col("partition")))
+                .withColumn("browse_json", F.to_json(F.col("partition_browse")))
+                .drop("partition", "partition_browse", "partition_key")
+            )
+        if entity == "snapshots":
+            return (
+                snapshots_df(tbl)
+                .withColumn("database", F.lit(database))
+                .withColumn("table", F.lit(name))
+                .withColumn("summary_json", F.to_json(F.col("summary")))
+                .drop("summary", "committed_at")
+            )
+        raise KeyError(f"unknown cache entity {entity!r}")
+
+    def refresh_entity(
+        self,
+        catalog: LedgerCatalog,
+        database: str,
+        name: str,
+        entity: str,
+        settings: OptimizeSettings | None = None,
+    ) -> DataFrame:
+        """Partial refresh of ONE entity for one table (reference:
+        service_refresh.go RefreshPartitions/RefreshSnapshots behind
+        GET /api/refresh/:db/:table/partitions|snapshots). Dynamic
+        partition overwrite replaces exactly this table's slice; returns
+        the refreshed rows (the handlers echo them back)."""
+        df = self._build_entity(catalog, database, name, entity, settings)
+        df.write.mode("overwrite").partitionBy("database", "table").parquet(
+            self._path(entity)
+        )
+        return self.cached(entity, database, name)
+
     def refresh_table(
         self,
         catalog: LedgerCatalog,
@@ -62,32 +112,25 @@ class MetadataCache:
         partition overwrite replaces exactly this table's cache slice
         (the DELETE+INSERT of service_refresh.go:121-199 as one
         distributed write)."""
-        tbl = catalog.table(database, name)
-        parts = (
-            partitions_df(tbl, settings)
-            .withColumn("database", F.lit(database))
-            .withColumn("table", F.lit(name))
-            .withColumn("partition_json", F.to_json(F.col("partition")))
-            .withColumn("browse_json", F.to_json(F.col("partition_browse")))
-            .drop("partition", "partition_browse", "partition_key")
+        counts = {}
+        for entity in ("partitions", "snapshots"):
+            counts[entity] = self.refresh_entity(
+                catalog, database, name, entity, settings
+            ).count()
+        return counts
+
+    # ------------------------------------------------------------------
+    # cached reads (the /api/metadata listings)
+    # ------------------------------------------------------------------
+    def cached(self, entity: str, database: str, table: str) -> DataFrame:
+        """Cached rows for one (database, table) without touching the
+        live catalog (reference: handler_metadata.go:36-54 — SELECT from
+        the MySQL cache). The cache parquet is Hive-partitioned on
+        (database, table), so this read partition-prunes to exactly one
+        directory regardless of catalog size."""
+        return self.read(entity).filter(
+            (F.col("database") == database) & (F.col("table") == table)
         )
-        snaps = (
-            snapshots_df(tbl)
-            .withColumn("database", F.lit(database))
-            .withColumn("table", F.lit(name))
-            .withColumn("summary_json", F.to_json(F.col("summary")))
-            .drop("summary", "committed_at")
-        )
-        parts.write.mode("overwrite").partitionBy("database", "table").parquet(
-            self._path("partitions")
-        )
-        snaps.write.mode("overwrite").partitionBy("database", "table").parquet(
-            self._path("snapshots")
-        )
-        return {
-            "partitions": parts.count(),
-            "snapshots": snaps.count(),
-        }
 
     def refresh_all(
         self, catalog: LedgerCatalog, settings: OptimizeSettings | None = None

@@ -32,6 +32,7 @@ import datetime as dt
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from lakehouse_admin_spark import maintenance as mnt
 from lakehouse_admin_spark import metadata as md
@@ -101,6 +102,63 @@ class LakehouseAdmin:
     def integrity(self, database: str, table: str) -> dict:
         return integrity_report(self.catalog.table(database, table))
 
+    def refresh_partitions(self, database: str, table: str) -> DataFrame:
+        """Partial refresh: recompute + return this table's cached
+        partitions only (reference: handler_refresh.go RefreshPartitions)."""
+        return self.cache.refresh_entity(
+            self.catalog, database, table, "partitions", self.settings.optimize_settings()
+        )
+
+    def refresh_snapshots(self, database: str, table: str) -> DataFrame:
+        """Partial refresh: recompute + return this table's cached
+        snapshots only (reference: handler_refresh.go RefreshSnapshots)."""
+        return self.cache.refresh_entity(self.catalog, database, table, "snapshots")
+
+    def refresh_database(self, database: str) -> dict[str, int]:
+        """Refresh every table in one database (reference:
+        service_refresh.go RefreshDatabase)."""
+        n = {"tables": 0, "partitions": 0, "snapshots": 0}
+        for t in self.catalog.list_tables(database):
+            counts = self.cache.refresh_table(
+                self.catalog, database, t, self.settings.optimize_settings()
+            )
+            n["tables"] += 1
+            n["partitions"] += counts["partitions"]
+            n["snapshots"] += counts["snapshots"]
+        return n
+
+    def refresh_tables(self) -> dict[str, int]:
+        """Sync the cached table list against the live catalog: drop
+        cache slices for tables that no longer exist (reference:
+        service_refresh.go:62-89 RefreshAllTables — list live, diff
+        stored, delete stale)."""
+        live = [
+            (db, t)
+            for db in self.catalog.list_databases()
+            for t in self.catalog.list_tables(db)
+        ]
+        return {"tables": len(live), "stale_removed": self.cache.remove_stale(live)}
+
+    # -- cached metadata listings (reference: handler_metadata.go) -----
+    def cached_partitions(self, database: str, table: str) -> DataFrame:
+        return self.cache.cached("partitions", database, table)
+
+    def cached_snapshots(self, database: str, table: str) -> DataFrame:
+        return self.cache.cached("snapshots", database, table)
+
+    def table_summary(self, database: str, table: str) -> dict:
+        """Single-table summary from the cache (reference:
+        handler_browse.go:101-115 TableSummary)."""
+        rows = (
+            self.list_tables_with_summaries(database)
+            .filter(F.col("table") == table)
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            raise KeyError(f"table {database}.{table} not in cache — refresh first")
+        return rows[0].asDict(recursive=True)
+
     # -- metadata tables ----------------------------------------------
     def snapshots(self, database: str, table: str) -> DataFrame:
         return md.snapshots_df(self.catalog.table(database, table))
@@ -141,6 +199,76 @@ class LakehouseAdmin:
 
     def enqueue_orphans(self, database: str, table: str) -> tsk.Task:
         return self.tasks.enqueue(database, table, tsk.KIND_ORPHANS, {})
+
+    # -- batch maintenance (reference: handler_maintenance.go,
+    #    service_tasks.go:138-186,298-330) --------------------------------
+    @staticmethod
+    def _enqueue_batch(tables: list[str], enqueue_one) -> dict:
+        """Per-table enqueue with per-table failure isolation; the
+        reference's BatchEnqueueResult shape (task_ids as strings —
+        int64-in-JS pinning, like Task.to_json)."""
+        result = {"task_ids": [], "enqueued_count": 0, "failed_tables": []}
+        for table in tables:
+            try:
+                ids = enqueue_one(table)
+            except Exception as exc:  # noqa: BLE001 — isolate per table
+                result["failed_tables"].append({"table": table, "error": str(exc)})
+                continue
+            result["task_ids"].extend(str(i) for i in ids)
+            result["enqueued_count"] += len(ids)
+        return result
+
+    def enqueue_expire_batch(
+        self, database: str, tables: list[str], retention_days: int
+    ) -> dict:
+        def one(t: str) -> list[int]:
+            self.catalog.table(database, t)  # existence check → failed_tables
+            return [self.enqueue_expire(database, t, retention_days).id]
+
+        return self._enqueue_batch(tables, one)
+
+    def enqueue_orphans_batch(self, database: str, tables: list[str]) -> dict:
+        def one(t: str) -> list[int]:
+            self.catalog.table(database, t)  # existence check → failed_tables
+            return [self.enqueue_orphans(database, t).id]
+
+        return self._enqueue_batch(tables, one)
+
+    def enqueue_optimize_batch(
+        self,
+        database: str,
+        tables: list[dict],
+        date_from: dt.date,
+        date_until: dt.date,
+    ) -> dict:
+        """Batch optimize across tables, one planned chunk-task set per
+        table (reference: service_tasks.go:150-186 EnqueueOptimizeBatch;
+        normalization per normalizeBatchOptimizeTables:500-520 —
+        trim, drop empties, first-occurrence dedupe)."""
+        if date_from > date_until:
+            raise ValueError("from date must be before or equal to the to date")
+        normalized: list[tuple[str, str]] = []
+        seen: set[str] = set()
+        for spec in tables:
+            name = (spec.get("table") or "").strip()
+            if not name or name in seen:
+                continue
+            seen.add(name)
+            normalized.append((name, (spec.get("chunk_by") or "daily").strip()))
+        if not normalized:
+            raise ValueError("at least one table must be provided")
+        result = {"task_ids": [], "enqueued_count": 0, "failed_tables": []}
+        for name, chunk_by in normalized:
+            try:
+                planned = self.plan_optimize(
+                    database, name, date_from, date_until, chunking=chunk_by
+                )
+            except Exception as exc:  # noqa: BLE001
+                result["failed_tables"].append({"table": name, "error": str(exc)})
+                continue
+            result["task_ids"].extend(str(t.id) for t in planned)
+            result["enqueued_count"] += len(planned)
+        return result
 
     def run_worker(self, max_tasks: int = 100) -> int:
         return tsk.run_worker_cycle(self.tasks, self.catalog, max_tasks)

@@ -185,6 +185,27 @@ class AdminHTTPServer:
             a.settings.set("task_concurrency", str(int(body["value"])))
             return {"value": a.settings.get_int("task_concurrency")}
 
+        def batch_optimize(body, database):
+            body = body or {}
+            if not body.get("from") or not body.get("to"):
+                raise ValueError("from and to dates are required for optimize")
+            return a.enqueue_optimize_batch(
+                database,
+                body.get("tables") or [],
+                dt.date.fromisoformat(body["from"][:10]),
+                dt.date.fromisoformat(body["to"][:10]),
+            )
+
+        def procedure_callback(body, id):
+            body = body or {}
+            a.tasks.procedure_callback(
+                int(id),
+                query=body.get("query", ""),
+                rows=body.get("rows"),
+                meta=body.get("meta"),
+            )
+            return {"status": "ok"}
+
         r = _Route
         return [
             # -- iceberg (catalog) -- main.go:91-100
@@ -217,10 +238,39 @@ class AdminHTTPServer:
                       a.list_partition_files(database, table, (b or {}).get("partitions", {}))
                   )
               }),
-            # -- refresh -- main.go:74-81
+            # -- browse table summary -- main.go:86 (after the static
+            #    /:database/tables route so "tables" wins the match)
+            r("GET", "/api/browse/:database/:table",
+              lambda b, database, table: a.table_summary(database, table)),
+            # -- metadata (cached listings, no catalog touch) -- main.go:68-72
+            r("GET", "/api/metadata/:database/:table/partitions",
+              lambda b, database, table: df_rows(a.cached_partitions(database, table))),
+            r("GET", "/api/metadata/:database/:table/snapshots",
+              lambda b, database, table: df_rows(a.cached_snapshots(database, table))),
+            # -- maintenance (per-database batch) -- main.go:41-46
+            r("POST", "/api/maintenance/:database/expire-snapshots",
+              lambda b, database: a.enqueue_expire_batch(
+                  database,
+                  (b or {}).get("tables") or [],
+                  int((b or {}).get("retention_days", 0)),
+              )),
+            r("POST", "/api/maintenance/:database/remove-orphan-files",
+              lambda b, database: a.enqueue_orphans_batch(
+                  database, (b or {}).get("tables") or []
+              )),
+            r("POST", "/api/maintenance/:database/optimize", batch_optimize),
+            # -- refresh -- main.go:74-81 (static segments first)
             r("GET", "/api/refresh/full", lambda b: a.refresh_all()),
+            r("GET", "/api/refresh/tables",
+              lambda b: {"status": "ok", **a.refresh_tables()}),
+            r("GET", "/api/refresh/:database/:table/partitions",
+              lambda b, database, table: df_rows(a.refresh_partitions(database, table))),
+            r("GET", "/api/refresh/:database/:table/snapshots",
+              lambda b, database, table: df_rows(a.refresh_snapshots(database, table))),
             r("GET", "/api/refresh/:database/:table",
               lambda b, database, table: a.refresh(database, table)),
+            r("GET", "/api/refresh/:database",
+              lambda b, database: {"status": "ok", **a.refresh_database(database)}),
             # -- integrity (engine extra; reference exposes via iceberg svc)
             r("GET", "/api/integrity/:database/:table",
               lambda b, database, table: a.integrity(database, table)),
@@ -229,6 +279,11 @@ class AdminHTTPServer:
             r("POST", "/api/tasks/retry-all",
               lambda b: {"retried_count": len(a.tasks.retry_all())}),
             r("POST", "/api/tasks/retry/:id", retry),
+            r("POST", "/api/tasks/callback/:id/result", procedure_callback),
+            r("POST", "/api/tasks/:database/retry-all",
+              lambda b, database: {
+                  "retried_count": len(a.tasks.retry_all(database))
+              }),
             r("POST", "/api/tasks/:database/:table/optimize", optimize),
             r("POST", "/api/tasks/:database/:table/expire-snapshots",
               lambda b, database, table: a.enqueue_expire(

@@ -47,6 +47,17 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # testdata writes timestamp[us] without the UTC flag; read it as
+        # TIMESTAMP_LTZ (not NTZ) so event-time ops (unix_micros,
+        # watermarks) work. load_table also normalizes type-driven for
+        # vanilla sessions.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # write TIMESTAMP_LTZ as annotated int64 micros, not legacy INT96:
+        # INT96 carries no usable footer min/max stats, which would break
+        # manifest-level file skipping on timestamp columns (ledger
+        # column_stats) and stats-based pruning on any engine reading our
+        # output.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

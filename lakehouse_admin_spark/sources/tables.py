@@ -37,11 +37,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL). We read
-    nanos as long (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a
-    microsecond timestamp — lossless here (fixture timestamps are
-    µs-aligned), and the conversion is a codegen'd projection, not a UDF.
+    ``events.ts`` has drifted across testdata generations, so the load is
+    type-driven rather than generation-driven:
+
+    - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+      (PARQUET_TYPE_ILLEGAL), so we read nanos as long
+      (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a microsecond
+      timestamp — lossless (fixture timestamps are µs-aligned).
+    - parquet timestamp[us] without the UTC flag: Spark 4 infers
+      TIMESTAMP_NTZ (`spark.sql.parquet.inferTimestampNTZ.enabled`
+      defaults true), which event-time APIs (`unix_micros`, watermarks)
+      reject. Cast to TIMESTAMP_LTZ — value-preserving under the UTC
+      session timezone set in session.py.
+
+    Both normalizations are codegen'd projections, not UDFs; the scan
+    keeps predicate pushdown + column pruning.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -53,6 +63,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

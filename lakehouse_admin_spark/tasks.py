@@ -286,13 +286,54 @@ class TaskQueue:
             self._persist()
             return clone
 
-    def retry_all(self) -> list[Task]:
-        """Bulk retry ordered by started_at (reference: :115-122)."""
+    def retry_all(self, database: str | None = None) -> list[Task]:
+        """Bulk retry ordered by started_at, optionally scoped to one
+        database (reference: service_task_queue.go:115-122; the per-db
+        variant backs POST /api/tasks/:database/retry-all,
+        handler_tasks.go:158-167)."""
         candidates = sorted(
-            (t for t in self._tasks.values() if t.status == ERROR and not t.retried),
+            (
+                t
+                for t in self._tasks.values()
+                if t.status == ERROR
+                and not t.retried
+                and (database is None or t.database == database)
+            ),
             key=lambda t: (t.started_at, t.id),
         )
         return [c for t in candidates if (c := self.retry(t.id))]
+
+    # -- T11 async procedure callback ---------------------------------
+    def procedure_callback(
+        self,
+        task_id: int,
+        query: str,
+        rows: list[dict] | None = None,
+        meta: dict | None = None,
+    ) -> None:
+        """Record a Spark-procedure result reported back by an async job
+        (reference: service_tasks.go:346-375 UpdateProcedureResult —
+        spark-engine-only, running-only, merged under the "procedure"
+        nested key with a receipt timestamp)."""
+        with self._exclusive():
+            t = self._tasks.get(task_id)
+            if t is None:
+                raise KeyError(f"task {task_id} not found")
+            if t.engine != "spark":
+                raise ValueError(f"task {task_id} does not use spark engine")
+            if t.status != RUNNING:
+                raise ValueError(
+                    f"task {task_id} cannot accept procedure callback in status {t.status}"
+                )
+            result = {
+                "query": query,
+                "rows": rows or [],
+                "received_at": self._now().isoformat(),
+            }
+            if meta:
+                result["meta"] = meta
+            t.result = merge_result(t.result, result, nested_key="procedure")
+            self._persist()
 
     # -- T6 list/counts/flush -----------------------------------------
     def list(

@@ -120,6 +120,125 @@ def test_task_flow_over_http(served):
     assert _req(base, "GET", "/api/tasks")[1]["total"] == 0
 
 
+def test_browse_table_summary(served):
+    base, _ = served
+    _, summary = _req(base, "GET", "/api/browse/main/events_ledger")
+    assert summary["table"] == "events_ledger"
+    assert summary["partition_count"] >= 1 and summary["snapshot_count"] >= 1
+    # the static /tables route must still win over /:table
+    _, tables = _req(base, "GET", "/api/browse/main/tables")
+    assert isinstance(tables["tables"], list)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "GET", "/api/browse/main/not_a_table")
+    assert e.value.code == 404
+
+
+def test_metadata_cached_listings(served):
+    base, admin = served
+    _, parts = _req(base, "GET", "/api/metadata/main/events_ledger/partitions")
+    assert parts and parts[0]["database"] == "main"
+    assert "needs_optimize" in parts[0]
+    _, snaps = _req(base, "GET", "/api/metadata/main/events_ledger/snapshots")
+    assert snaps and {"snapshot_id", "operation"} <= set(snaps[0])
+    # cached listing matches the cache, not a live recompute
+    assert len(parts) == admin.cached_partitions("main", "events_ledger").count()
+
+
+def test_partial_refresh_routes(served):
+    base, admin = served
+    _, parts = _req(base, "GET", "/api/refresh/main/events_ledger/partitions")
+    assert parts and parts[0]["table"] == "events_ledger"
+    _, snaps = _req(base, "GET", "/api/refresh/main/events_ledger/snapshots")
+    assert snaps and "snapshot_id" in snaps[0]
+    _, db = _req(base, "GET", "/api/refresh/main")
+    assert db["status"] == "ok" and db["tables"] >= 1
+    _, tl = _req(base, "GET", "/api/refresh/tables")
+    assert tl["status"] == "ok" and tl["stale_removed"] == 0
+
+
+def test_maintenance_batch_routes(served):
+    base, admin = served
+    _, expire = _req(
+        base,
+        "POST",
+        "/api/maintenance/main/expire-snapshots",
+        {"tables": ["events_ledger", "missing_table"], "retention_days": 10},
+    )
+    assert expire["enqueued_count"] == 1
+    assert [f["table"] for f in expire["failed_tables"]] == ["missing_table"]
+    assert all(isinstance(i, str) for i in expire["task_ids"])
+    _, orphans = _req(
+        base,
+        "POST",
+        "/api/maintenance/main/remove-orphan-files",
+        {"tables": ["events_ledger"]},
+    )
+    assert orphans["enqueued_count"] == 1 and orphans["failed_tables"] == []
+    _, opt = _req(
+        base,
+        "POST",
+        "/api/maintenance/main/optimize",
+        {
+            "tables": [
+                {"table": "events_ledger", "chunk_by": "daily"},
+                {"table": "events_ledger"},  # dedupe: first occurrence wins
+                {"table": "  "},  # dropped: blank
+                {"table": "missing_table"},  # unknown → failed_tables
+            ],
+            "from": "2024-01-01",
+            "to": "2024-01-03",
+        },
+    )
+    # count may be 0 if earlier compaction cleared needs_optimize; the
+    # contract under test is the batch shape + per-table isolation
+    assert opt["enqueued_count"] == len(opt["task_ids"])
+    assert [f["table"] for f in opt["failed_tables"]] == ["missing_table"]
+    # missing date range → 400 (reference requires from/to)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(
+            base,
+            "POST",
+            "/api/maintenance/main/optimize",
+            {"tables": [{"table": "events_ledger"}]},
+        )
+    assert e.value.code == 400
+    admin.tasks.flush()
+
+
+def test_callback_and_scoped_retry_all(served):
+    base, admin = served
+    admin.tasks.flush()  # isolate from earlier tests' queue state
+    # procedure callback only lands on a RUNNING spark task
+    t = admin.tasks.enqueue("main", "events_ledger", "optimize", {})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "POST", f"/api/tasks/callback/{t.id}/result", {"query": "q"})
+    assert e.value.code == 400  # still queued
+    claimed = admin.tasks.claim()
+    assert claimed.id == t.id
+    _, cb = _req(
+        base,
+        "POST",
+        f"/api/tasks/callback/{t.id}/result",
+        {"query": "CALL rewrite_data_files", "rows": [{"n": 1}], "meta": {"x": "y"}},
+    )
+    assert cb == {"status": "ok"}
+    got = admin.tasks.get(t.id)
+    assert got.result["procedure"]["query"] == "CALL rewrite_data_files"
+    assert got.result["procedure"]["rows"] == [{"n": 1}]
+    assert got.result["procedure"]["received_at"]
+    admin.tasks.complete(t.id, error="boom")
+
+    # per-database retry-all only touches that database's failures
+    other = admin.tasks.enqueue("otherdb", "x", "optimize", {})
+    admin.tasks.claim()
+    admin.tasks.complete(other.id, error="boom")
+    _, retried = _req(base, "POST", "/api/tasks/main/retry-all")
+    assert retried["retried_count"] == 1
+    assert admin.tasks.get(other.id).retried is False
+    admin.tasks.flush()
+    admin.tasks.flush(database="otherdb")
+
+
 def test_settings_refresh_integrity(served):
     base, _ = served
     _, got = _req(base, "GET", "/api/settings/task-concurrency")
