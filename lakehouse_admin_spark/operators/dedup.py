@@ -641,7 +641,13 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("hamming") <= 3).orderBy("doc_a", "doc_b")
 
 
-DRIVER_CC_EDGE_LIMIT = 5_000_000
+# Driver union-find cutover: ~100 B/edge collected ⇒ 1M edges ≈ 100 MB
+# driver heap, comfortably safe at default driver memory. Above it, the
+# distributed label-propagation path (pointer-jumping, O(log diameter)
+# rounds) takes over — it is equivalence-tested against union-find
+# including long-diameter components, so the threshold is a latency
+# knob, not a correctness cliff.
+DRIVER_CC_EDGE_LIMIT = 1_000_000
 
 
 def connected_components(
@@ -703,15 +709,39 @@ def connected_components(
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("cluster_id").alias("neighbor_label"))
         )
+        propagated = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("neighbor_label"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # pointer-jump (path compression): replace each label by ITS
+        # OWN label. Plain min-propagation spreads one hop per round —
+        # a chain component of diameter d would need d rounds and
+        # max_iter would silently truncate it; with jumping the spread
+        # doubles per round, so convergence is O(log d) and max_iter=25
+        # covers any component up to ~2^25 hops.
+        parents = propagated.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("cluster_id").alias("parent_label"),
+        )
+        # localCheckpoint (not persist): iterative self-referencing
+        # plans double in size every round — persist caches the DATA but
+        # keeps the logical plan, and by ~10 rounds plan compilation
+        # itself OOMs. Checkpointing truncates the lineage so each round
+        # starts from a materialized leaf. (On a real cluster with
+        # unreliable executors, use spark.sparkContext.setCheckpointDir +
+        # .checkpoint() for a fault-tolerant cut instead.)
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+            propagated.join(parents, "cluster_id", "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("neighbor_label"), F.col("cluster_id"))
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("parent_label"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

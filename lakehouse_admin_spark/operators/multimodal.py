@@ -197,17 +197,64 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("multimodal_decode", oracle=None)
+@query(
+    "multimodal_decode",
+    # the decode stub is md5-deterministic, so the whole pipeline is
+    # replayable in SQL: byte i of md5(text) is two hex chars decoded by
+    # strpos arithmetic (DuckDB md5() hashes the VARCHAR's utf-8 bytes —
+    # identical input to the Python stub's md5(payload))
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS hx
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_bytes,
+        (strpos('0123456789abcdef', substring(hx,1,1))-1)*16
+          + (strpos('0123456789abcdef', substring(hx,2,1))-1) AS b0,
+        (strpos('0123456789abcdef', substring(hx,3,1))-1)*16
+          + (strpos('0123456789abcdef', substring(hx,4,1))-1) AS b1,
+        (strpos('0123456789abcdef', substring(hx,5,1))-1)*16
+          + (strpos('0123456789abcdef', substring(hx,6,1))-1) AS b2
+      FROM h
+    )
+    SELECT doc_id, n_bytes,
+           16 + b0 % 240 AS width,
+           16 + b1 % 240 AS height,
+           CASE b2 % 3 WHEN 0 THEN 'raw' WHEN 1 THEN 'rle' ELSE 'lz' END AS codec
+    FROM b ORDER BY doc_id
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode pipeline end-to-end (rows-only check: the decode core is
-    the documented deterministic stub)."""
+    """Decode pipeline end-to-end (the decode core is the documented
+    deterministic stub, so the DuckDB oracle replays it exactly)."""
     docs = load_table(spark, sf_dir, "documents")
     return decode_batches(attach_binary_payload(docs)).orderBy("doc_id")
 
 
-@query("multimodal_frame_sample", oracle=None)
+@query(
+    "multimodal_frame_sample",
+    # 4 evenly-spaced 64-byte windows per payload; offsets and window
+    # lengths are pure arithmetic over octet_length
+    oracle="""
+    WITH f AS (
+      SELECT d.doc_id,
+             CAST(g.range AS INTEGER) AS frame_idx,
+             GREATEST(CAST(octet_length(encode(d.text)) AS BIGINT), 1) AS n,
+             CAST(octet_length(encode(d.text)) AS BIGINT) AS n_real
+      FROM documents d CROSS JOIN range(4) g
+    )
+    SELECT doc_id, frame_idx,
+           (frame_idx * n) // 4 AS frame_offset_bytes,
+           CAST(LEAST(64, GREATEST(n_real - (frame_idx * n) // 4, 0)) AS INTEGER)
+             AS frame_bytes
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling pipeline (rows-only; 4 frames per payload)."""
+    """Frame-sampling pipeline (4 frames per payload; frame bytes are
+    length-projected so the result is oracle-hashable)."""
     docs = load_table(spark, sf_dir, "documents")
     frames = sample_frames(attach_binary_payload(docs))
     return frames.select(

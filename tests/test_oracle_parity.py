@@ -51,6 +51,35 @@ def test_connected_components_paths_agree(spark):
     assert fast == dist and len(fast) > 0
 
 
+def test_connected_components_long_diameter(spark):
+    """The distributed path must label a component whose diameter far
+    exceeds max_iter (pointer-jumping makes convergence O(log d), so a
+    300-hop chain converges in ~9 rounds). Forces the distributed path
+    with driver_limit=0 and pins equality with driver union-find."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_admin_spark.operators.dedup import connected_components
+
+    # chain 0-1-2-...-300 (diameter 300) plus a separate triangle
+    chain = spark.range(300).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    triangle = spark.createDataFrame(
+        [(1000, 1001), (1001, 1002), (1000, 1002)], "doc_a long, doc_b long"
+    )
+    pairs = chain.unionByName(triangle)
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, driver_limit=0).collect()
+    }
+    fast = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    assert dist == fast
+    assert all(dist[i] == 0 for i in range(301))
+    assert all(dist[i] == 1000 for i in (1000, 1001, 1002))
+
+
 def test_shingle_df_cap_is_conservative(spark):
     """Capping hot shingles can only LOWER jaccard (fewer counted
     intersections) — pairs surviving the capped run are a subset of the
