@@ -53,6 +53,7 @@ HEADLINE = [
     "sql_cte_revenue",
     "ledger_partition_stats",
     "multimodal_decode",
+    "winnow_overlap_pairs",  # r3: rolling-hash fingerprint overlap
 ]
 
 

@@ -166,6 +166,149 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Winnowing parameters (Schleimer/Wilkerson/Aiken, "Winnowing: Local
+# Algorithms for Document Fingerprinting", SIGMOD 2003): k-gram size,
+# window width, hot-fingerprint document-frequency cap, and the
+# candidate-pair thresholds.
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_DF_CAP = 20
+WINNOW_MIN_SHARED = 5
+WINNOW_MIN_OVERLAP = 0.5
+
+_WINNOW_HASH = (
+    "transform(sequence(1, n, 1), i -> "
+    f"cast(conv(substring(md5(substring(s, i, {WINNOW_K})), 1, 8), 16, 10) as bigint))"
+)
+_WINNOW_MIN = (
+    f"array_distinct(transform(sequence(1, n - {WINNOW_W} + 1, 1), "
+    f"j -> array_min(slice(hs, j, {WINNOW_W}))))"
+)
+
+
+def winnow_fingerprint_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fingerprint) rows via winnowing: hash every k-char gram,
+    keep the minimum of each w-wide sliding window, distinct per doc.
+    Guarantees every shared substring of length >= k + w - 1 shares at
+    least one fingerprint — the partial-overlap detector whole-doc md5
+    (doc_fingerprints) cannot provide.
+
+    All hashing/windowing is built-in expressions over in-row arrays:
+    no shuffle until the final explode, no Python. The ``persist()``
+    between the hash pass and the window pass is load-bearing —
+    CollapseProject would otherwise inline the n-element hash array
+    into each of the n window lambdas, turning O(n*w) into O(n^2)
+    (measured 153 s -> 5 s at sf0.001)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = (
+        docs.select("doc_id", F.lower(F.trim(F.col("text"))).alias("s"))
+        .withColumn("n", F.length("s") - WINNOW_K + 1)
+        .filter(F.col("n") >= WINNOW_W)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("hs", F.expr(_WINNOW_HASH))
+        .drop("s")
+        .persist()
+    )
+    return hashed.withColumn("fps", F.expr(_WINNOW_MIN)).select(
+        "doc_id", F.explode("fps").alias("fingerprint")
+    )
+
+
+_WINNOW_FP_SQL = f"""
+    WITH s AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+    g AS (SELECT doc_id, s, length(s) - {WINNOW_K} + 1 AS n
+          FROM s WHERE length(s) - {WINNOW_K} + 1 >= {WINNOW_W}),
+    h AS (SELECT doc_id, n, list_transform(range(1, n+1),
+            i -> CAST(('0x' || substring(md5(substring(s, CAST(i AS INTEGER), {WINNOW_K})), 1, 8)) AS BIGINT)) AS hs
+          FROM g),
+    win AS (SELECT doc_id, list_distinct(list_transform(range(1, n - {WINNOW_W} + 2),
+            j -> list_min(hs[CAST(j AS INTEGER):CAST(j + {WINNOW_W} - 1 AS INTEGER)]))) AS fps
+          FROM h),
+    fp AS (SELECT doc_id, UNNEST(fps) AS fingerprint FROM win)
+"""
+
+
+@query(
+    "winnow_fingerprints",
+    oracle=_WINNOW_FP_SQL
+    + """
+    SELECT doc_id, fingerprint FROM fp ORDER BY doc_id, fingerprint
+    """,
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash fingerprints, exploded (the full
+    fingerprint set is the correctness surface — the oracle replays
+    hash, window minima, and dedup exactly)."""
+    return winnow_fingerprint_df(spark, sf_dir).orderBy("doc_id", "fingerprint")
+
+
+@query(
+    "winnow_overlap_pairs",
+    oracle=_WINNOW_FP_SQL
+    + f"""
+    , capped AS (
+        SELECT * FROM fp WHERE fingerprint IN (
+            SELECT fingerprint FROM fp GROUP BY fingerprint
+            HAVING COUNT(*) <= {WINNOW_DF_CAP})
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS m FROM capped GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_fps
+        FROM capped a JOIN capped b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    )
+    SELECT p.doc_a, p.doc_b, p.shared_fps,
+           ROUND(p.shared_fps * 1.0 / LEAST(sa.m, sb.m), 6) AS overlap
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE p.shared_fps * 1.0 / LEAST(sa.m, sb.m) >= {WINNOW_MIN_OVERLAP}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs via the winnow inverted index:
+    posting-list self-join on fingerprint (hot fingerprints df-capped so
+    a boilerplate gram can't go quadratic), shared-count threshold, then
+    containment overlap = shared / min(|A|,|B|).
+
+    Scale: the shuffle key is the fingerprint; cost is sum of capped
+    posting-list squares, never |docs|^2 — same shape as the n-gram
+    jaccard and MinHash candidate stages."""
+    fps = winnow_fingerprint_df(spark, sf_dir)
+    hot = (
+        fps.groupBy("fingerprint")
+        .count()
+        .filter(F.col("count") > WINNOW_DF_CAP)
+        .select("fingerprint")
+    )
+    capped = fps.join(hot, "fingerprint", "left_anti")
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    left = capped.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    right = capped.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    pairs = (
+        left.join(right, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"))
+    overlap = F.col("shared_fps") / F.least(F.col("ma"), F.col("mb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(overlap >= WINNOW_MIN_OVERLAP)
+        .select(
+            "doc_a", "doc_b", "shared_fps", F.round(overlap, 6).alias("overlap")
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @query(
     "token_frequencies",
     oracle=r"""

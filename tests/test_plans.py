@@ -141,6 +141,47 @@ def test_minhash_bucket_join_bounded_exchanges(spark):
 # -- skew utilities ---------------------------------------------------------
 
 
+def test_winnow_overlap_keyed_no_cartesian(spark):
+    """Winnow overlap pairs: the candidate self-join is keyed on the
+    fingerprint (posting-list cost), never a cartesian, and the
+    guarantee holds — docs sharing a >= k+w-1-char substring share at
+    least one fingerprint."""
+    df = q("winnow_overlap_pairs")(spark, SF_SMOKE)
+    assert not has_cartesian(df)
+    # guarantee check on a synthetic pair with a long shared substring
+    from lakehouse_admin_spark.operators.textual import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprint_df,
+    )
+    import lakehouse_admin_spark.sources.tables as tbl
+
+    shared = "x" * 0 + "the quick brown fox jumps over the lazy dog"
+    rows = [(1, "AAAA " + shared), (2, shared + " BBBB")]
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = tbl.load_table
+    tbl.load_table = lambda _s, _d, _n: docs
+    try:
+        import lakehouse_admin_spark.operators.textual as tx
+
+        orig_tx = tx.load_table
+        tx.load_table = lambda _s, _d, _n: docs
+        try:
+            fps = winnow_fingerprint_df(spark, "unused")
+            by_doc = {
+                r["doc_id"]: set(r["fps"])
+                for r in fps.groupBy("doc_id")
+                .agg(F.collect_set("fingerprint").alias("fps"))
+                .collect()
+            }
+        finally:
+            tx.load_table = orig_tx
+    finally:
+        tbl.load_table = orig
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+
+
 def test_salted_aggregate_matches_plain(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     plain = {
