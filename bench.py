@@ -54,6 +54,8 @@ HEADLINE = [
     "ledger_partition_stats",
     "multimodal_decode",
     "winnow_overlap_pairs",  # r3: rolling-hash fingerprint overlap
+    "ann_ivf_multiprobe",  # r3: multi-probe IVF ANN
+    "lang_id_ngram",  # r3: char-trigram profile language ID
 ]
 
 

@@ -184,6 +184,126 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_topk(spark, sf_dir, restrict_cell=True)
 
 
+IVF_PROBES = 2  # multi-probe width: nearest cells searched per query
+
+
+@query(
+    "ann_ivf_multiprobe",
+    oracle=f"""
+    WITH cent AS (
+        SELECT label, dim, AVG(CAST(embedding[dim] AS DOUBLE)) AS cv
+        FROM (SELECT label, UNNEST(range(1, 65)) AS dim, embedding FROM embeddings)
+        GROUP BY label, dim
+    ),
+    centv AS (SELECT label, list(cv ORDER BY dim) AS ce FROM cent GROUP BY label),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qe
+        FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+    ),
+    pc AS (
+        SELECT q.qid, c.label,
+               ROUND(
+                 list_sum(list_transform(list_zip(q.qe, c.ce),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(c.ce, x -> x * x)))), 6) AS pcos
+        FROM q CROSS JOIN centv c
+    ),
+    probes AS (
+        SELECT qid, label FROM (
+            SELECT qid, label,
+                   row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, label) AS pr
+            FROM pc
+        ) WHERE pr <= {IVF_PROBES}
+    ),
+    pairs AS (
+        SELECT q.qid, e.vec_id AS cid, q.qe, e.embedding AS ce
+        FROM q
+        JOIN probes p ON p.qid = q.qid
+        JOIN embeddings e ON e.label = p.label AND e.vec_id <> q.qid
+    ),
+    dots AS (
+        SELECT qid, cid,
+               list_sum(list_transform(list_zip(qe, ce),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+               sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nc
+        FROM pairs
+    ),
+    sims AS (SELECT qid, cid, ROUND(dot / (nq * nc), 6) AS cosine FROM dots),
+    ranked AS (
+        SELECT qid AS query_id, cid AS neighbor_id, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-k: rank cells by query-to-centroid cosine,
+    search the IVF_PROBES nearest cells per query.
+
+    The coarse quantizer is the per-label mean vector — deterministic,
+    so the whole index build + probe + search replays in SQL (a trained
+    k-means codebook slots in without changing the plan: see
+    kmeans_lloyd / ann_ivf_topk for the single-probe variants).
+
+    Scale shape: centroids are |cells| rows (broadcast); probing is
+    queries × |cells| against the broadcast (embarrassingly parallel);
+    the candidate join is keyed on the probed cell id, so the big side
+    shuffles by cell, never a cross join. Multi-probe is the standard
+    recall knob — probes=2 roughly doubles candidates while staying
+    |cells|/probes times below brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # centroid arrays: per-dim mean folded back into an ordered array
+    cents = (
+        emb.select("label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("v"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+            ).alias("ce")
+        )
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pcos = F.round(cosine_expr(F.col("qe"), F.col("ce")), 6)
+    pw = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("label"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("pcos", pcos)
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= IVF_PROBES)
+        .select("query_id", "qe", "label")
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("fe"),
+        F.col("label").alias("label"),
+    )
+    sims = (
+        probes.join(cands, "label")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qe"), F.col("fe")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 @query(
     "embedding_centroids",
     oracle="""

@@ -166,6 +166,93 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Character-trigram language profiles (Cavnar/Trenkle "N-Gram-Based
+# Text Categorization", SDAIR 1994): top-M trigrams per labeled
+# language, rank weights M..1. Integer scoring keeps cross-engine
+# comparison exact (no float argmax ties).
+NGRAM_PROFILE_M = 50
+
+
+@query(
+    "lang_id_ngram",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, lang, lower(trim(text)) AS s FROM documents),
+    g AS (
+        SELECT doc_id, lang, UNNEST(list_transform(range(1, length(s) - 1),
+               i -> substring(s, CAST(i AS INTEGER), 3))) AS gram
+        FROM s WHERE length(s) >= 3
+    ),
+    counts AS (SELECT lang, gram, COUNT(*) AS cnt FROM g GROUP BY lang, gram),
+    profile AS (
+        SELECT lang, gram, CAST({NGRAM_PROFILE_M} - rnk + 1 AS BIGINT) AS weight
+        FROM (
+            SELECT lang, gram, row_number() OVER (
+                PARTITION BY lang ORDER BY cnt DESC, gram) AS rnk
+            FROM counts
+        ) WHERE rnk <= {NGRAM_PROFILE_M}
+    ),
+    scores AS (
+        SELECT g.doc_id, p.lang, CAST(SUM(p.weight) AS BIGINT) AS score
+        FROM g JOIN profile p ON g.gram = p.gram
+        GROUP BY g.doc_id, p.lang
+    )
+    SELECT doc_id, lang AS predicted, score FROM (
+        SELECT doc_id, lang, score, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, lang) AS r
+        FROM scores
+    ) WHERE r = 1
+    ORDER BY doc_id
+    """,
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by character-trigram profiles: train top-M trigrams
+    per labeled language with rank weights M..1, classify each document
+    by the max integer weight-sum (tie → lexicographic language).
+
+    Scale shape: the profile is |langs|*M rows (broadcast); documents
+    stream through one explode + one broadcast join + one aggregation,
+    so cost is linear in corpus characters with no big-side shuffle
+    until the per-doc aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", "lang", F.lower(F.trim(F.col("text"))).alias("s"))
+        .filter(F.length("s") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr("transform(sequence(1, length(s) - 2, 1), i -> substring(s, i, 3))")
+            ).alias("gram"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    rw = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("gram"))
+    profile = (
+        counts.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= NGRAM_PROFILE_M)
+        .select(
+            "lang",
+            "gram",
+            (F.lit(NGRAM_PROFILE_M) - F.col("rnk") + 1).cast("long").alias("weight"),
+        )
+    )
+    scores = (
+        grams.select("doc_id", "gram")
+        .join(F.broadcast(profile.withColumnRenamed("lang", "plang")), "gram")
+        .groupBy("doc_id", "plang")
+        .agg(F.sum("weight").cast("long").alias("score"))
+    )
+    pw = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("plang"))
+    return (
+        scores.withColumn("r", F.row_number().over(pw))
+        .filter(F.col("r") == 1)
+        .select("doc_id", F.col("plang").alias("predicted"), "score")
+        .orderBy("doc_id")
+    )
+
+
 # Winnowing parameters (Schleimer/Wilkerson/Aiken, "Winnowing: Local
 # Algorithms for Document Fingerprinting", SIGMOD 2003): k-gram size,
 # window width, hot-fingerprint document-frequency cap, and the
