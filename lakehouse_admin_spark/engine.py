@@ -24,6 +24,18 @@ each endpoint's behavior under the same name here.
 | POST /api/tasks/:id/retry                | tasks.retry(id) |
 | worker loop                              | run_worker() |
 | POST /api/iceberg/:db/:t/rollback        | rollback(db, t, snapshot_id) |
+| GET /api/browse/:db/:t (summary)         | table_summary(db, t) |
+| GET /api/metadata/:db/:t/partitions      | cached_partitions(db, t) |
+| GET /api/metadata/:db/:t/snapshots       | cached_snapshots(db, t) |
+| POST /api/maintenance/:db/expire-snapshots | enqueue_expire_batch(db, tables, days) |
+| POST /api/maintenance/:db/remove-orphan-files | enqueue_orphans_batch(db, tables) |
+| POST /api/maintenance/:db/optimize       | enqueue_optimize_batch(db, tables, from, to) |
+| POST /api/tasks/callback/:id/result      | tasks.procedure_callback(id, ...) |
+| POST /api/tasks/:db/retry-all            | tasks.retry_all(db) |
+| GET /api/refresh/tables                  | refresh_tables() |
+| GET /api/refresh/:db                     | refresh_database(db) |
+| GET /api/refresh/:db/:t/partitions       | refresh_partitions(db, t) |
+| GET /api/refresh/:db/:t/snapshots        | refresh_snapshots(db, t) |
 """
 
 from __future__ import annotations

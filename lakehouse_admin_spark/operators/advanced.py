@@ -171,6 +171,91 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic-HLL parameters: p=12 (m=4096 registers) over a 60-bit
+# md5-derived hash (15 hex chars — fits BIGINT in both engines).
+HLL_M = 4096
+HLL_W_BITS = 48  # 60 - 12
+_HLL_DIV = 1 << HLL_W_BITS
+
+
+@query(
+    "hll_distinct_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    b AS (SELECT d, h // {_HLL_DIV} AS bucket, h % {_HLL_DIV} AS w FROM h),
+    r AS (
+      SELECT d, bucket,
+             MAX(CASE WHEN w = 0 THEN {HLL_W_BITS + 1}
+                      ELSE {HLL_W_BITS} - length(ltrim(bin(w), '0')) + 1 END) AS mj
+      FROM b GROUP BY d, bucket
+    ),
+    agg AS (
+      SELECT d, COUNT(*) AS present, SUM(power(2.0, -mj)) AS sum_present
+      FROM r GROUP BY d
+    ),
+    est AS (
+      SELECT d, {HLL_M} - present AS v,
+             (0.7213 / (1 + 1.079 / {HLL_M})) * {HLL_M}.0 * {HLL_M}.0
+               / (sum_present + ({HLL_M} - present) * 1.0) AS e_raw
+      FROM agg
+    )
+    SELECT d,
+           CAST(ROUND(CASE WHEN e_raw <= 2.5 * {HLL_M} AND v > 0
+                           THEN {HLL_M}.0 * ln({HLL_M}.0 / v) ELSE e_raw END) AS BIGINT)
+             AS hll_users
+    FROM est ORDER BY d
+    """,
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count built from PORTABLE integer/double
+    expressions (md5-derived 60-bit hash, top-12-bit register index,
+    leading-zero rank via bin(), harmonic mean + linear-counting small-
+    range correction) — so unlike approx_count_distinct the estimate is
+    bit-identical across engines and the DuckDB oracle hash-checks it.
+    The harmonic sum adds only powers of two spanning < 53 bits, so even
+    its floating-point value is order-independent.
+
+    Scale: identical shape to the built-in sketch — fixed m=4096
+    register state per group, partial-aggregatable (MAX per register),
+    one shuffle keyed (d, bucket), then a 4096-row fold per group."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.to_date("ts").alias("d"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    b = h.select(
+        "d",
+        F.expr(f"h div {_HLL_DIV}").alias("bucket"),
+        (F.col("h") % _HLL_DIV).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, HLL_W_BITS + 1).otherwise(
+        HLL_W_BITS - F.length(F.expr("ltrim('0', bin(w))")) + 1
+    )
+    regs = b.groupBy("d", "bucket").agg(F.max(rho).alias("mj"))
+    agg = regs.groupBy("d").agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("sum_present"),
+    )
+    e_raw = (
+        (0.7213 / (1 + 1.079 / HLL_M))
+        * float(HLL_M)
+        * float(HLL_M)
+        / (F.col("sum_present") + (HLL_M - F.col("present")) * 1.0)
+    )
+    est = agg.select("d", (HLL_M - F.col("present")).alias("v"), e_raw.alias("e_raw"))
+    hll = F.when(
+        (F.col("e_raw") <= 2.5 * HLL_M) & (F.col("v") > 0),
+        float(HLL_M) * F.log(float(HLL_M) / F.col("v")),
+    ).otherwise(F.col("e_raw"))
+    return est.select("d", F.round(hll).cast("long").alias("hll_users")).orderBy("d")
+
+
 @query(
     "brand_type_revenue_share",
     oracle="""

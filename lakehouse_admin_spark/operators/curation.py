@@ -266,6 +266,79 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+# Quality-filter chain thresholds (applied in order; a doc's
+# fail_reason is the FIRST tripped filter, the usual pipeline telemetry)
+MIN_TOKENS = 25
+MIN_ALPHA_RATIO = 0.81
+
+
+@query(
+    "quality_filter_pipeline",
+    oracle=rf"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS BIGINT)
+                   AS n_tokens,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+               (regexp_matches(text, '{PII_EMAIL}')
+                OR regexp_matches(text, '{PII_PHONE}')) AS has_pii
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, ROUND(alpha_ratio, 6) AS alpha_ratio,
+           CASE WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+                WHEN alpha_ratio < {MIN_ALPHA_RATIO} THEN 'low_alpha'
+                WHEN has_pii THEN 'pii'
+                ELSE NULL END AS fail_reason,
+           (n_tokens >= {MIN_TOKENS} AND alpha_ratio >= {MIN_ALPHA_RATIO}
+            AND NOT has_pii) AS kept
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained quality filters with per-document verdicts: token-count
+    floor, alphabetic-character ratio, PII presence — `fail_reason` is
+    the first tripped filter (the telemetry a curation pipeline reports
+    per drop), `kept` the surviving mask.
+
+    One projection pass over the scan (all measures are codegen'd
+    expressions); at 100 TB the same frame feeds both the kept-corpus
+    write and the per-reason drop accounting without a second scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_expr(F.col("text"))).cast("long")
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.length(
+        "text"
+    ).cast("double")
+    has_pii = (F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0)) > 0) | (
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), 0)) > 0
+    )
+    m = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        has_pii.alias("has_pii"),
+    )
+    fail = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, "too_short")
+        .when(F.col("alpha_ratio") < MIN_ALPHA_RATIO, "low_alpha")
+        .when(F.col("has_pii"), "pii")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    kept = (
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("alpha_ratio") >= MIN_ALPHA_RATIO)
+        & ~F.col("has_pii")
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        fail.alias("fail_reason"),
+        kept.alias("kept"),
+    ).orderBy("doc_id")
+
+
 @query(
     "pii_counts",
     oracle=rf"""

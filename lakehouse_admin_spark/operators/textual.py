@@ -364,7 +364,10 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the shuffle key is the fingerprint; cost is sum of capped
     posting-list squares, never |docs|^2 — same shape as the n-gram
     jaccard and MinHash candidate stages."""
-    fps = winnow_fingerprint_df(spark, sf_dir)
+    # persist: the fingerprint frame feeds four consumers (hot-df cap,
+    # per-doc sizes, both posting-list join sides) — without it the
+    # winnow pass recomputes per branch
+    fps = winnow_fingerprint_df(spark, sf_dir).persist()
     hot = (
         fps.groupBy("fingerprint")
         .count()

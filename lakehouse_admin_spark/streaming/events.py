@@ -55,6 +55,27 @@ def windowed_event_counts_stream(
     )
 
 
+def dedup_events_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup: drop duplicate events arriving within the
+    watermark horizon of each other (`dropDuplicatesWithinWatermark` —
+    at-least-once upstream delivery collapsed to effectively-once).
+
+    Unlike plain ``dropDuplicates`` on a stream, state does NOT grow
+    with all history: a key's dedup record is evicted once the
+    watermark passes it, so steady-state memory is O(keys inside the
+    horizon) — the only shape that survives an unbounded 100 TB/day
+    event feed. Duplicates separated by more than the watermark are
+    therefore NOT collapsed; that is the documented contract, and the
+    ledger sink's batch-id stamping handles replay-scale duplication."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def make_ledger_batch_sink(table: LedgerTable):
     """The idempotent foreachBatch body: each micro-batch appends ONE
     snapshot stamped with its ``batch_id``; a batch whose id is already

@@ -51,6 +51,23 @@ def test_connected_components_paths_agree(spark):
     assert fast == dist and len(fast) > 0
 
 
+def test_hll_estimate_accuracy(spark):
+    """The portable HLL estimate must track exact distinct counts within
+    the sketch's error envelope (m=4096 → ~1.6% RSD; small days hit the
+    linear-counting branch and are near-exact)."""
+    exact = {
+        r["d"]: r["distinct_users"]
+        for r in registry.QUERIES["daily_distinct_users"].fn(spark, SF_SMOKE).collect()
+    }
+    est = {
+        r["d"]: r["hll_users"]
+        for r in registry.QUERIES["hll_distinct_users"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(est) == set(exact)
+    for d, e in est.items():
+        assert abs(e - exact[d]) <= max(3, 0.05 * exact[d]), (d, e, exact[d])
+
+
 def test_connected_components_long_diameter(spark):
     """The distributed path must label a component whose diameter far
     exceeds max_iter (pointer-jumping makes convergence O(log d), so a

@@ -203,6 +203,34 @@ def test_stream_stream_join_matches_batch(spark, tmp_path_factory):
     assert got == expected and len(got) > 0
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path_factory):
+    """Duplicated events delivered across micro-batches within the
+    watermark collapse to one row each; the result equals batch
+    distinct-by-key."""
+    from lakehouse_admin_spark.streaming.events import dedup_events_stream
+
+    src = str(tmp_path_factory.mktemp("dup_drops"))
+    ev = load_table(spark, SF_SMOKE, "events").filter(F.dayofmonth("ts") <= 7)
+    # drop 0: all events; drop 1: a resend of a third of them (at-least-
+    # once delivery); time-ordered mtimes keep batch order deterministic
+    for i, part in enumerate([ev, ev.filter(F.col("event_id") % 3 == 0)]):
+        tmp = os.path.join(src, f"tmp_{i}")
+        part.coalesce(1).write.parquet(tmp)
+        pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"drop_{i}.parquet")
+        shutil.move(os.path.join(tmp, pf), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1000000 + i * 1000, 1000000 + i * 1000))
+
+    stream = read_events_stream(spark, src, ev.schema)
+    deduped = dedup_events_stream(stream, ["event_id"], watermark="30 days")
+    q = run_stream_to_memory(deduped, "dedup_stream", output_mode="append")
+    q.awaitTermination(180)
+    got = [r["event_id"] for r in spark.table("dedup_stream").collect()]
+    assert len(got) == len(set(got)), "stream emitted duplicate keys"
+    assert sorted(got) == sorted(r["event_id"] for r in ev.select("event_id").collect())
+
+
 def test_ledger_batch_sink_replay_is_idempotent(spark, tmp_path_factory):
     """Checkpoint replay delivers the same batch_id twice; the
     batch-id-stamped append must no-op the second delivery (the
