@@ -56,6 +56,8 @@ HEADLINE = [
     "winnow_overlap_pairs",  # r3: rolling-hash fingerprint overlap
     "ann_ivf_multiprobe",  # r3: multi-probe IVF ANN
     "lang_id_ngram",  # r3: char-trigram profile language ID
+    "purchase_last_click_asof",  # r3: as-of join
+    "attribution_counts_rangejoin",  # r3: bucketed range join
 ]
 
 

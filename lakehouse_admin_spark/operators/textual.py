@@ -214,8 +214,12 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     so cost is linear in corpus characters with no big-side shuffle
     until the per-doc aggregate."""
     docs = load_table(spark, sf_dir, "documents")
+    # persist: the gram explode feeds BOTH the profile training
+    # aggregate and the classification join — one substring pass over
+    # the corpus instead of two
     grams = (
-        docs.select("doc_id", "lang", F.lower(F.trim(F.col("text"))).alias("s"))
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", F.lower(F.trim(F.col("text"))).alias("s"))
         .filter(F.length("s") >= 3)
         .select(
             "doc_id",
@@ -224,6 +228,7 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("transform(sequence(1, length(s) - 2, 1), i -> substring(s, i, 3))")
             ).alias("gram"),
         )
+        .persist()
     )
     from pyspark.sql.window import Window
 

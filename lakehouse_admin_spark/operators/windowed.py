@@ -253,3 +253,233 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_ms")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    strictly_before: bool = False,
+) -> DataFrame:
+    """As-of join: each left row picks the LATEST right row with
+    right_time <= left_time (or < when ``strictly_before``) per ``on``
+    key — the time-series point-in-time lookup Spark has no native
+    operator for.
+
+    Implementation is the scale-correct union + window form, NOT a
+    range join: tag both sides, union, one window per key ordered by
+    (time, side, tiebreak), and ``last(right value, ignorenulls)`` over
+    the unbounded-preceding frame carries the most recent right-side
+    values forward onto every left row. ONE shuffle keyed on ``on``
+    (the union's window), cost O((|L|+|R|) log per-key run) — a naive
+    range join explodes to the per-key cross product before aggregation
+    at 100 TB, and an equality-bucketed range join still replicates
+    rows per bucket. Ties at equal time: the right side sorts first, so
+    a same-timestamp right row IS visible to the left row unless
+    ``strictly_before``.
+    """
+    lt = F.col(left_time)
+    # side 0 sorts before side 1 at equal times → right row visible at
+    # its own timestamp; strictly_before flips the order so it is not
+    r_side, l_side = (0, 1) if not strictly_before else (1, 0)
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(r_side).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        lt.alias("_t"),
+        F.lit(l_side).alias("_side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    r_tagged = r_tagged.withColumn("_l", F.lit(None).cast(l_tagged.schema["_l"].dataType))
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "_l",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    ).filter(F.col("_l").isNotNull())
+    return carried.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"asof_{c}") for c in right_cols],
+    )
+
+
+@query(
+    "purchase_last_click_asof",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts AS t, 0 AS side,
+               event_id AS r_click_id, ts AS r_click_ts,
+               NULL::BIGINT AS purchase_id, NULL::TIMESTAMP AS purchase_ts
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts AS t, 1 AS side,
+               NULL AS r_click_id, NULL AS r_click_ts,
+               event_id AS purchase_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    carried AS (
+        SELECT purchase_id, user_id, purchase_ts,
+               last_value(r_click_id IGNORE NULLS) OVER w AS last_click_id,
+               last_value(r_click_ts IGNORE NULLS) OVER w AS last_click_ts
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, side
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT purchase_id, user_id, purchase_ts, last_click_id, last_click_ts,
+           CAST(date_diff('second', last_click_ts, purchase_ts) AS BIGINT)
+               AS gap_seconds
+    FROM carried WHERE purchase_id IS NOT NULL
+    ORDER BY purchase_id
+    """,
+)
+def purchase_last_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution via the as-of join: every purchase
+    annotated with the same user's most recent click at-or-before it
+    (NULL when no prior click). The oracle replays the union+window
+    formulation; ties at equal timestamps resolve click-first on both
+    sides."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="purchase_ts",
+        right_time="click_ts",
+        right_cols=["click_id", "click_ts"],
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("asof_click_id").alias("last_click_id"),
+        F.col("asof_click_ts").alias("last_click_ts"),
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("asof_click_ts"))
+        .cast("long")
+        .alias("gap_seconds"),
+    ).orderBy("purchase_id")
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_time: str,
+    start: str,
+    end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Range join (point-in-interval) via interval bucketing.
+
+    Spark plans a plain ``p.ts BETWEEN i.start AND i.end`` join with no
+    equality key as BroadcastNestedLoopJoin — per-key cross product,
+    unusable at scale. Bucketing restores an equi-join: each interval
+    replicates to every ``bucket_seconds`` bucket it covers, points map
+    to exactly one bucket, the join keys on (on, bucket), and the exact
+    range predicate filters inside the hash join. Replication factor is
+    interval_span / bucket_seconds + 1 — pick the width near the typical
+    span so the blowup is ~2x, not |points| x |intervals|.
+    """
+    b = F.lit(bucket_seconds)
+    pts = points.withColumn(
+        "_bucket", (F.unix_timestamp(F.col(point_time)) / b).cast("long")
+    )
+    ivs = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start)) / b).cast("long"),
+                (F.unix_timestamp(F.col(end)) / b).cast("long"),
+            )
+        ),
+    )
+    return pts.join(ivs, [on, "_bucket"]).filter(
+        (F.col(point_time) >= F.col(start)) & (F.col(point_time) <= F.col(end))
+    ).drop("_bucket")
+
+
+@query(
+    "attribution_counts_rangejoin",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, p.user_id,
+           CAST(COUNT(c.click_id) AS BIGINT) AS n_clicks_1h
+    FROM purchases p LEFT JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+     AND c.click_ts <= p.purchase_ts
+    GROUP BY p.purchase_id, p.user_id
+    ORDER BY p.purchase_id
+    """,
+)
+def attribution_counts_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase count of the user's clicks in the preceding hour,
+    via the bucketed range join (1-hour buckets → each interval spans
+    ≤ 2 buckets). The oracle states the same join as a plain inequality
+    LEFT JOIN; the left-ness is restored by re-joining the matched
+    counts onto all purchases (the bucketed join itself is inner)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("win_start"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    matched = bucketed_range_join(
+        clicks,
+        purchases,
+        on="user_id",
+        point_time="click_ts",
+        start="win_start",
+        end="purchase_ts",
+        bucket_seconds=3600,
+    )
+    counts = matched.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks_1h")
+    )
+    return (
+        purchases.select("purchase_id", "user_id")
+        .join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce("n_clicks_1h", F.lit(0)).cast("long").alias("n_clicks_1h"),
+        )
+        .orderBy("purchase_id")
+    )

@@ -51,6 +51,37 @@ def test_connected_components_paths_agree(spark):
     assert fast == dist and len(fast) > 0
 
 
+def test_asof_join_semantics(spark):
+    """Tie and boundary semantics of the as-of join: equal-timestamp
+    right rows are visible by default and hidden with strictly_before;
+    left rows with no prior right row carry NULLs."""
+    import datetime as dt
+
+    from lakehouse_admin_spark.operators.windowed import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    right = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(20), 200), (2, t(50), 500)],
+        "k long, rts timestamp, rv long",
+    )
+    left = spark.createDataFrame(
+        [(1, t(5), "a"), (1, t(20), "b"), (1, t(25), "c"), (2, t(40), "d")],
+        "k long, lts timestamp, tag string",
+    )
+    out = {
+        r["tag"]: r["asof_rv"]
+        for r in asof_join(left, right, "k", "lts", "rts", ["rv"]).collect()
+    }
+    assert out == {"a": None, "b": 200, "c": 200, "d": None}
+    strict = {
+        r["tag"]: r["asof_rv"]
+        for r in asof_join(
+            left, right, "k", "lts", "rts", ["rv"], strictly_before=True
+        ).collect()
+    }
+    assert strict == {"a": None, "b": 100, "c": 200, "d": None}
+
+
 def test_hll_estimate_accuracy(spark):
     """The portable HLL estimate must track exact distinct counts within
     the sketch's error envelope (m=4096 → ~1.6% RSD; small days hit the

@@ -167,6 +167,33 @@ def test_multiprobe_ivf_recall_and_plan(spark):
     assert {qid for qid, _ in multi} == {qid for qid, _ in brute}
 
 
+def test_rangejoin_bucketed_not_nested_loop(spark):
+    """The bucketed range join must plan as hash joins on (key, bucket);
+    the naive inequality-only formulation of the same query plans a
+    BroadcastNestedLoopJoin — the per-key cross product the operator
+    exists to avoid."""
+    from lakehouse_admin_spark.plans.inspect import explain_str
+
+    df = q("attribution_counts_rangejoin")(spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not has_cartesian(df)
+    # counter-example: the un-bucketed inequality join IS a nested loop
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    naive = p.join(
+        c,
+        (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") <= F.col("pts")),
+    )
+    assert "BroadcastNestedLoopJoin" in explain_str(naive, "simple")
+
+
 def test_winnow_overlap_keyed_no_cartesian(spark):
     """Winnow overlap pairs: the candidate self-join is keyed on the
     fingerprint (posting-list cost), never a cartesian, and the
