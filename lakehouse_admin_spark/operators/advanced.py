@@ -256,6 +256,82 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select("d", F.round(hll).cast("long").alias("hll_users")).orderBy("d")
 
 
+KMV_K = 64  # k-minimum-values sketch size
+
+
+@query(
+    "kmv_weekly_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    daily AS (
+      SELECT d, h FROM (
+        SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS r FROM h
+      ) WHERE r <= {KMV_K}
+    ),
+    merged AS (
+      SELECT DISTINCT CAST(date_trunc('week', d) AS DATE) AS week_start, h FROM daily
+    ),
+    ranked AS (
+      SELECT week_start, h,
+             row_number() OVER (PARTITION BY week_start ORDER BY h) AS r,
+             COUNT(*) OVER (PARTITION BY week_start) AS c
+      FROM merged
+    )
+    SELECT week_start,
+           CAST(ROUND(CASE WHEN c < {KMV_K} THEN c
+                           ELSE ({KMV_K} - 1)
+                                / (MAX(CASE WHEN r = {KMV_K} THEN h END)
+                                   / 1152921504606846976.0)
+                      END) AS BIGINT) AS kmv_users
+    FROM ranked GROUP BY week_start, c ORDER BY week_start
+    """,
+)
+def kmv_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch with a daily → weekly MERGE:
+    each day keeps its k smallest md5-derived user hashes; a week's
+    sketch is the k smallest of its days' union — lossless, because any
+    hash among the week's k smallest is necessarily among its own day's
+    k smallest. Estimate = (k-1)/R with R the kth-smallest normalized
+    hash; weeks with under k distinct hashes report exactly.
+
+    This is the sketch property 100 TB rollups live on: per-partition
+    sketches merge WITHOUT rescanning data, so daily sketches roll up
+    to weekly/monthly estimates as metadata-sized unions. Deterministic
+    hashing makes the estimate — not just the contract — identical in
+    the DuckDB oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.to_date("ts").alias("d"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    dw = Window.partitionBy("d").orderBy("h")
+    daily = h.withColumn("r", F.row_number().over(dw)).filter(F.col("r") <= KMV_K)
+    merged = daily.select(
+        F.date_trunc("week", F.col("d")).cast("date").alias("week_start"), "h"
+    ).distinct()
+    ww = Window.partitionBy("week_start").orderBy("h")
+    cw = Window.partitionBy("week_start")
+    ranked = merged.withColumn("r", F.row_number().over(ww)).withColumn(
+        "c", F.count(F.lit(1)).over(cw)
+    )
+    kth = F.max(F.when(F.col("r") == KMV_K, F.col("h")))
+    est = F.when(F.col("c") < KMV_K, F.col("c")).otherwise(
+        (KMV_K - 1) / (kth / float(1 << 60))
+    )
+    return (
+        ranked.groupBy("week_start", "c")
+        .agg(F.round(est).cast("long").alias("kmv_users"))
+        .select("week_start", "kmv_users")
+        .orderBy("week_start")
+    )
+
+
 @query(
     "brand_type_revenue_share",
     oracle="""

@@ -266,6 +266,45 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+RESERVOIR_N = 100  # fixed-size deterministic sample
+
+
+@query(
+    "deterministic_reservoir",
+    oracle=f"""
+    SELECT doc_id, source, rank FROM (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                    AS INT) AS rank
+        FROM documents
+    ) WHERE rank <= {RESERVOIR_N}
+    ORDER BY rank
+    """,
+)
+def deterministic_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample without RNG state: the N smallest
+    md5(doc_id) values. Equivalent in distribution to reservoir
+    sampling, but deterministic — a retried or re-partitioned 100 TB
+    job reproduces the identical sample, and the selection is a
+    distributed top-N (per-partition TakeOrdered + k-row merge), never
+    a global sort or a stateful sequential pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    # orderBy + limit plans as TakeOrderedAndProject (per-partition
+    # top-N + k-row merge); the rank window then runs over N rows only
+    topn = (
+        docs.select("doc_id", "source", key.alias("_k"))
+        .orderBy("_k", "doc_id")
+        .limit(RESERVOIR_N)
+    )
+    w = Window.orderBy("_k", "doc_id")
+    return (
+        topn.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "source", "rank")
+        .orderBy("rank")
+    )
+
+
 # Quality-filter chain thresholds (applied in order; a doc's
 # fail_reason is the FIRST tripped filter, the usual pipeline telemetry)
 MIN_TOKENS = 25

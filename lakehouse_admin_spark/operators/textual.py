@@ -578,3 +578,95 @@ def lang_id_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("data")
     )
     return scored.withColumn("predicted", predicted).orderBy("doc_id")
+
+
+# Count-min sketch geometry: depth x width cells, md5-derived row
+# hashes. Width >> heavy-hitter vocabulary keeps overcounts near zero;
+# the estimate is provably >= exact (only hash collisions inflate it).
+CM_DEPTH = 4
+CM_WIDTH = 1024
+CM_TOPN = 20
+
+
+def _cm_cell(i_col, token_col):
+    """Portable cell index: first 8 md5-hex chars of 'i:token' mod width
+    (identical arithmetic in the DuckDB oracle)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(i_col.cast("string"), F.lit(":"), token_col)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CM_WIDTH
+    )
+
+
+@query(
+    "cm_token_counts",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT UNNEST(list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''))
+             AS token
+      FROM documents
+    ),
+    cells AS (
+      SELECT i,
+             CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || token), 1, 8)) AS BIGINT)
+               % {CM_WIDTH} AS cell,
+             COUNT(*) AS cnt
+      FROM tok CROSS JOIN range({CM_DEPTH}) t(i)
+      GROUP BY 1, 2
+    ),
+    top_exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM tok GROUP BY token ORDER BY exact_count DESC, token LIMIT {CM_TOPN}
+    ),
+    lookups AS (
+      SELECT te.token, te.exact_count, c.cnt
+      FROM top_exact te
+      CROSS JOIN range({CM_DEPTH}) t(i)
+      JOIN cells c ON c.i = t.i
+       AND c.cell = CAST(('0x' || substring(md5(CAST(t.i AS VARCHAR) || ':' || te.token), 1, 8)) AS BIGINT)
+                    % {CM_WIDTH}
+    )
+    SELECT token, exact_count, CAST(MIN(cnt) AS BIGINT) AS cm_count
+    FROM lookups GROUP BY token, exact_count
+    ORDER BY exact_count DESC, token
+    """,
+)
+def cm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimates vs exact counts for the
+    top-N tokens. The sketch build is one groupBy over (row, cell) —
+    CM_DEPTH×CM_WIDTH cells of state regardless of corpus size, partial-
+    aggregatable and mergeable (cells add), which is why a 100 TB
+    frequency estimate is a metadata-sized object. Deterministic md5
+    row hashes make the ESTIMATE itself oracle-checkable, and
+    cm_count >= exact_count by construction (collisions only add)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        F.explode(tokens_expr(F.col("text"))).alias("token")
+    )
+    idx = spark.range(CM_DEPTH).select(F.col("id").alias("i"))
+    cells = (
+        tok.crossJoin(F.broadcast(idx))
+        .groupBy("i", _cm_cell(F.col("i"), F.col("token")).alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top_exact = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("token"))
+        .limit(CM_TOPN)
+    )
+    lookups = (
+        top_exact.crossJoin(F.broadcast(idx))
+        .withColumn("cell", _cm_cell(F.col("i"), F.col("token")))
+        .join(cells, ["i", "cell"])
+    )
+    return (
+        lookups.groupBy("token", "exact_count")
+        .agg(F.min("cnt").cast("long").alias("cm_count"))
+        .orderBy(F.desc("exact_count"), F.asc("token"))
+    )
