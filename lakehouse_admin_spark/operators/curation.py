@@ -417,3 +417,66 @@ def pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Overlapping token-window chunking (the RAG / context-window prep step)
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@query(
+    "doc_chunks",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w,
+             UNNEST(range(0, CASE WHEN len(w) <= {CHUNK_TOKENS} THEN 1
+                          ELSE CAST(ceil((len(w) - {CHUNK_TOKENS}) / {_CHUNK_STRIDE}.0) AS BIGINT) + 1 END))
+               AS chunk_idx
+      FROM t WHERE len(w) > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS BIGINT) AS start_token,
+           CAST(len(w[CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS INTEGER)
+                      :CAST(chunk_idx * {_CHUNK_STRIDE} + {CHUNK_TOKENS} AS INTEGER)]) AS BIGINT)
+             AS n_tokens,
+           w[CAST(chunk_idx * {_CHUNK_STRIDE} + 1 AS INTEGER)] AS first_token
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: 64-token chunks with 16-token
+    overlap (stride 48), final partial chunk kept — the windowing step
+    that fans documents out to embedding / context-window units.
+
+    All in-row array arithmetic (sequence + slice), no shuffle at all:
+    the explode multiplies rows ~n_tokens/stride-fold but stays inside
+    the scan stage, so at 100 TB this is a map-only fan-out whose
+    output feeds the embedding stage's repartition."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", tokens_expr(F.col("text")).alias("w"))
+        .withColumn("n", F.size("w"))
+        .filter(F.col("n") > 0)
+    )
+    n_chunks = F.when(F.col("n") <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.ceil((F.col("n") - CHUNK_TOKENS) / float(_CHUNK_STRIDE)) + 1
+    )
+    c = t.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE + 1
+    chunk = F.slice(F.col("w"), start, CHUNK_TOKENS)
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("long").alias("start_token"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.element_at(F.col("w"), start.cast("int")).alias("first_token"),
+    ).orderBy("doc_id", "chunk_idx")
