@@ -256,6 +256,41 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select("d", F.round(hll).cast("long").alias("hll_users")).orderBy("d")
 
 
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, so the values hash-match
+    to the digit).
+
+    Scale note: exact percentile buffers each group's values on its
+    executor — correct here because groups are event types (bounded
+    cardinality, ~n/|types| doubles per group). For high-cardinality
+    groups or raw 100 TB columns, swap in ``approx_percentile`` (
+    t-digest-style mergeable sketch, fixed state) — same query shape,
+    estimate no longer oracle-hashable."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 KMV_K = 64  # k-minimum-values sketch size
 
 
