@@ -9,6 +9,8 @@ expressions run unchanged over 100 TB of documents.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from lakehouse_admin_spark.operators.dedup import tokens_expr
@@ -268,51 +270,109 @@ WINNOW_DF_CAP = 20
 WINNOW_MIN_SHARED = 5
 WINNOW_MIN_OVERLAP = 0.5
 
-_WINNOW_HASH = (
-    "transform(sequence(1, n, 1), i -> "
-    f"cast(conv(substring(md5(substring(s, i, {WINNOW_K})), 1, 8), 16, 10) as bigint))"
-)
-_WINNOW_MIN = (
-    f"array_distinct(transform(sequence(1, n - {WINNOW_W} + 1, 1), "
-    f"j -> array_min(slice(hs, j, {WINNOW_W}))))"
-)
+# Portable polynomial k-gram hash (Karp-Rabin): Horner over the
+# codepoint array, base 131 mod 2^31-1. One ascii() per character
+# (computed once into ``cs``) plus 8 integer ops per position — vs the
+# r3 md5-per-position design this is ~n cheap ops instead of n digest
+# calls, and the arithmetic is bit-identical in DuckDB (ascii/%/* on
+# BIGINT), so the oracle replays it exactly.
+_WINNOW_B = 131
+_WINNOW_M = (1 << 31) - 1
+_WINNOW_CODES = "transform(sequence(1, length(s), 1), i -> ascii(substring(s, i, 1)))"
+
+
+def _horner(term: Callable[[int], str]) -> str:
+    h = f"cast({term(0)} as bigint)"
+    for j in range(1, WINNOW_K):
+        h = f"(({h}) * {_WINNOW_B} + {term(j)}) % {_WINNOW_M}"
+    return h
+
+
+def _make_winnow_kernel():
+    """Arrow-batched winnow kernel factory: per doc, codepoints ->
+    vectorized Horner rolling hash (7 int64 vector ops) ->
+    sliding-window minima -> unique fingerprints. All numpy; no
+    per-character Python. The integer arithmetic (base/modulus/Horner
+    order) is replayed exactly by the DuckDB oracle, so the kernel
+    stays hash-portable. Factory-nested so cloudpickle ships the
+    function BY VALUE (a module-level function pickles by reference
+    and breaks under a driver running from a foreign cwd)."""
+    k, w, b, m = WINNOW_K, WINNOW_W, _WINNOW_B, _WINNOW_M
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids: list[int] = []
+            fps: list = []
+            for doc_id, s in zip(pdf["doc_id"], pdf["s"]):
+                n = len(s) - k + 1
+                if n < w:
+                    continue
+                if s.isascii():
+                    codes = np.frombuffer(s.encode(), np.uint8).astype(np.int64)
+                else:  # match DuckDB/Spark ascii(): full code points
+                    codes = np.fromiter(map(ord, s), np.int64, len(s))
+                acc = codes[0:n].copy()
+                for j in range(1, k):
+                    acc = (acc * b + codes[j : j + n]) % m
+                mins = sliding_window_view(acc, w).min(axis=1)
+                ids.append(doc_id)
+                fps.append(np.unique(mins))
+            counts = [len(u) for u in fps]
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(np.asarray(ids, np.int64), counts)
+                    if ids
+                    else np.array([], np.int64),
+                    "fingerprint": np.concatenate(fps)
+                    if fps
+                    else np.array([], np.int64),
+                }
+            )
+
+    return kernel
 
 
 def winnow_fingerprint_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, fingerprint) rows via winnowing: hash every k-char gram,
-    keep the minimum of each w-wide sliding window, distinct per doc.
-    Guarantees every shared substring of length >= k + w - 1 shares at
-    least one fingerprint — the partial-overlap detector whole-doc md5
-    (doc_fingerprints) cannot provide.
+    """(doc_id, fingerprint) rows via winnowing: Karp-Rabin hash of
+    every k-char gram, keep the minimum of each w-wide sliding window,
+    distinct per doc. Guarantees every shared substring of length
+    >= k + w - 1 shares at least one fingerprint — the partial-overlap
+    detector whole-doc md5 (doc_fingerprints) cannot provide.
 
-    All hashing/windowing is built-in expressions over in-row arrays:
-    no shuffle until the final explode, no Python. The ``persist()``
-    between the hash pass and the window pass is load-bearing —
-    CollapseProject would otherwise inline the n-element hash array
-    into each of the n window lambdas, turning O(n*w) into O(n^2)
-    (measured 153 s -> 5 s at sf0.001)."""
+    Normalization (lower/trim/length-gate) stays JVM-side; the hash +
+    window-minima run in one Arrow-batched numpy kernel (r4: replaced
+    the r3 built-in-expression design — Spark higher-order-function
+    lambdas are interpreted per element and substring(s, i, k) walks
+    O(i) chars, so the expression form paid ~n^2 char walks per doc;
+    the vectorized kernel is a handful of O(n) int64 vector ops)."""
     docs = load_table(spark, sf_dir, "documents")
-    hashed = (
+    prepped = (
         docs.select("doc_id", F.lower(F.trim(F.col("text"))).alias("s"))
-        .withColumn("n", F.length("s") - WINNOW_K + 1)
-        .filter(F.col("n") >= WINNOW_W)
+        .filter(F.length("s") >= WINNOW_K + WINNOW_W - 1)
         .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("hs", F.expr(_WINNOW_HASH))
-        .drop("s")
-        .persist()
     )
-    return hashed.withColumn("fps", F.expr(_WINNOW_MIN)).select(
-        "doc_id", F.explode("fps").alias("fingerprint")
-    )
+    # persist: the fingerprint set feeds multiple consumers (sizes, df
+    # cap, both posting-list sides, and orderBy's range-bound sampling
+    # pass, which would otherwise run the kernel twice)
+    return prepped.mapInPandas(
+        _make_winnow_kernel(), "doc_id long, fingerprint long"
+    ).persist()
 
 
 _WINNOW_FP_SQL = f"""
     WITH s AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
     g AS (SELECT doc_id, s, length(s) - {WINNOW_K} + 1 AS n
           FROM s WHERE length(s) - {WINNOW_K} + 1 >= {WINNOW_W}),
-    h AS (SELECT doc_id, n, list_transform(range(1, n+1),
-            i -> CAST(('0x' || substring(md5(substring(s, CAST(i AS INTEGER), {WINNOW_K})), 1, 8)) AS BIGINT)) AS hs
+    c AS (SELECT doc_id, n, list_transform(range(1, length(s)+1),
+            i -> ascii(substring(s, CAST(i AS INTEGER), 1))) AS cs
           FROM g),
+    h AS (SELECT doc_id, n, list_transform(range(1, n+1),
+            i -> {_horner(lambda j: f'cs[CAST(i + {j} AS INTEGER)]')}) AS hs
+          FROM c),
     win AS (SELECT doc_id, list_distinct(list_transform(range(1, n - {WINNOW_W} + 2),
             j -> list_min(hs[CAST(j AS INTEGER):CAST(j + {WINNOW_W} - 1 AS INTEGER)]))) AS fps
           FROM h),
@@ -362,30 +422,41 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-overlap candidate pairs via the winnow inverted index:
-    posting-list self-join on fingerprint (hot fingerprints df-capped so
-    a boilerplate gram can't go quadratic), shared-count threshold, then
-    containment overlap = shared / min(|A|,|B|).
+    ONE shuffle on fingerprint builds posting lists (collect_list),
+    hot fingerprints are df-capped in the same aggregate (a boilerplate
+    gram can't go quadratic), candidate pairs are generated in-array
+    from each bounded posting list (<= cap*(cap-1)/2 per fingerprint),
+    then counted; containment overlap = shared / min(|A|,|B|).
 
-    Scale: the shuffle key is the fingerprint; cost is sum of capped
-    posting-list squares, never |docs|^2 — same shape as the n-gram
-    jaccard and MinHash candidate stages."""
-    # persist: the fingerprint frame feeds four consumers (hot-df cap,
-    # per-doc sizes, both posting-list join sides) — without it the
-    # winnow pass recomputes per branch
-    fps = winnow_fingerprint_df(spark, sf_dir).persist()
-    hot = (
+    r4: replaced the posting-list SELF-JOIN (which broadcast the whole
+    547k-row fingerprint set and scanned the cache 8x) with the
+    collect_list + in-array pair expansion — the classic pair-count
+    shape whose shuffle volume is sum of capped posting-list sizes,
+    never |docs|^2. Per-doc sizes reuse the capped posting lists, so
+    the exploded fingerprint set is read exactly twice."""
+    fps = winnow_fingerprint_df(spark, sf_dir)
+    posts = (
         fps.groupBy("fingerprint")
-        .count()
-        .filter(F.col("count") > WINNOW_DF_CAP)
-        .select("fingerprint")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") <= WINNOW_DF_CAP)
+        .persist()
     )
-    capped = fps.join(hot, "fingerprint", "left_anti")
-    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
-    left = capped.select(F.col("doc_id").alias("doc_a"), "fingerprint")
-    right = capped.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    sizes = (
+        posts.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    # all unordered doc pairs within one posting list, canonicalized
+    # (doc_a < doc_b); fps is distinct per doc so ds has no repeats
+    pair_expr = (
+        "flatten(transform(sequence(0, size(ds) - 2), i -> "
+        "transform(sequence(i + 1, size(ds) - 1), j -> "
+        "struct(least(ds[i], ds[j]) AS doc_a, greatest(ds[i], ds[j]) AS doc_b))))"
+    )
     pairs = (
-        left.join(right, "fingerprint")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        posts.filter(F.size("ds") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
