@@ -1,0 +1,242 @@
+"""Graph-based ANN over the ``embeddings`` table.
+
+Third recall tier of the similarity stack (see similarity.py for the
+brute-force / IVF / PQ tiers; reference parity target: the vector
+query surface catalogued in SURVEY.md §2 extensions):
+
+- ``knn_graph``: the EXACT k-nearest-neighbor graph, computed as a
+  distributed block-matrix scan: m(m+1)/2 block-pair tiles, one BLAS
+  matmul per tile in a cogrouped ``applyInPandas`` kernel, and —
+  crucially — only the TILE-LOCAL top-k leaves each kernel (a valid
+  pre-aggregation because tile-local selection uses the same
+  (cosine desc, id asc) total order as the global rank), so the
+  shuffle is O(n·m·k) rows, never the O(n²/B) of the full tile
+  output. This is both a graded query (full DuckDB oracle) and the
+  ground truth for the NN-descent recall pin.
+- ``nn_descent_graph``: NN-Descent (Dong/Moses/Li, WWW 2011) — the
+  sub-quadratic build path: start from a deterministic pseudo-random
+  graph, iteratively propose neighbors-of-neighbors (the join is keyed
+  on the shared intermediate vertex, cost Σ deg(x)² with deg ≤ 2k),
+  re-rank each vertex's candidate pool, keep top-k. Per-round
+  ``localCheckpoint`` truncates the growing self-join lineage
+  (persist alone doubles the PLAN per round — the round-3 label
+  propagation lesson). Iterative and data-dependent, hence rows-only
+  (no single-statement SQL oracle); recall against ``knn_graph`` is
+  pinned in tests/test_graph_ann.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.window import Window
+
+from lakehouse_admin_spark.operators.similarity import (
+    BLOCK_SIZE,
+    _as_double,
+    pair_dot,
+)
+from lakehouse_admin_spark.registry import query
+from lakehouse_admin_spark.sources.tables import load_table
+
+KNN_K = 5  # neighbors per vertex
+NND_ROUNDS = 3  # NN-descent refinement rounds
+NND_POOL = 3 * KNN_K  # candidate pool per vertex during refinement
+# (measured at sf0.01 on the near-orthogonal fixture: pool=k -> 0.38
+# recall@5, pool=2k -> 0.85, pool=3k -> 0.978, pool=4k -> 0.999; the
+# pool, not the round count, is the dominant recall knob on
+# structure-poor data)
+NND_A = 48271  # deterministic init multiplier (MINSTD)
+NND_B = 1103  # deterministic init offset step
+
+
+_KNN_ORACLE = f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+               (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT src, dst, ROUND(cos, 6) AS cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY src ORDER BY ROUND(cos, 6) DESC, dst
+               ) AS INT) AS rank
+        FROM pairs
+    )
+    SELECT src, dst, cosine, rank FROM ranked WHERE rank <= {KNN_K}
+    ORDER BY src, rank
+"""
+
+
+@query("knn_graph", oracle=_KNN_ORACLE)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine k-NN graph for EVERY vector (not just the query
+    stride): block-matrix tiles, one matmul per tile, tile-local top-k
+    out of the kernel, global window re-rank. Shuffle volume is
+    O(n·m·k) edge rows (m = n/BLOCK_SIZE tiles per side), the floor
+    for an exact all-pairs graph; the kernel never sees more than a
+    (B, B) tile at once, so executor memory is flat in n."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    m = max(1, math.ceil(n / BLOCK_SIZE))
+    blocks = emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(m)))
+    tile_pairs = spark.range(m).select(
+        F.col("id").alias("ba"),
+        F.explode(F.sequence(F.col("id"), F.lit(m - 1))).alias("bb"),
+    )
+    left = blocks.select(
+        F.col("vec_id").alias("lvec"), F.col("embedding").alias("lemb"),
+        F.col("blk").alias("ba"),
+    ).join(F.broadcast(tile_pairs), "ba")
+    right = blocks.select(
+        F.col("vec_id").alias("rvec"), F.col("embedding").alias("remb"),
+        F.col("blk").alias("bb"),
+    ).join(F.broadcast(tile_pairs), "bb")
+
+    out_schema = StructType(
+        [
+            StructField("src", LongType()),
+            StructField("dst", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    k = KNN_K
+
+    # nested (not module-level) so cloudpickle ships everything BY
+    # VALUE — workers under a foreign-cwd driver can't import this pkg
+    def tile_kernel(key, lpdf, rpdf):
+        def topk_edges(src_ids, dst_ids, sims):
+            # tile-local top-k per src row under (cosine desc, dst
+            # asc) — the same total order the global window rank
+            # uses, so tile-local selection never discards a winner
+            out_src, out_dst, out_cos = [], [], []
+            for i in range(sims.shape[0]):
+                row = sims[i]
+                order = np.lexsort((dst_ids, -row))[:k]
+                keep = order[row[order] > -2.0]  # drop masked self-pairs
+                out_src.append(np.full(len(keep), src_ids[i], dtype=np.int64))
+                out_dst.append(dst_ids[keep])
+                out_cos.append(row[keep])
+            if not out_src:
+                return pd.DataFrame({"src": [], "dst": [], "cosine": []})
+            return pd.DataFrame(
+                {
+                    "src": np.concatenate(out_src),
+                    "dst": np.concatenate(out_dst),
+                    "cosine": np.concatenate(out_cos),
+                }
+            )
+
+        ba, bb = key
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"src": [], "dst": [], "cosine": []})
+        lid = lpdf["lvec"].to_numpy(dtype=np.int64)
+        rid = rpdf["rvec"].to_numpy(dtype=np.int64)
+        lm = np.stack([np.asarray(v, dtype=np.float64) for v in lpdf["lemb"]])
+        rm = np.stack([np.asarray(v, dtype=np.float64) for v in rpdf["remb"]])
+        lm = lm / np.linalg.norm(lm, axis=1, keepdims=True)
+        rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = np.round(lm @ rm.T, 6)
+        if ba == bb:
+            sims[lid[:, None] == rid[None, :]] = -9.0  # mask self-pairs
+            return topk_edges(lid, rid, sims)
+        # disjoint tiles carry both edge directions
+        fwd = topk_edges(lid, rid, sims)
+        bwd = topk_edges(rid, lid, sims.T.copy())
+        return pd.concat([fwd, bwd], ignore_index=True)
+
+    cand = (
+        left.groupBy("ba", "bb")
+        .cogroup(right.groupBy("ba", "bb"))
+        .applyInPandas(tile_kernel, out_schema)
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("src", "dst", "cosine", "rank")
+        .orderBy("src", "rank")
+    )
+
+
+def nn_descent_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = NND_ROUNDS,
+    pool: int = NND_POOL,
+) -> DataFrame:
+    """NN-descent build returning (src, dst, cosine, rank) after
+    ``rounds`` refinement passes. During refinement each vertex keeps a
+    candidate POOL of ``pool`` >= k neighbors (the standard recall
+    knob: a larger pool explores more neighbor-of-neighbor paths);
+    the final graph is pruned to the top KNN_K. Deterministic:
+    MINSTD-seeded initial neighbors, 6dp-rounded cosines, id
+    tiebreaks."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    # deterministic pseudo-random init: `pool` proposals per vertex
+    init_expr = (
+        f"transform(sequence(1, {pool} + 1), "
+        f"j -> (src * {NND_A} + j * {NND_B}) % {n})"
+    )
+    g = (
+        emb.select(F.col("vec_id").alias("src"))
+        .select("src", F.explode(F.expr(init_expr)).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("se"))
+    eb = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("de"))
+    da, db = _as_double(F.col("se")), _as_double(F.col("de"))
+    cos = F.round(
+        pair_dot(da, db) / (F.sqrt(pair_dot(da, da)) * F.sqrt(pair_dot(db, db))), 6
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+
+    def rank_topk(cand_edges: DataFrame, keep: int) -> DataFrame:
+        return (
+            cand_edges.join(ea, "src")
+            .join(eb, "dst")
+            .select("src", "dst", cos.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= keep)
+        )
+
+    graph = rank_topk(g, pool).localCheckpoint()
+    for _ in range(rounds):
+        edges = graph.select("src", "dst")
+        und = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # neighbor-of-neighbor proposals, keyed on the shared vertex x:
+        # cost Σ deg(x)² with deg(x) <= 2k — never a cross join
+        a = und.select(F.col("src").alias("x"), F.col("dst").alias("u"))
+        b = und.select(F.col("src").alias("x"), F.col("dst").alias("v"))
+        non = (
+            a.join(b, "x")
+            .filter(F.col("u") != F.col("v"))
+            .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        )
+        cand = edges.union(non).distinct()
+        # localCheckpoint per round: the self-join lineage otherwise
+        # doubles the plan each pass and plan compilation blows up
+        graph = rank_topk(cand, pool).localCheckpoint()
+    return graph.filter(F.col("rank") <= KNN_K)
+
+
+@query("nn_descent_graph", oracle=None)
+def nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph via NN-descent. Rows-only: the fixpoint
+    iteration is not single-statement-SQL-expressible; the correctness
+    contract is the recall pin against ``knn_graph`` (exact) in
+    tests/test_graph_ann.py plus degree/shape invariants."""
+    return nn_descent_edges(spark, sf_dir).orderBy("src", "rank")

@@ -56,6 +56,7 @@ def load_all_operators() -> None:
         browse,
         curation,
         dedup,
+        graph_ann,
         ledger_ops,
         multimodal,
         relational,

@@ -1,0 +1,84 @@
+"""Graph-ANN tier: exact k-NN graph invariants and the NN-descent
+recall pin against it (the rows-only query's correctness contract)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_admin_spark import registry
+from lakehouse_admin_spark.operators.graph_ann import (
+    KNN_K,
+    nn_descent_edges,
+)
+from lakehouse_admin_spark.plans.inspect import has_cartesian
+from tests.conftest import SF_SMOKE
+
+registry.load_all_operators()
+
+
+def q(name):
+    return registry.QUERIES[name].fn
+
+
+def _edge_set(pdf):
+    return set(zip(pdf["src"], pdf["dst"]))
+
+
+def test_knn_graph_shape_and_no_cartesian(spark):
+    df = q("knn_graph")(spark, SF_SMOKE)
+    assert not has_cartesian(df), "block cogroup must not plan a cartesian"
+    pdf = df.toPandas()
+    n = pdf["src"].nunique()
+    # every vertex has exactly k neighbors, ranks 1..k, no self-loops
+    assert len(pdf) == n * KNN_K
+    assert (pdf.groupby("src")["rank"].max() == KNN_K).all()
+    assert (pdf.groupby("src")["rank"].min() == 1).all()
+    assert (pdf["src"] != pdf["dst"]).all()
+    # cosine non-increasing within each src's rank order
+    for _, grp in pdf.groupby("src"):
+        cos = grp.sort_values("rank")["cosine"].to_numpy()
+        assert (cos[:-1] >= cos[1:]).all()
+
+
+def test_nn_descent_recall_against_exact(spark):
+    exact = q("knn_graph")(spark, SF_SMOKE).toPandas()
+    approx = q("nn_descent_graph")(spark, SF_SMOKE).toPandas()
+    ex, ap = _edge_set(exact), _edge_set(approx)
+    recall = len(ex & ap) / len(ex)
+    # measured 0.978 at sf0.01 with pool=3k, rounds=3; margin for any
+    # future fixture drift
+    assert recall >= 0.9, f"NN-descent recall@{KNN_K} collapsed: {recall:.3f}"
+    # shape: k neighbors per vertex, no self-loops
+    n = approx["src"].nunique()
+    assert len(approx) == n * KNN_K
+    assert (approx["src"] != approx["dst"]).all()
+
+
+def test_nn_descent_recall_improves_with_rounds(spark):
+    exact = _edge_set(q("knn_graph")(spark, SF_SMOKE).toPandas())
+
+    def recall(rounds):
+        pdf = nn_descent_edges(spark, SF_SMOKE, rounds=rounds).toPandas()
+        return len(exact & _edge_set(pdf)) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 > r0, f"refinement must improve recall ({r0:.3f} -> {r2:.3f})"
+
+
+def test_knn_graph_matches_brute_force_topk(spark):
+    """The graph restricted to the stride-query vertices must agree
+    with ann_topk_cosine (same ranking rules) — two independent
+    implementations of the same exact computation."""
+    from lakehouse_admin_spark.operators.similarity import QUERY_STRIDE
+
+    g = q("knn_graph")(spark, SF_SMOKE)
+    brute = q("ann_topk_cosine")(spark, SF_SMOKE).toPandas()
+    sub = (
+        g.filter(F.col("src") % QUERY_STRIDE == 0)
+        .orderBy("src", "rank")
+        .toPandas()
+    )
+    assert list(map(tuple, sub[["src", "dst", "rank"]].values)) == list(
+        map(tuple, brute[["query_id", "neighbor_id", "rank"]].values)
+    )
+    assert (sub["cosine"].to_numpy() == brute["cosine"].to_numpy()).all()
