@@ -27,6 +27,7 @@ from lakehouse_admin_spark.operators.analyze import OptimizeSettings
 from lakehouse_admin_spark.registry import query
 from lakehouse_admin_spark.sources.fixtures import build_events_ledger, get_catalog
 from lakehouse_admin_spark.sources.ledger import LedgerTable
+from lakehouse_admin_spark.sources.tables import load_table
 
 
 def _events_tbl(spark: SparkSession, sf_dir: str) -> LedgerTable:
@@ -244,6 +245,69 @@ def ledger_delete_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("position_deletes"),
             F.lit(live).alias("live_rows"),
         )
+    )
+
+
+@query("ledger_bucketed_join_revenue", oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS line_count,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    ORDER BY 1
+    """)
+def ledger_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-map join INSIDE the ledger, graded end to end: orders and
+    lineitem are ledger tables co-bucketed (bucket[8] Murmur3) on their
+    orderkeys; the join runs as 8 independent per-bucket joins, each
+    broadcasting whichever side the MANIFEST record counts say is
+    smaller in that bucket — the fact side is planned bucket-local and
+    never shuffled (plan pinned in tests/test_bucketing.py). The oracle
+    recomputes from the raw rows: layout must never change results."""
+    from lakehouse_admin_spark.sources.fixtures import build_bucketed_pair
+    from lakehouse_admin_spark.sources.ledger_bucketing import bucketed_ledger_join
+
+    catalog = get_catalog(spark)
+    t_orders, t_li = build_bucketed_pair(spark, sf_dir, catalog)
+    joined = bucketed_ledger_join(t_li, t_orders, "l_orderkey", "o_orderkey")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("ledger_bucket_lookup", oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+    ORDER BY o_orderkey
+    """)
+def ledger_bucket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned point lookup: the key's Murmur3 bucket is computed
+    once (1-row job through the SAME expression the write used), only
+    that bucket's files are planned from the manifest (1/N of the
+    table), and within the bucket the sorted write's column stats skip
+    further. The oracle is the plain equality scan."""
+    from lakehouse_admin_spark.sources.fixtures import build_bucketed_pair
+    from lakehouse_admin_spark.sources.ledger_bucketing import bucket_point_lookup
+
+    catalog = get_catalog(spark)
+    t_orders, _t_li = build_bucketed_pair(spark, sf_dir, catalog)
+    key = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.min("o_orderkey").alias("k"))
+        .collect()[0]["k"]
+    )
+    return (
+        bucket_point_lookup(t_orders, "o_orderkey", key)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
     )
 
 

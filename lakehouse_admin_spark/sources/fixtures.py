@@ -156,6 +156,47 @@ def build_lineitem_ledger(
 
 
 @_locked
+def build_bucketed_pair(
+    spark: SparkSession,
+    sf_dir: str,
+    catalog: LedgerCatalog,
+    database: str = "main",
+    n_buckets: int = 8,
+) -> tuple[LedgerTable, LedgerTable]:
+    """Co-bucketed orders/lineitem ledger pair: both tables carry a
+    ``bucket[n]`` transform on their orderkey (same Murmur3, same N ⇒
+    equal keys share a bucket index), plus a sort order on the key so
+    within-bucket files get disjoint key ranges (point lookups skip on
+    column stats INSIDE the bucket too). One append each — the write
+    path hash-clusters rows into the bucket dirs."""
+    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_").replace("-", "_")
+    on, ln = f"orders_bkt{n_buckets}_{tag}", f"lineitem_bkt{n_buckets}_{tag}"
+    if on in catalog.list_tables(database) and ln in catalog.list_tables(database):
+        return catalog.table(database, on), catalog.table(database, ln)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    t_orders = catalog.create_table(
+        database,
+        on,
+        orders.schema,
+        [PartitionField(source="o_orderkey", transform=f"bucket[{n_buckets}]",
+                        name="o_orderkey_bucket")],
+        sort_order=["o_orderkey"],
+    )
+    t_orders.append(orders)
+    t_li = catalog.create_table(
+        database,
+        ln,
+        li.schema,
+        [PartitionField(source="l_orderkey", transform=f"bucket[{n_buckets}]",
+                        name="l_orderkey_bucket")],
+        sort_order=["l_orderkey"],
+    )
+    t_li.append(li)
+    return t_orders, t_li
+
+
+@_locked
 def build_nested_ledger(
     spark: SparkSession,
     catalog: LedgerCatalog,

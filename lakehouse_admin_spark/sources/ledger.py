@@ -665,6 +665,14 @@ class LedgerTable:
             out = part if out is None else out.unionByName(part)
         return out
 
+    def scan_entries(self, entries: list[dict]) -> DataFrame:
+        """Public field-id-resolved scan over an EXPLICIT manifest-entry
+        list — the hook bucket-wise planning (ledger_bucketing.py) uses
+        to scan exactly one bucket's files. Position deletes are NOT
+        applied here; callers holding delete files pass them through
+        :meth:`read` instead."""
+        return self._read_entries(entries)
+
     def _apply_position_deletes(self, df: DataFrame, delete_paths: list[str]) -> DataFrame:
         """Anti-join content=1 position deletes on the (_mor_fp,
         _mor_pos) columns a with_meta read carries. Broadcast: the

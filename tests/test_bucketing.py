@@ -39,6 +39,103 @@ def test_bucketed_join_no_exchange(spark, bucketed):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
+@pytest.fixture(scope="module")
+def ledger_pair(spark):
+    from lakehouse_admin_spark.sources.fixtures import build_bucketed_pair, get_catalog
+
+    return build_bucketed_pair(spark, SF_SMOKE, get_catalog(spark))
+
+
+def test_ledger_bucket_plan_is_partition_of_files(spark, ledger_pair):
+    from lakehouse_admin_spark.sources.ledger_bucketing import (
+        bucket_spec_field,
+        plan_bucket,
+    )
+
+    t_orders, _ = ledger_pair
+    field, n = bucket_spec_field(t_orders, "o_orderkey")
+    assert n == 8
+    all_files = {e["file_path"] for e in t_orders.live_files()}
+    seen: set[str] = set()
+    for b in range(n):
+        paths = {e["file_path"] for e in plan_bucket(t_orders, field, b)}
+        assert paths, f"bucket {b} is empty — hash clustering failed"
+        assert not (paths & seen), "a file appeared in two buckets"
+        seen |= paths
+    assert seen == all_files
+
+
+def test_ledger_bucket_point_lookup_prunes_and_matches(spark, ledger_pair):
+    from lakehouse_admin_spark.sources.ledger_bucketing import (
+        bucket_of,
+        bucket_point_lookup,
+        bucket_spec_field,
+        plan_bucket,
+    )
+
+    t_orders, _ = ledger_pair
+    orders = load_table(spark, SF_SMOKE, "orders")
+    key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    field, n = bucket_spec_field(t_orders, "o_orderkey")
+    b = bucket_of(t_orders, "o_orderkey", key)
+    # the planned bucket is a strict subset of the table's files
+    assert len(plan_bucket(t_orders, field, b)) < len(t_orders.live_files())
+    got = bucket_point_lookup(t_orders, "o_orderkey", key).collect()
+    want = orders.filter(F.col("o_orderkey") == key).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_ledger_bucket_point_lookup_missing_key_empty(spark, ledger_pair):
+    from lakehouse_admin_spark.sources.ledger_bucketing import bucket_point_lookup
+
+    t_orders, _ = ledger_pair
+    assert bucket_point_lookup(t_orders, "o_orderkey", -987654321).count() == 0
+
+
+def test_ledger_bucketed_join_matches_plain_and_never_shuffles(spark, ledger_pair):
+    from lakehouse_admin_spark.plans.inspect import exchange_count
+    from lakehouse_admin_spark.sources.ledger_bucketing import bucketed_ledger_join
+
+    t_orders, t_li = ledger_pair
+    joined = bucketed_ledger_join(t_li, t_orders, "l_orderkey", "o_orderkey")
+    # every per-bucket join broadcasts its manifest-smaller side: the
+    # ONLY exchanges in the whole union are broadcasts, never a shuffle
+    assert exchange_count(joined) == 0
+    got = (
+        joined.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    want = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_ledger_bucketed_join_count_mismatch_raises(spark, ledger_pair):
+    from lakehouse_admin_spark.sources.fixtures import get_catalog
+    from lakehouse_admin_spark.sources.ledger import PartitionField
+    from lakehouse_admin_spark.sources.ledger_bucketing import bucketed_ledger_join
+
+    t_orders, _ = ledger_pair
+    catalog = get_catalog(spark)
+    if "orders_bkt4_mismatch" not in catalog.list_tables("main"):
+        orders = load_table(spark, SF_SMOKE, "orders").limit(100)
+        t4 = catalog.create_table(
+            "main",
+            "orders_bkt4_mismatch",
+            orders.schema,
+            [PartitionField("o_orderkey", "bucket[4]", "o_orderkey_bucket")],
+        )
+        t4.append(orders)
+    t4 = catalog.table("main", "orders_bkt4_mismatch")
+    with pytest.raises(ValueError, match="bucket counts differ"):
+        bucketed_ledger_join(t_orders, t4, "o_orderkey", "o_orderkey")
+
+
 def test_bucketed_join_matches_plain(spark, bucketed):
     li_b, ord_b = bucketed
     li = load_table(spark, SF_SMOKE, "lineitem")
