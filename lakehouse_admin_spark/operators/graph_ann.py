@@ -233,6 +233,158 @@ def nn_descent_edges(
     return graph.filter(F.col("rank") <= KNN_K)
 
 
+GS_SEEDS = 4  # fixed entry points: vec_id < GS_SEEDS
+GS_BEAM = 10  # beam width per query during the walk
+GS_HOPS = 3  # expansion rounds
+GS_K = 5  # final neighbors reported per query
+
+
+def _gs_oracle() -> str:
+    """Unrolled beam-search oracle: DuckDB replays the exact same walk —
+    brute-force cosine matrix for the query stride (an oracle-side
+    convenience only; it SELECTS just the candidate pairs' values), the
+    exact k-NN graph made undirected, then GS_HOPS rounds of
+    expand → dedup → top-GS_BEAM, and a final top-GS_K excluding the
+    query node. Every selection uses (cos desc, node asc) on 6dp-rounded
+    cosines, so both engines make identical beam decisions."""
+    from lakehouse_admin_spark.operators.similarity import QUERY_STRIDE
+
+    head = f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+               (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                   AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    edges_dir AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+            FROM pairs
+        ) WHERE rn <= {KNN_K}
+    ),
+    edges AS (
+        SELECT src, dst FROM edges_dir
+        UNION SELECT dst AS src, src AS dst FROM edges_dir
+    ),
+    cosmat AS (
+        SELECT src AS qid, dst AS node, cos FROM pairs
+        WHERE src % {QUERY_STRIDE} = 0
+        UNION ALL
+        SELECT vec_id AS qid, vec_id AS node, CAST(1.0 AS DOUBLE) AS cos
+        FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+    ),
+    b0 AS (
+        SELECT qid, node, cos FROM cosmat WHERE node < {GS_SEEDS}
+    )"""
+    rounds = []
+    prev = "b0"
+    for r in range(1, GS_HOPS + 1):
+        rounds.append(f"""
+    c{r} AS (
+        SELECT DISTINCT qid, node FROM (
+            SELECT qid, node FROM {prev}
+            UNION ALL
+            SELECT b.qid, e.dst AS node FROM {prev} b JOIN edges e ON e.src = b.node
+        )
+    ),
+    b{r} AS (
+        SELECT qid, node, cos FROM (
+            SELECT c.qid, c.node, m.cos,
+                   row_number() OVER (PARTITION BY c.qid
+                                      ORDER BY m.cos DESC, c.node) AS rn
+            FROM c{r} c JOIN cosmat m ON m.qid = c.qid AND m.node = c.node
+        ) WHERE rn <= {GS_BEAM}
+    )""")
+        prev = f"b{r}"
+    tail = f"""
+    SELECT qid AS query_id, node AS neighbor_id, cos AS cosine,
+           CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT qid, node, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, node) AS rnk
+        FROM {prev} WHERE node <> qid
+    ) WHERE rnk <= {GS_K}
+    ORDER BY query_id, rank
+    """
+    return head + "," + ",".join(rounds) + tail
+
+
+@query("graph_ann_search", oracle=_gs_oracle())
+def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time greedy beam search over the exact k-NN graph (the
+    HNSW/NSG serving pattern, single-layer): start every stride-100
+    query at fixed entry points, repeatedly expand the beam along
+    (undirected) graph edges, keep the GS_BEAM closest visited nodes,
+    report the final top-GS_K. Cosines are computed ONLY for visited
+    candidates — the big embedding table is never shuffled: candidate
+    sets (≤ beam·(k+1) rows per query) broadcast against it, and the
+    graph is built once and localCheckpoint'd so the walk's H rounds
+    reuse it without re-running the build. At serving scale the graph +
+    vectors are a prebuilt artifact and each round touches O(|beam|·k)
+    vectors per query; the driver-graded oracle replays the identical
+    walk in SQL."""
+    from lakehouse_admin_spark.operators.similarity import QUERY_STRIDE, cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    graph = knn_graph(spark, sf_dir).select("src", "dst").localCheckpoint()
+    edges = graph.union(
+        graph.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+
+    def with_cos(cand: DataFrame) -> DataFrame:
+        # candidates are tiny (≤ nq·beam·(k+1)) → broadcast them against
+        # the embedding table; the big side never shuffles
+        ne = emb.select(F.col("vec_id").alias("node"), F.col("embedding").alias("ne"))
+        return (
+            ne.join(F.broadcast(cand), "node")
+            .join(F.broadcast(queries), "query_id")
+            .select(
+                "query_id",
+                "node",
+                F.round(cosine_expr(F.col("qe"), F.col("ne")), 6).alias("cos"),
+            )
+        )
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("node"))
+    seeds = queries.select("query_id").crossJoin(
+        spark.range(GS_SEEDS).select(F.col("id").alias("node"))
+    )
+    beam = with_cos(seeds).localCheckpoint()
+    for _ in range(GS_HOPS):
+        expand = (
+            beam.select("query_id", F.col("node").alias("src"))
+            .join(edges, "src")
+            .select("query_id", F.col("dst").alias("node"))
+        )
+        cand = beam.select("query_id", "node").union(expand).distinct()
+        beam = (
+            with_cos(cand)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= GS_BEAM)
+            .drop("rn")
+            .localCheckpoint()
+        )
+    return (
+        beam.filter(F.col("node") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= GS_K)
+        .select(
+            "query_id",
+            F.col("node").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 @query("nn_descent_graph", oracle=None)
 def nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN graph via NN-descent. Rows-only: the fixpoint

@@ -65,6 +65,32 @@ def test_nn_descent_recall_improves_with_rounds(spark):
     assert r2 > r0, f"refinement must improve recall ({r0:.3f} -> {r2:.3f})"
 
 
+def test_graph_search_shape_and_recall(spark):
+    """Beam search output invariants + a recall floor against the exact
+    brute-force top-k (the walk visits a tiny fraction of nodes, so the
+    floor is modest; exactness is the DuckDB oracle's job)."""
+    from lakehouse_admin_spark.operators.graph_ann import GS_K
+
+    res = q("graph_ann_search")(spark, SF_SMOKE).toPandas()
+    assert set(res.columns) == {"query_id", "neighbor_id", "cosine", "rank"}
+    assert (res["query_id"] != res["neighbor_id"]).all()
+    per_q = res.groupby("query_id")["rank"]
+    assert (per_q.max() <= GS_K).all()
+    assert (per_q.min() == 1).all()
+    # ranks contiguous, cosine non-increasing in rank
+    for _, grp in res.groupby("query_id"):
+        g2 = grp.sort_values("rank")
+        assert list(g2["rank"]) == list(range(1, len(g2) + 1))
+        cos = g2["cosine"].to_numpy()
+        assert (cos[:-1] >= cos[1:]).all()
+    # beats picking the seeds alone: some true top-k neighbor is found
+    brute = q("ann_topk_cosine")(spark, SF_SMOKE).toPandas()
+    ex = set(zip(brute["query_id"], brute["neighbor_id"]))
+    ap = set(zip(res["query_id"], res["neighbor_id"]))
+    recall = len(ex & ap) / len(ex)
+    assert recall > 0.0, "graph walk found no true neighbors at all"
+
+
 def test_knn_graph_matches_brute_force_topk(spark):
     """The graph restricted to the stride-query vertices must agree
     with ann_topk_cosine (same ranking rules) — two independent
