@@ -254,3 +254,81 @@ def test_ledger_batch_sink_replay_is_idempotent(spark, tmp_path_factory):
     sink(ev, 1)  # a genuinely new batch appends
     assert tbl.read().count() == 2 * n_after_first
     assert [s.summary.get("streaming-batch-id") for s in tbl.snapshots()] == ["0", "1"]
+
+
+def _write_drop(df, src, name, mtime):
+    tmp = os.path.join(src, f"tmp_{name}")
+    df.coalesce(1).write.parquet(tmp)
+    pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    dst = os.path.join(src, f"{name}.parquet")
+    shutil.move(os.path.join(tmp, pf), dst)
+    shutil.rmtree(tmp)
+    os.utime(dst, (mtime, mtime))
+
+
+def test_dup_rate_stream_counts_replayed_events(spark, tmp_path_factory):
+    """Stateful dup-rate operator: batch 2 replays batch 1 verbatim, so
+    with a horizon covering the fixture every user's cumulative rate
+    converges to exactly 0.5."""
+    from lakehouse_admin_spark.streaming.dedup_rate import dup_rate_stream
+
+    src = str(tmp_path_factory.mktemp("dup_drops"))
+    ev = load_table(spark, SF_SMOKE, "events")
+    _write_drop(ev, src, "drop_0", 1000000)
+    _write_drop(ev, src, "drop_1", 1001000)
+
+    stream = read_events_stream(spark, src, ev.schema)
+    rates = dup_rate_stream(stream, horizon_ms=365 * 24 * 3600 * 1000)
+    q = run_stream_to_memory(rates, "dup_rates", output_mode="append")
+    q.awaitTermination(180)
+    out = spark.table("dup_rates").toPandas()
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).toPandas()
+    expected_n = dict(zip(per_user["user_id"], per_user["n"]))
+    # final row per user = the one with the largest total_events
+    final = out.sort_values("total_events").groupby("user_id").last()
+    assert set(final.index) == set(expected_n)
+    for uid, row in final.iterrows():
+        n = expected_n[uid]
+        assert row["total_events"] == 2 * n
+        assert row["total_dups"] == n, f"user {uid}: {row['total_dups']} != {n}"
+        assert row["dup_rate"] == 0.5
+    # batch-level rows: first batch saw zero dups for every user
+    first = out.sort_values("total_events").groupby("user_id").first()
+    assert (first["batch_dups"] == 0).all()
+
+
+def test_dup_rate_stream_horizon_bounds_state(spark, tmp_path_factory):
+    """With a tiny horizon, ids older than max_ts - horizon are pruned
+    between batches, so a full replay is NOT fully counted as
+    duplicate — the bounded-state contract (analogous to
+    dropDuplicatesWithinWatermark's eviction)."""
+    from lakehouse_admin_spark.streaming.dedup_rate import dup_rate_stream
+
+    src = str(tmp_path_factory.mktemp("dup_drops_h"))
+    ev = load_table(spark, SF_SMOKE, "events")
+    _write_drop(ev, src, "drop_0", 1000000)
+    _write_drop(ev, src, "drop_1", 1001000)
+
+    stream = read_events_stream(spark, src, ev.schema)
+    rates = dup_rate_stream(stream, horizon_ms=60 * 1000)  # 1 minute
+    q = run_stream_to_memory(rates, "dup_rates_h", output_mode="append")
+    q.awaitTermination(180)
+    out = spark.table("dup_rates_h").toPandas()
+    final = out.sort_values("total_events").groupby("user_id").last()
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).toPandas()
+    expected_n = dict(zip(per_user["user_id"], per_user["n"]))
+    # expected dups per user: replayed ids still inside [max_ts-1min, max_ts]
+    import pandas as pd
+
+    evp = ev.select("user_id", "event_id", "ts").toPandas()
+    evp["ms"] = evp["ts"].values.astype("datetime64[ms]").astype("int64")
+    exp_dups = {}
+    for uid, grp in evp.groupby("user_id"):
+        cutoff = grp["ms"].max() - 60 * 1000
+        exp_dups[uid] = int((grp["ms"] >= cutoff).sum())
+    for uid, row in final.iterrows():
+        assert row["total_events"] == 2 * expected_n[uid]
+        assert row["total_dups"] == exp_dups[uid], (
+            f"user {uid}: {row['total_dups']} != {exp_dups[uid]}"
+        )
+        assert row["total_dups"] < expected_n[uid]
