@@ -311,6 +311,72 @@ def ledger_bucket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ledger_incremental_scan", oracle="""
+    WITH t AS (
+        SELECT event_type, row_number() OVER (ORDER BY event_type) AS rn
+        FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS record_count,
+           ROUND(SUM(e.value), 2) AS value_sum
+    FROM events e JOIN t USING (event_type)
+    WHERE t.rn IN (3, 4)
+    GROUP BY 1
+    ORDER BY 1
+    """)
+def ledger_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan (Iceberg incremental read), graded: the
+    rows committed between the 2nd and 4th append are planned purely
+    from MANIFEST DELTAS — the scan reads only the files those two
+    commits added, never the table. The fixture appends one event_type
+    per commit alphabetically, so the oracle knows the range holds
+    exactly the 3rd and 4th types' rows."""
+    tbl = _events_tbl(spark, sf_dir)
+    appends = [s for s in tbl.snapshots() if s.operation == "append"]
+    df = tbl.incremental_scan(appends[1].snapshot_id, appends[3].snapshot_id)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("record_count"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("ledger_changelog_counts", oracle="""
+    WITH t AS (
+        SELECT event_type, row_number() OVER (ORDER BY event_type) AS rn
+        FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    ins AS (
+        SELECT 'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS row_count
+        FROM events e JOIN t USING (event_type) WHERE t.rn >= 2
+    ),
+    del AS (
+        SELECT 'delete' AS change_type, CAST(COUNT(*) AS BIGINT) AS row_count
+        FROM events
+        WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
+    )
+    SELECT * FROM del UNION ALL SELECT * FROM ins ORDER BY change_type
+    """)
+def ledger_changelog_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog over the fixture's full history after the first
+    commit: inserts are the rows of every later append (types 2..T),
+    deletes are the rows of the files the delete-partitions commit
+    dropped (the whole first day, all types). Planned from manifest
+    deltas; only added/removed files are read. The oracle recomputes
+    both sides from raw rows."""
+    tbl = _events_tbl(spark, sf_dir)
+    snaps = tbl.snapshots()
+    df = tbl.changelog_scan(snaps[0].snapshot_id, snaps[-1].snapshot_id)
+    return (
+        df.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .orderBy("change_type")
+    )
+
+
 @query("ledger_live_partition_stats", oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS ts_day,
            CAST(COUNT(*) AS BIGINT) AS record_count,

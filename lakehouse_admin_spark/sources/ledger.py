@@ -985,6 +985,159 @@ class LedgerTable:
 
         return [e for e in files if may_match(e)]
 
+    def _ancestry_range(self, from_snapshot_id: int, to_snapshot_id: int) -> list[Snapshot]:
+        """Snapshots strictly after ``from`` up to and including ``to``,
+        oldest first, following parent links. Raises if ``from`` is not
+        an ancestor of ``to``."""
+        chain: list[Snapshot] = []
+        cur = self.snapshot(to_snapshot_id)
+        while cur.snapshot_id != from_snapshot_id:
+            chain.append(cur)
+            if cur.parent_id is None:
+                raise ValueError(
+                    f"snapshot {from_snapshot_id} is not an ancestor of {to_snapshot_id}"
+                )
+            cur = self.snapshot(cur.parent_id)
+        chain.reverse()
+        return chain
+
+    def _snapshot_delta(self, snap: Snapshot) -> tuple[list[dict], list[str]]:
+        """(added entries, removed paths) of one snapshot — directly for
+        delta-form commits, by file-path diff against the parent for
+        fold-form ones (folds drop the delta record by design)."""
+        if not snap.is_fold:
+            return snap.added, snap.removed
+        parent_files = (
+            {e["file_path"]: e for e in self.snapshot(snap.parent_id).files}
+            if snap.parent_id is not None
+            else {}
+        )
+        cur_files = {e["file_path"]: e for e in snap.files}
+        added = [e for p, e in cur_files.items() if p not in parent_files]
+        removed = [p for p in parent_files if p not in cur_files]
+        return added, removed
+
+    def incremental_scan(
+        self, from_snapshot_id: int, to_snapshot_id: int
+    ) -> DataFrame:
+        """Incremental APPEND scan (Iceberg's incremental read,
+        reference admin plane surfaces snapshot lineage the same way):
+        the rows committed strictly after ``from_snapshot_id`` up to
+        ``to_snapshot_id`` — planned purely from manifest deltas, so
+        the scan reads ONLY the files those commits added, never the
+        table. Raises if any snapshot in the range removed or replaced
+        files (same append-only restriction Iceberg enforces); use
+        :meth:`changelog_scan` for ranges with deletes."""
+        added_entries: list[dict] = []
+        for snap in self._ancestry_range(from_snapshot_id, to_snapshot_id):
+            added, removed = self._snapshot_delta(snap)
+            if removed or snap.operation not in ("append",):
+                raise ValueError(
+                    f"snapshot {snap.snapshot_id} ({snap.operation}) is not "
+                    "append-only; incremental_scan requires an append-only range"
+                )
+            added_entries.extend(e for e in added if e.get("content", 0) == 0)
+        if not added_entries:
+            return self.spark.createDataFrame([], self.unified_schema())
+        return self._read_entries(added_entries)
+
+    def changelog_scan(
+        self, from_snapshot_id: int, to_snapshot_id: int
+    ) -> DataFrame:
+        """CDC changelog between two snapshots: every row added in the
+        range tagged ``_change_type='insert'`` and every row removed
+        tagged ``'delete'``, stamped with the committing snapshot id.
+        ``replace`` commits (compaction/rewrites) move rows between
+        files without changing table content, so they are skipped —
+        Iceberg's changelog semantics. Planned from manifest deltas;
+        reads only the added/removed files of the range."""
+        pieces: list[DataFrame] = []
+        for snap in self._ancestry_range(from_snapshot_id, to_snapshot_id):
+            if snap.operation in ("replace",):
+                continue
+            added, removed = self._snapshot_delta(snap)
+            data_added = [e for e in added if e.get("content", 0) == 0]
+            pos_delete_added = [e for e in added if e.get("content", 0) == 1]
+            if pos_delete_added and snap.parent_id is not None:
+                # merge-on-read delete commit: the removed ROWS are the
+                # (file_path, pos) pairs in the new delete files. Only
+                # the referenced data files are read (paths come from
+                # the small delete files — a files-bounded collect).
+                dels = self.spark.read.parquet(
+                    *[e["file_path"] for e in pos_delete_added]
+                )
+                from urllib.parse import urlparse
+
+                # delete files reference data files as file: URIs;
+                # manifests store plain paths — normalize to paths
+                ref_paths = {
+                    urlparse(r[0]).path if r[0].startswith("file:") else r[0]
+                    for r in dels.select("file_path").distinct().collect()
+                }
+                parent_map = {
+                    e["file_path"]: e for e in self.snapshot(snap.parent_id).files
+                }
+                ref_entries = [
+                    parent_map[p]
+                    for p in sorted(ref_paths)
+                    if p in parent_map and parent_map[p].get("content", 0) == 0
+                ]
+                if ref_entries:
+                    deleted_rows = (
+                        self._read_entries(ref_entries, with_meta=True)
+                        .join(
+                            F.broadcast(
+                                dels.select(
+                                    F.col("file_path").alias("_mor_fp"),
+                                    F.col("pos").alias("_mor_pos"),
+                                )
+                            ),
+                            ["_mor_fp", "_mor_pos"],
+                        )
+                        .drop("_mor_fp", "_mor_pos")
+                    )
+                    pieces.append(
+                        deleted_rows.withColumn("_change_type", F.lit("delete"))
+                        .withColumn("_commit_snapshot_id", F.lit(snap.snapshot_id))
+                    )
+            if data_added:
+                pieces.append(
+                    self._read_entries(data_added)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_snapshot_id", F.lit(snap.snapshot_id))
+                )
+            if removed:
+                # entries of the removed paths live in the PARENT's file
+                # list (they were live there by definition)
+                parent_entries = {
+                    e["file_path"]: e
+                    for e in self.snapshot(snap.parent_id).files
+                } if snap.parent_id is not None else {}
+                removed_entries = [
+                    parent_entries[p]
+                    for p in removed
+                    if p in parent_entries
+                    and parent_entries[p].get("content", 0) == 0
+                ]
+                if removed_entries:
+                    pieces.append(
+                        self._read_entries(removed_entries)
+                        .withColumn("_change_type", F.lit("delete"))
+                        .withColumn("_commit_snapshot_id", F.lit(snap.snapshot_id))
+                    )
+        if not pieces:
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            schema = self.unified_schema()
+            schema = schema.add(StructField("_change_type", StringType())).add(
+                StructField("_commit_snapshot_id", LongType())
+            )
+            return self.spark.createDataFrame([], schema)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(
         self,
         snapshot_id: int | None = None,

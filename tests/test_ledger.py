@@ -767,3 +767,81 @@ def test_commit_conflict_detection_and_append_retry(spark, catalog):
         s.snapshot_id for s in snaps[:-1]
     ]
     assert tbl.read().count() == 15
+
+
+def test_incremental_scan_reads_only_range_appends(spark, events_tbl):
+    appends = [s for s in events_tbl.snapshots() if s.operation == "append"]
+    inc = events_tbl.incremental_scan(
+        appends[0].snapshot_id, appends[2].snapshot_id
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    # fixture appends one type per commit alphabetically → range holds
+    # exactly types 2 and 3
+    assert sorted(r[0] for r in inc.select("event_type").distinct().collect()) == types[1:3]
+    want = ev.filter(F.col("event_type").isin(types[1:3])).count()
+    assert inc.count() == want
+    # empty range → empty frame with the table schema
+    empty = events_tbl.incremental_scan(
+        appends[2].snapshot_id, appends[2].snapshot_id
+    )
+    assert empty.count() == 0
+    assert empty.schema == events_tbl.unified_schema()
+
+
+def test_incremental_scan_rejects_non_append_range(events_tbl):
+    snaps = events_tbl.snapshots()
+    assert snaps[-1].operation == "delete"
+    with pytest.raises(ValueError, match="append-only"):
+        events_tbl.incremental_scan(snaps[0].snapshot_id, snaps[-1].snapshot_id)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        events_tbl.incremental_scan(snaps[-1].snapshot_id, snaps[0].snapshot_id)
+
+
+def test_changelog_reconstructs_snapshots(spark, events_tbl):
+    """read(from) + inserts - deletes == read(to): the changelog is a
+    complete, non-overlapping delta between any two snapshots."""
+    snaps = events_tbl.snapshots()
+    s_from, s_to = snaps[0].snapshot_id, snaps[-1].snapshot_id
+    log = events_tbl.changelog_scan(s_from, s_to)
+    base = events_tbl.read(snapshot_id=s_from).select("event_id")
+    ins = log.filter(F.col("_change_type") == "insert").select("event_id")
+    dels = log.filter(F.col("_change_type") == "delete").select("event_id")
+    reconstructed = base.unionByName(ins).exceptAll(dels)
+    want = sorted(r[0] for r in events_tbl.read(snapshot_id=s_to).select("event_id").collect())
+    got = sorted(r[0] for r in reconstructed.collect())
+    assert got == want
+
+
+def test_changelog_replace_commits_are_silent(spark, catalog):
+    """Compaction rewrites files without changing content — the
+    changelog across a replace commit must be empty."""
+    df = spark.range(0, 50).selectExpr("id", "id % 5 AS grp")
+    tbl = catalog.create_table("main", "cdc_replace_tbl", df.schema, [])
+    tbl.append(df.filter(F.col("id") < 25))
+    tbl.append(df.filter(F.col("id") >= 25))
+    before = tbl.current_snapshot_id()
+    maintenance.rewrite_data_files(
+        tbl, target_file_size_bytes=1 << 40, min_input_files=2
+    )
+    after = tbl.current_snapshot_id()
+    assert after != before
+    log = tbl.changelog_scan(before, after)
+    assert log.count() == 0
+
+
+def test_changelog_mor_position_deletes(spark, catalog):
+    """delete_where (merge-on-read) adds a content=1 file; the
+    changelog must surface exactly the position-deleted ROWS as
+    deletes."""
+    df = spark.range(0, 40).selectExpr("id", "CAST(id * 1.5 AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "cdc_mor_tbl", df.schema, [])
+    tbl.append(df)
+    s1 = tbl.current_snapshot_id()
+    tbl.delete_where(F.col("v") < 15.0)
+    s2 = tbl.current_snapshot_id()
+    log = tbl.changelog_scan(s1, s2)
+    rows = log.collect()
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert sorted(r["id"] for r in rows) == list(range(10))  # v<15 ⇔ id<10
+    assert all(r["_commit_snapshot_id"] == s2 for r in rows)
