@@ -738,6 +738,40 @@ class LedgerTable:
         entries.sort(key=lambda e: e["file_path"])
         return entries
 
+    def write_clustered_files(
+        self,
+        df: DataFrame,
+        partition: dict,
+        spec_id: int,
+        n_out: int,
+        cluster_col: str,
+    ) -> list[dict]:
+        """Write one table-partition's rows as ``n_out`` files RANGE-
+        CLUSTERED on ``cluster_col`` (dropped before writing): each file
+        covers a disjoint cluster-key range, so footer min/max stats —
+        and therefore manifest column_stats — become selective on every
+        column correlated with the cluster key. The z-order rewrite
+        (maintenance.rewrite_data_files_zorder) is the caller."""
+        staged = (
+            df.repartitionByRange(max(1, n_out), F.col(cluster_col))
+            .sortWithinPartitions(cluster_col)
+            .drop(cluster_col)
+        )
+        stage_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.data_dir, stage_id)
+        staged.write.mode("append").parquet(out_dir)
+        entries = []
+        for dirpath, _dirnames, filenames in os.walk(out_dir):
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    entries.append(
+                        self._file_entry(
+                            os.path.join(dirpath, fn), dict(partition), spec_id
+                        )
+                    )
+        entries.sort(key=lambda e: e["file_path"])
+        return entries
+
     def append(
         self,
         df: DataFrame,

@@ -845,3 +845,71 @@ def test_changelog_mor_position_deletes(spark, catalog):
     assert all(r["_change_type"] == "delete" for r in rows)
     assert sorted(r["id"] for r in rows) == list(range(10))  # v<15 ⇔ id<10
     assert all(r["_commit_snapshot_id"] == s2 for r in rows)
+
+
+def test_zorder_rewrite_enables_multicolumn_skipping(spark, catalog):
+    """Before: files are id-clustered, so neither x nor y predicates
+    prune. After z-ordering on (x, y): every file covers a small (x, y)
+    rectangle, so manifest stats prune files on EITHER column — and the
+    table content is unchanged."""
+    n = 1 << 16
+    df = spark.range(n).selectExpr(
+        "id",
+        "CAST(id % 256 AS BIGINT) AS x",
+        "CAST((id * 7919) % 256 AS BIGINT) AS y",
+    )
+    tbl = catalog.create_table("main", "zorder_tbl", df.schema, [])
+    tbl.append(df)
+    total_before = len(tbl.plan_files())
+    assert total_before > 4, "fixture must start multi-file"
+    # x cycles within every input block → no file can be skipped
+    assert len(tbl.plan_files([("x", "<", 32)])) == total_before
+    assert len(tbl.plan_files([("y", "<", 32)])) == total_before
+
+    before_rows = sorted(r[0] for r in tbl.read().select("id").collect())
+    metrics = maintenance.rewrite_data_files_zorder(
+        tbl, ["x", "y"], target_file_size_bytes=40_000
+    )
+    assert metrics["rewritten_data_files_count"] == total_before
+    total_after = len(tbl.plan_files())
+    assert total_after >= 8, f"want several z-clustered files, got {total_after}"
+    # multi-dimensional pruning: a 1/8-range predicate on EITHER column
+    # must now skip at least half the files
+    for col in ("x", "y"):
+        kept = len(tbl.plan_files([(col, "<", 32)]))
+        assert kept <= total_after // 2, (
+            f"{col}-predicate kept {kept}/{total_after} files after z-order"
+        )
+    # content unchanged
+    after_rows = sorted(r[0] for r in tbl.read().select("id").collect())
+    assert after_rows == before_rows
+    assert tbl.snapshots()[-1].operation == "replace"
+
+
+def test_zorder_rewrite_respects_partitions_and_deletes(spark, catalog):
+    """Z-order within a partitioned MOR table: rows stay inside their
+    partitions and pending position deletes are folded in."""
+    df = spark.range(2000).selectExpr(
+        "id",
+        "CAST(id % 2 AS STRING) AS grp",
+        "CAST(id % 100 AS BIGINT) AS x",
+        "CAST((id * 31) % 100 AS BIGINT) AS y",
+    )
+    tbl = catalog.create_table(
+        "main",
+        "zorder_part_tbl",
+        df.schema,
+        [PartitionField(source="grp", transform="identity", name="grp")],
+    )
+    tbl.append(df)
+    tbl.delete_where(F.col("x") < 10)
+    live_before = tbl.read().count()
+    maintenance.rewrite_data_files_zorder(
+        tbl, ["x", "y"], target_file_size_bytes=20_000
+    )
+    assert tbl.read().count() == live_before
+    # deleted rows must NOT resurrect
+    assert tbl.read().filter(F.col("x") < 10).count() == 0
+    # every file still carries its partition value
+    for e in tbl.plan_files():
+        assert e["partition"].get("grp") in {"0", "1"}
