@@ -58,6 +58,9 @@ HEADLINE = [
     "lang_id_ngram",  # r3: char-trigram profile language ID
     "purchase_last_click_asof",  # r3: as-of join
     "attribution_counts_rangejoin",  # r3: bucketed range join
+    "ledger_bucketed_join_revenue",  # r3: in-ledger bucket-map join
+    "graph_ann_search",  # r3: beam walk over the exact k-NN graph
+    "ledger_incremental_scan",  # r3: manifest-delta incremental read
 ]
 
 
