@@ -622,6 +622,7 @@ class LedgerTable:
             "content": 0,
             "file_format": "PARQUET",
             "column_stats": _column_stats(meta),
+            "null_counts": _null_counts(meta),
         }
 
     def _read_entries(self, entries: list[dict], with_meta: bool = False) -> DataFrame:
@@ -984,7 +985,10 @@ class LedgerTable:
         stats PROVE no row can match every predicate (the Iceberg
         file-skipping contract — metadata-only, no data reads).
 
-        predicates: (column, op, value) with op in < <= > >= = ; values
+        predicates: (column, op, value) with op in < <= > >= = , plus
+        the null ops ``is_null`` / ``not_null`` (value ignored — pruned
+        from footer null counts: a file with zero nulls cannot satisfy
+        is_null; an all-null column cannot satisfy not_null). Values
         for timestamp/date columns are ISO strings (stats are stored as
         ISO strings, which compare correctly lexicographically).
 
@@ -998,7 +1002,17 @@ class LedgerTable:
 
         def may_match(entry: dict) -> bool:
             stats = entry.get("column_stats") or {}
+            nulls = entry.get("null_counts") or {}
             for col, op, val in predicates:
+                if op in ("is_null", "not_null"):
+                    nc = nulls.get(col)
+                    if nc is None:
+                        continue  # no null stats → cannot skip
+                    if op == "is_null" and nc == 0:
+                        return False
+                    if op == "not_null" and nc >= entry["record_count"]:
+                        return False
+                    continue
                 rng = stats.get(col)
                 if rng is None:
                     continue  # no stats → cannot skip
@@ -1019,18 +1033,23 @@ class LedgerTable:
 
         return [e for e in files if may_match(e)]
 
-    def _ancestry_range(self, from_snapshot_id: int, to_snapshot_id: int) -> list[Snapshot]:
+    def _ancestry_range(
+        self, from_snapshot_id: int | None, to_snapshot_id: int
+    ) -> list[Snapshot]:
         """Snapshots strictly after ``from`` up to and including ``to``,
-        oldest first, following parent links. Raises if ``from`` is not
-        an ancestor of ``to``."""
+        oldest first, following parent links. ``from=None`` means "from
+        the very beginning" (the root commit is included). Raises if
+        ``from`` is not an ancestor of ``to``."""
         chain: list[Snapshot] = []
         cur = self.snapshot(to_snapshot_id)
         while cur.snapshot_id != from_snapshot_id:
             chain.append(cur)
             if cur.parent_id is None:
-                raise ValueError(
-                    f"snapshot {from_snapshot_id} is not an ancestor of {to_snapshot_id}"
-                )
+                if from_snapshot_id is not None:
+                    raise ValueError(
+                        f"snapshot {from_snapshot_id} is not an ancestor of {to_snapshot_id}"
+                    )
+                break
             cur = self.snapshot(cur.parent_id)
         chain.reverse()
         return chain
@@ -1052,7 +1071,7 @@ class LedgerTable:
         return added, removed
 
     def incremental_scan(
-        self, from_snapshot_id: int, to_snapshot_id: int
+        self, from_snapshot_id: int | None, to_snapshot_id: int
     ) -> DataFrame:
         """Incremental APPEND scan (Iceberg's incremental read,
         reference admin plane surfaces snapshot lineage the same way):
@@ -1076,7 +1095,7 @@ class LedgerTable:
         return self._read_entries(added_entries)
 
     def changelog_scan(
-        self, from_snapshot_id: int, to_snapshot_id: int
+        self, from_snapshot_id: int | None, to_snapshot_id: int
     ) -> DataFrame:
         """CDC changelog between two snapshots: every row added in the
         range tagged ``_change_type='insert'`` and every row removed
@@ -1204,6 +1223,12 @@ class LedgerTable:
         )
         for col, op, val in predicates or []:
             c = F.col(col)
+            if op == "is_null":
+                df = df.filter(c.isNull())
+                continue
+            if op == "not_null":
+                df = df.filter(c.isNotNull())
+                continue
             target = (
                 F.lit(val).cast(dict(df.dtypes).get(col, "string"))
                 if isinstance(val, str)
@@ -1335,4 +1360,27 @@ def _column_stats(meta) -> dict[str, list]:
                 out[name] = [lo, hi]
             else:
                 out[name] = [min(prev[0], lo), max(prev[1], hi)]
+    return out
+
+
+def _null_counts(meta) -> dict[str, int]:
+    """Per-column null counts from parquet footers (Iceberg manifest
+    ``null_value_counts``) — lets the planner skip files for
+    ``is_null`` (no nulls present) and ``not_null`` (all-null column)
+    predicates without touching data. Columns whose footers omit the
+    null count are left out (pruner: cannot skip)."""
+    out: dict[str, int] = {}
+    incomplete: set[str] = set()
+    for rg in range(meta.num_row_groups):
+        grp = meta.row_group(rg)
+        for ci in range(grp.num_columns):
+            col = grp.column(ci)
+            st = col.statistics
+            name = col.path_in_schema
+            if st is None or not st.has_null_count:
+                incomplete.add(name)
+                continue
+            out[name] = out.get(name, 0) + int(st.null_count)
+    for name in incomplete:  # partial footer coverage → unusable
+        out.pop(name, None)
     return out

@@ -913,3 +913,81 @@ def test_zorder_rewrite_respects_partitions_and_deletes(spark, catalog):
     # every file still carries its partition value
     for e in tbl.plan_files():
         assert e["partition"].get("grp") in {"0", "1"}
+
+
+def test_incremental_consumer_at_least_once(spark, catalog, tmp_path_factory):
+    from lakehouse_admin_spark.sources.consumer import IncrementalConsumer
+
+    df = spark.range(0, 30).selectExpr("id", "id * 2 AS v")
+    tbl = catalog.create_table("main", "consumer_tbl", df.schema, [])
+    tbl.append(df.filter(F.col("id") < 10))
+    tbl.append(df.filter((F.col("id") >= 10) & (F.col("id") < 20)))
+    ckpt = str(tmp_path_factory.mktemp("ckpt") / "offset.json")
+    c = IncrementalConsumer(tbl, ckpt)
+    # first poll from the beginning: both commits
+    batch, off = c.poll()
+    assert sorted(r["id"] for r in batch.collect()) == list(range(20))
+    # uncommitted → replay the same batch
+    batch2, off2 = c.poll()
+    assert off2 == off
+    assert batch2.count() == 20
+    c.commit(off)
+    assert c.poll() is None  # caught up
+    # new commit → only the delta
+    tbl.append(df.filter(F.col("id") >= 20))
+    batch3, off3 = c.poll()
+    assert sorted(r["id"] for r in batch3.collect()) == list(range(20, 30))
+    c.commit(off3)
+    assert c.poll() is None
+    # offset survives a fresh consumer instance (checkpoint is durable)
+    c2 = IncrementalConsumer(tbl, ckpt)
+    assert c2.offset == off3
+    assert c2.poll() is None
+
+
+def test_incremental_consumer_changelog_mode(spark, catalog, tmp_path_factory):
+    from lakehouse_admin_spark.sources.consumer import IncrementalConsumer
+
+    df = spark.range(0, 20).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "consumer_cdc_tbl", df.schema, [])
+    tbl.append(df)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_cdc") / "offset.json")
+    c = IncrementalConsumer(tbl, ckpt, mode="changelog")
+    batch, off = c.poll()
+    assert {r["_change_type"] for r in batch.collect()} == {"insert"}
+    c.commit(off)
+    tbl.delete_where(F.col("v") < 5.0)
+    batch2, off2 = c.poll()
+    rows = batch2.collect()
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert sorted(r["id"] for r in rows) == list(range(5))
+
+
+def test_null_count_stats_skip_files(spark, catalog):
+    """is_null / not_null predicates prune files from footer null
+    counts: a no-null file is skipped for is_null, an all-null file
+    for not_null — and read() applies the row-level filter."""
+    tbl = catalog.create_table(
+        "main",
+        "nullstats_tbl",
+        spark.range(1).selectExpr("id", "CAST(id AS DOUBLE) AS v").schema,
+        [],
+    )
+    no_nulls = spark.range(0, 100).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    all_nulls = spark.range(100, 200).selectExpr("id", "CAST(NULL AS DOUBLE) AS v")
+    mixed = spark.range(200, 300).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN CAST(id AS DOUBLE) END AS v"
+    )
+    tbl.append(no_nulls.coalesce(1))
+    tbl.append(all_nulls.coalesce(1))
+    tbl.append(mixed.coalesce(1))
+    total = len(tbl.plan_files())
+    assert total == 3
+    kept_is_null = tbl.plan_files([("v", "is_null", None)])
+    assert len(kept_is_null) == 2  # no-null file skipped
+    kept_not_null = tbl.plan_files([("v", "not_null", None)])
+    assert len(kept_not_null) == 2  # all-null file skipped
+    assert sorted(
+        r["id"] for r in tbl.read(predicates=[("v", "is_null", None)]).collect()
+    ) == list(range(100, 200)) + list(range(201, 300, 2))
+    assert tbl.read(predicates=[("v", "not_null", None)]).count() == 150
