@@ -324,6 +324,14 @@ def expire_snapshots(
                 expired.remove(s)
                 keep.append(s)
 
+    # named refs (tags/branches) pin their snapshot regardless of age —
+    # Iceberg's ref-aware expiration
+    ref_ids = {int(r["snapshot_id"]) for r in table.refs().values()}
+    for s in list(expired):
+        if s.snapshot_id in ref_ids:
+            expired.remove(s)
+            keep.append(s)
+
     # kept snapshots may be DELTA commits whose materialization walks
     # through soon-to-be-deleted ancestors: fold them (full list inline)
     # BEFORE the ancestry is destroyed

@@ -377,6 +377,37 @@ def ledger_changelog_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ledger_merge_upsert", oracle="""
+    WITH merged AS (
+        SELECT CASE WHEN value < 20 THEN value + 1000 ELSE value END AS value
+        FROM events
+        UNION ALL
+        SELECT 0.5 AS value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+           ROUND(SUM(value), 2) AS value_sum,
+           CAST(SUM(CASE WHEN value >= 1000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS updated_rows
+    FROM merged
+    """)
+def ledger_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO graded end to end: the fixture upserts (value<20 →
+    value+1000 updates; one value=0.5 insert per purchase event) via
+    position-delete + append in ONE atomic merge commit; the query
+    aggregates the post-merge merge-on-read scan and the oracle replays
+    the identical upsert in SQL over the raw rows."""
+    from lakehouse_admin_spark.sources.fixtures import build_events_merge_ledger
+
+    catalog = get_catalog(spark)
+    name = "events_merge_" + sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    tbl = build_events_merge_ledger(spark, sf_dir, catalog, name=name)
+    return tbl.read().agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+        F.sum((F.col("value") >= 1000).cast("long")).alias("updated_rows"),
+    )
+
+
 @query("ledger_live_partition_stats", oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS ts_day,
            CAST(COUNT(*) AS BIGINT) AS record_count,

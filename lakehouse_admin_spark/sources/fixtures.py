@@ -197,6 +197,38 @@ def build_bucketed_pair(
 
 
 @_locked
+def build_events_merge_ledger(
+    spark: SparkSession,
+    sf_dir: str,
+    catalog: LedgerCatalog,
+    database: str = "main",
+    name: str = "events_merge",
+) -> LedgerTable:
+    """Events table that has been through ONE MERGE INTO upsert:
+    target = all events; source = the value<20 rows with value+1000
+    (updates) plus one synthetic row per purchase event with
+    event_id+10^9 and value 0.5 (inserts). Deterministic, so the merge
+    result is exactly replayable as SQL over the raw rows."""
+    if name in catalog.list_tables(database):
+        return catalog.table(database, name)
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    tbl = catalog.create_table(database, name, ev.schema, [])
+    tbl.append(ev)
+    upd = ev.filter(F.col("value") < 20).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    ins = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("event_id", F.col("event_id") + F.lit(1_000_000_000))
+        .withColumn("value", F.lit(0.5))
+    )
+    tbl.merge_into(upd.unionByName(ins), on=["event_id"])
+    return tbl
+
+
+@_locked
 def build_nested_ledger(
     spark: SparkSession,
     catalog: LedgerCatalog,

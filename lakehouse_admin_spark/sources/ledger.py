@@ -383,6 +383,77 @@ class LedgerTable:
         out.sort(key=lambda s: s.snapshot_id)
         return out
 
+    def snapshot_as_of(self, timestamp_ms: int) -> int:
+        """Time travel FOR TIMESTAMP AS OF: the latest CURRENT-ANCESTOR
+        snapshot committed at or before ``timestamp_ms`` (Iceberg
+        semantics — ancestry of the current head, so commits abandoned
+        by a rollback never resurface)."""
+        sid = self.current_snapshot_id()
+        while sid is not None:
+            s = self.snapshot(sid)
+            if s.committed_at_ms <= timestamp_ms:
+                return s.snapshot_id
+            sid = s.parent_id
+        raise ValueError(
+            f"{self.database}.{self.name}: no snapshot as of {timestamp_ms}"
+        )
+
+    # ------------------------------------------------------------------
+    # named refs (Iceberg branches/tags): name → snapshot pointer
+    # ------------------------------------------------------------------
+    def refs(self) -> dict[str, dict]:
+        """All named refs: {name: {"snapshot_id": int, "type":
+        "tag"|"branch"}}. Tags are immutable snapshot names (audit
+        points, WAP publish candidates); branches are movable pointers
+        (set_ref). Both protect their snapshot from expiration."""
+        return dict(self._load_meta().get("refs") or {})
+
+    def create_ref(
+        self, name: str, snapshot_id: int | None = None, kind: str = "tag"
+    ) -> None:
+        _validate_ident(name)
+        if kind not in ("tag", "branch"):
+            raise ValueError(f"unknown ref type {kind!r}")
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            raise ValueError("cannot create a ref on an empty table")
+        self.snapshot(sid)  # must exist
+        meta = self._load_meta()
+        refs = meta.get("refs") or {}
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists")
+        refs[name] = {"snapshot_id": sid, "type": kind}
+        meta["refs"] = refs
+        self._store_meta(meta)
+
+    def set_ref(self, name: str, snapshot_id: int) -> None:
+        """Move a BRANCH pointer (tags are immutable)."""
+        self.snapshot(snapshot_id)
+        meta = self._load_meta()
+        refs = meta.get("refs") or {}
+        if name not in refs:
+            raise KeyError(f"ref {name!r} not found")
+        if refs[name]["type"] != "branch":
+            raise ValueError(f"ref {name!r} is a tag; tags are immutable")
+        refs[name]["snapshot_id"] = snapshot_id
+        meta["refs"] = refs
+        self._store_meta(meta)
+
+    def drop_ref(self, name: str) -> None:
+        meta = self._load_meta()
+        refs = meta.get("refs") or {}
+        if name not in refs:
+            raise KeyError(f"ref {name!r} not found")
+        del refs[name]
+        meta["refs"] = refs
+        self._store_meta(meta)
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self.refs()
+        if name not in refs:
+            raise KeyError(f"ref {name!r} not found")
+        return int(refs[name]["snapshot_id"])
+
     def snapshot(self, snapshot_id: int) -> Snapshot:
         path = os.path.join(self.meta_dir, f"snap-{snapshot_id}.json")
         if not os.path.exists(path):
@@ -893,6 +964,124 @@ class LedgerTable:
             parent=parent,
         )
 
+    def _stage_position_deletes(self, dels: DataFrame) -> list[dict]:
+        """Write a (file_path, pos) DataFrame as content=1 position-
+        delete files and return their manifest entries (uncommitted)."""
+        stage_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.data_dir, stage_id)
+        dels.coalesce(1).write.mode("append").parquet(out_dir)
+        new_entries = []
+        for dirpath, _d, filenames in os.walk(out_dir):
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    entry = self._file_entry(
+                        os.path.join(dirpath, fn), {}, self.default_spec_id()
+                    )
+                    entry["content"] = 1
+                    new_entries.append(entry)
+        return new_entries
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched: str = "update",  # update | delete | skip
+        insert_not_matched: bool = True,
+    ) -> Snapshot:
+        """MERGE INTO (Iceberg/Delta upsert), merge-on-read and fully
+        distributed:
+
+        - matched target rows (equality on ``on``) become POSITION
+          DELETES (content=1 — data files untouched); in ``update``
+          mode their replacement is the source row, appended.
+        - unmatched source rows are appended when
+          ``insert_not_matched``.
+        - everything lands in ONE atomic ``merge`` commit: delete files
+          + new data files together, so readers see the upsert
+          all-or-nothing.
+
+        Cost is O(source + matched rows): the target's (file_path, pos)
+        pairs come from the ``_metadata`` hidden columns; only delete
+        files and the inserted rows are written, never a table rewrite.
+        The changelog (:meth:`changelog_scan`) surfaces a merge commit
+        as its delete rows + insert rows with no extra machinery.
+
+        Raises if ``source`` carries duplicate ``on`` keys — a target
+        row matching multiple source rows is ambiguous (Iceberg's
+        MERGE cardinality check).
+        """
+        if when_matched not in ("update", "delete", "skip"):
+            raise ValueError(f"unknown when_matched {when_matched!r}")
+        dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
+        if dup:
+            raise ValueError("MERGE source has duplicate keys on " + ",".join(on))
+        data_entries = [e for e in self.live_files() if e.get("content", 0) == 0]
+        existing_deletes = [
+            e["file_path"] for e in self.live_files() if e.get("content", 0) == 1
+        ]
+        if not data_entries:
+            raise ValueError(f"{self.database}.{self.name}: empty merge target")
+        target = self._read_entries(data_entries, with_meta=True)
+        if existing_deletes:
+            # anti-join already-deleted rows but KEEP the meta columns
+            # (they address the new position deletes)
+            prior = self.spark.read.parquet(*existing_deletes).select(
+                F.col("file_path").alias("_mor_fp"), F.col("pos").alias("_mor_pos")
+            )
+            target = target.join(F.broadcast(prior), ["_mor_fp", "_mor_pos"], "left_anti")
+        src_keys = source.select(*on).dropDuplicates(on)
+
+        new_delete_entries: list[dict] = []
+        if when_matched in ("update", "delete"):
+            matched_pos = (
+                target.join(src_keys, on)
+                .select(
+                    F.col("_mor_fp").alias("file_path"),
+                    F.col("_mor_pos").alias("pos"),
+                )
+            )
+            new_delete_entries = self._stage_position_deletes(matched_pos)
+            if not any(e["record_count"] for e in new_delete_entries):
+                new_delete_entries = []  # nothing actually matched
+
+        target_keys = target.select(*on).dropDuplicates(on)
+        if when_matched == "update" and insert_not_matched:
+            insert_df = source  # upsert: every source row lands
+        elif when_matched == "update":
+            insert_df = source.join(target_keys, on, "left_semi")
+        elif insert_not_matched:
+            insert_df = source.join(target_keys, on, "left_anti")
+        else:
+            insert_df = None
+
+        new_data_entries: list[dict] = []
+        if insert_df is not None:
+            new_data_entries = self._stage_write(insert_df.select(*[
+                c["name"] for c in self._load_meta()["columns"]
+            ]))
+
+        added = new_delete_entries + new_data_entries
+        n_deleted = sum(e["record_count"] for e in new_delete_entries)
+        n_added = sum(e["record_count"] for e in new_data_entries)
+        cur = self.current_snapshot_id()
+        parent = self.snapshot(cur) if cur else None
+        prev_files = int(parent.summary.get("total-data-files", 0)) if parent else 0
+        prev_records = int(parent.summary.get("total-records", 0)) if parent else 0
+        return self._commit_delta(
+            operation="merge",
+            summary={
+                "added-data-files": str(len(new_data_entries)),
+                "added-records": str(n_added),
+                "added-delete-files": str(len(new_delete_entries)),
+                "added-position-deletes": str(n_deleted),
+                "total-data-files": str(prev_files + len(new_data_entries)),
+                "total-records": str(prev_records + n_added),
+            },
+            added=added,
+            removed=[],
+            parent=parent,
+        )
+
     def delete_where(self, condition: Column) -> Snapshot:
         """Merge-on-read row delete: write POSITION DELETE files
         (content = 1, Iceberg v2 semantics) instead of rewriting data.
@@ -913,16 +1102,7 @@ class LedgerTable:
             F.col("_mor_fp").alias("file_path"),
             F.col("_mor_pos").alias("pos"),
         )
-        stage_id = uuid.uuid4().hex[:12]
-        out_dir = os.path.join(self.data_dir, stage_id)
-        dels.coalesce(1).write.mode("append").parquet(out_dir)
-        new_entries = []
-        for dirpath, _d, filenames in os.walk(out_dir):
-            for fn in filenames:
-                if fn.endswith(".parquet"):
-                    entry = self._file_entry(os.path.join(dirpath, fn), {}, self.default_spec_id())
-                    entry["content"] = 1
-                    new_entries.append(entry)
+        new_entries = self._stage_position_deletes(dels)
         cur = self.current_snapshot_id()
         parent = self.snapshot(cur) if cur else None
         n_deleted = sum(e["record_count"] for e in new_entries)
@@ -1195,12 +1375,22 @@ class LedgerTable:
         self,
         snapshot_id: int | None = None,
         predicates: list[tuple[str, str, object]] | None = None,
+        ref: str | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
-        """Scan the table (optionally time-traveled). With predicates,
-        files are pruned by manifest stats FIRST (plan_files) and the
-        same predicates are re-applied as Spark filters for row-level
-        exactness — the two-tier skip Iceberg performs. Catalyst
-        pushdown/pruning apply as usual on the surviving files."""
+        """Scan the table (optionally time-traveled — by snapshot id,
+        named ref (tag/branch), or FOR TIMESTAMP AS OF millis; at most
+        one selector). With predicates, files are pruned by manifest
+        stats FIRST (plan_files) and the same predicates are re-applied
+        as Spark filters for row-level exactness — the two-tier skip
+        Iceberg performs. Catalyst pushdown/pruning apply as usual on
+        the surviving files."""
+        if sum(x is not None for x in (snapshot_id, ref, as_of_ms)) > 1:
+            raise ValueError("pass at most one of snapshot_id, ref, as_of_ms")
+        if ref is not None:
+            snapshot_id = self.resolve_ref(ref)
+        elif as_of_ms is not None:
+            snapshot_id = self.snapshot_as_of(as_of_ms)
         files = self.plan_files(predicates, snapshot_id)
         if not files:
             raise ValueError(

@@ -991,3 +991,125 @@ def test_null_count_stats_skip_files(spark, catalog):
         r["id"] for r in tbl.read(predicates=[("v", "is_null", None)]).collect()
     ) == list(range(100, 200)) + list(range(201, 300, 2))
     assert tbl.read(predicates=[("v", "not_null", None)]).count() == 150
+
+
+def test_merge_into_upsert(spark, catalog):
+    """MERGE upsert: matched rows replaced (position-delete + source
+    row), unmatched source rows inserted, one atomic commit."""
+    df = spark.range(0, 50).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "merge_tbl", df.schema, [])
+    tbl.append(df)
+    source = spark.range(40, 60).selectExpr("id", "CAST(id + 1000 AS DOUBLE) AS v")
+    snap = tbl.merge_into(source, on=["id"])
+    assert snap.operation == "merge"
+    assert snap.summary["added-position-deletes"] == "10"  # ids 40..49
+    assert snap.summary["added-records"] == "20"
+    got = {r["id"]: r["v"] for r in tbl.read().collect()}
+    assert len(got) == 60
+    for i in range(40):
+        assert got[i] == float(i)
+    for i in range(40, 60):
+        assert got[i] == float(i + 1000)
+
+
+def test_merge_into_delete_and_skip_modes(spark, catalog):
+    df = spark.range(0, 30).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "merge_modes_tbl", df.schema, [])
+    tbl.append(df)
+    source = spark.range(20, 40).selectExpr("id", "CAST(0 AS DOUBLE) AS v")
+    # delete mode: matched rows removed, unmatched NOT inserted
+    tbl.merge_into(source, on=["id"], when_matched="delete", insert_not_matched=False)
+    assert sorted(r["id"] for r in tbl.read().collect()) == list(range(20))
+    # skip mode + insert: only genuinely-new keys land
+    source2 = spark.range(10, 25).selectExpr("id", "CAST(7 AS DOUBLE) AS v")
+    tbl.merge_into(source2, on=["id"], when_matched="skip")
+    got = {r["id"]: r["v"] for r in tbl.read().collect()}
+    assert sorted(got) == list(range(25))
+    assert all(got[i] == float(i) for i in range(20))  # untouched
+    assert all(got[i] == 7.0 for i in range(20, 25))  # inserted
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, catalog):
+    df = spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "merge_dup_tbl", df.schema, [])
+    tbl.append(df)
+    dup_source = df.union(df.limit(3))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        tbl.merge_into(dup_source, on=["id"])
+
+
+def test_merge_then_changelog_and_second_merge(spark, catalog):
+    """The changelog surfaces a merge as deletes+inserts, and a SECOND
+    merge respects the first merge's position deletes."""
+    df = spark.range(0, 20).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "merge_cdc_tbl", df.schema, [])
+    tbl.append(df)
+    s1 = tbl.current_snapshot_id()
+    tbl.merge_into(
+        spark.range(15, 25).selectExpr("id", "CAST(id * 10 AS DOUBLE) AS v"),
+        on=["id"],
+    )
+    s2 = tbl.current_snapshot_id()
+    log = tbl.changelog_scan(s1, s2).collect()
+    dels = sorted(r["id"] for r in log if r["_change_type"] == "delete")
+    ins = sorted(r["id"] for r in log if r["_change_type"] == "insert")
+    assert dels == list(range(15, 20))
+    assert ins == list(range(15, 25))
+    # second merge over a key range including already-merged rows
+    tbl.merge_into(
+        spark.range(18, 22).selectExpr("id", "CAST(id * 100 AS DOUBLE) AS v"),
+        on=["id"],
+    )
+    got = {r["id"]: r["v"] for r in tbl.read().collect()}
+    assert len(got) == 25
+    assert all(got[i] == float(i * 100) for i in range(18, 22))
+    assert got[15] == 150.0 and got[24] == 240.0
+
+
+def test_read_as_of_timestamp(spark, catalog):
+    import time as _t
+
+    df = spark.range(0, 10).selectExpr("id")
+    tbl = catalog.create_table("main", "asof_tbl", df.schema, [])
+    tbl.append(df)
+    t1 = tbl.snapshot(tbl.current_snapshot_id()).committed_at_ms
+    _t.sleep(0.01)
+    tbl.append(spark.range(10, 20).selectExpr("id"))
+    t2 = tbl.snapshot(tbl.current_snapshot_id()).committed_at_ms
+    assert tbl.read(as_of_ms=t1).count() == 10
+    assert tbl.read(as_of_ms=t2).count() == 20
+    assert tbl.read(as_of_ms=t2 + 10_000).count() == 20
+    with pytest.raises(ValueError, match="no snapshot as of"):
+        tbl.read(as_of_ms=t1 - 10_000)
+    with pytest.raises(ValueError, match="at most one"):
+        tbl.read(snapshot_id=1, as_of_ms=t1)
+
+
+def test_refs_tags_branches_and_expiry_protection(spark, catalog):
+    df = spark.range(0, 10).selectExpr("id")
+    tbl = catalog.create_table("main", "refs_tbl", df.schema, [])
+    tbl.append(df)
+    s1 = tbl.current_snapshot_id()
+    tbl.create_ref("v1", kind="tag")
+    tbl.append(spark.range(10, 20).selectExpr("id"))
+    s2 = tbl.current_snapshot_id()
+    tbl.create_ref("audit", snapshot_id=s2, kind="branch")
+    assert tbl.read(ref="v1").count() == 10
+    assert tbl.read(ref="audit").count() == 20
+    # tags immutable; branches move
+    with pytest.raises(ValueError, match="immutable"):
+        tbl.set_ref("v1", s2)
+    tbl.set_ref("audit", s1)
+    assert tbl.read(ref="audit").count() == 10
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.create_ref("v1")
+    # expiry: everything is old, but the tag pins s1
+    res = maintenance.expire_snapshots(
+        tbl, older_than_ms=int(__import__("time").time() * 1000) + 10_000
+    )
+    remaining = {s.snapshot_id for s in tbl.snapshots()}
+    assert s1 in remaining  # pinned by tag + branch
+    assert tbl.read(ref="v1").count() == 10  # still readable
+    tbl.drop_ref("audit")
+    with pytest.raises(KeyError):
+        tbl.resolve_ref("audit")
