@@ -454,6 +454,70 @@ class LedgerTable:
             raise KeyError(f"ref {name!r} not found")
         return int(refs[name]["snapshot_id"])
 
+    def append_to_branch(self, branch: str, df: DataFrame) -> Snapshot:
+        """Write-audit-publish staging write: append a snapshot whose
+        PARENT is the branch head and advance only the BRANCH pointer —
+        the main table head never moves, so readers of the table see
+        nothing until :meth:`fast_forward` publishes the branch.
+        (Iceberg's branch writes / WAP workflow; the transactions
+        module stages the multi-table variant the same way.)"""
+        refs = self.refs()
+        if branch not in refs or refs[branch]["type"] != "branch":
+            raise KeyError(f"{branch!r} is not a branch")
+        parent = self.snapshot(int(refs[branch]["snapshot_id"]))
+        new_files = self._stage_write(df)
+        added_records = sum(e["record_count"] for e in new_files)
+        prev_files = int(parent.summary.get("total-data-files", 0))
+        prev_records = int(parent.summary.get("total-records", 0))
+        snap = self._commit_delta(
+            operation="append",
+            summary={
+                "added-data-files": str(len(new_files)),
+                "added-records": str(added_records),
+                "total-data-files": str(prev_files + len(new_files)),
+                "total-records": str(prev_records + added_records),
+                "branch": branch,
+            },
+            added=new_files,
+            removed=[],
+            parent=parent,
+            prepare=True,  # snapshot written, MAIN pointer untouched
+        )
+        self.set_ref(branch, snap.snapshot_id)
+        return snap
+
+    def is_ancestor(self, ancestor_id: int, descendant_id: int) -> bool:
+        sid: int | None = descendant_id
+        while sid is not None:
+            if sid == ancestor_id:
+                return True
+            sid = self.snapshot(sid).parent_id
+        return False
+
+    def fast_forward(self, branch: str) -> int:
+        """Publish a branch: move the MAIN head to the branch's snapshot
+        — allowed only when the current head is an ancestor of the
+        branch head (a true fast-forward; anything else would silently
+        drop main-side commits). Returns the new head id. Atomic under
+        the commit lock with the same conflict detection as writes."""
+        import fcntl
+
+        target_id = self.resolve_ref(branch)
+        with open(os.path.join(self.meta_dir, "commit.lock"), "w") as lock_fh:
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            try:
+                cur = self._load_meta().get("current_snapshot_id")
+                if cur is not None and not self.is_ancestor(cur, target_id):
+                    raise CommitConflictError(
+                        f"{self.database}.{self.name}: head {cur} is not an "
+                        f"ancestor of branch {branch!r} ({target_id}); "
+                        "not a fast-forward"
+                    )
+                self._advance_pointer(self.snapshot(target_id))
+            finally:
+                fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        return target_id
+
     def snapshot(self, snapshot_id: int) -> Snapshot:
         path = os.path.join(self.meta_dir, f"snap-{snapshot_id}.json")
         if not os.path.exists(path):

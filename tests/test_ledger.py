@@ -1113,3 +1113,56 @@ def test_refs_tags_branches_and_expiry_protection(spark, catalog):
     tbl.drop_ref("audit")
     with pytest.raises(KeyError):
         tbl.resolve_ref("audit")
+
+
+def test_branch_write_audit_publish(spark, catalog):
+    """WAP: writes land on a branch (main readers see nothing), audit
+    reads the branch, fast_forward publishes atomically."""
+    df = spark.range(0, 10).selectExpr("id")
+    tbl = catalog.create_table("main", "wap_tbl", df.schema, [])
+    tbl.append(df)
+    main_head = tbl.current_snapshot_id()
+    tbl.create_ref("staging", kind="branch")
+    s1 = tbl.append_to_branch("staging", spark.range(10, 20).selectExpr("id"))
+    s2 = tbl.append_to_branch("staging", spark.range(20, 30).selectExpr("id"))
+    assert s2.parent_id == s1.snapshot_id  # branch lineage chains
+    # main untouched; branch sees both staged appends
+    assert tbl.current_snapshot_id() == main_head
+    assert tbl.read().count() == 10
+    assert tbl.read(ref="staging").count() == 30
+    # publish
+    new_head = tbl.fast_forward("staging")
+    assert new_head == s2.snapshot_id
+    assert tbl.read().count() == 30
+    # non-fast-forward rejected: main has advanced beyond the branch
+    tbl.create_ref("stale", snapshot_id=main_head, kind="branch")
+    from lakehouse_admin_spark.sources.ledger import CommitConflictError
+
+    with pytest.raises(CommitConflictError, match="not a fast-forward"):
+        tbl.fast_forward("stale")
+    with pytest.raises(KeyError, match="not a branch"):
+        tbl.append_to_branch("missing", df)
+
+
+def test_stream_to_ledger_to_consumer_pipeline(spark, catalog, tmp_path_factory):
+    """End-to-end: micro-batch appends through the idempotent ledger
+    sink, tailed incrementally by a checkpointed consumer."""
+    from lakehouse_admin_spark.sources.consumer import IncrementalConsumer
+    from lakehouse_admin_spark.streaming.events import make_ledger_batch_sink
+
+    df = spark.range(0, 60).selectExpr("id", "id % 5 AS grp")
+    tbl = catalog.create_table("main", "pipeline_tbl", df.schema, [])
+    sink = make_ledger_batch_sink(tbl)
+    ckpt = str(tmp_path_factory.mktemp("pipe_ckpt") / "offset.json")
+    consumer = IncrementalConsumer(tbl, ckpt)
+
+    sink(df.filter(F.col("id") < 20), 0)
+    sink(df.filter((F.col("id") >= 20) & (F.col("id") < 40)), 1)
+    batch, off = consumer.poll()
+    assert batch.count() == 40
+    consumer.commit(off)
+    sink(df.filter((F.col("id") >= 20) & (F.col("id") < 40)), 1)  # replay: no-op
+    assert consumer.poll() is None
+    sink(df.filter(F.col("id") >= 40), 2)
+    batch2, off2 = consumer.poll()
+    assert sorted(r["id"] for r in batch2.collect()) == list(range(40, 60))
