@@ -741,3 +741,76 @@ def cm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cnt").cast("long").alias("cm_count"))
         .orderBy(F.desc("exact_count"), F.asc("token"))
     )
+
+
+@query(
+    "bigram_lm_xent",
+    oracle=r"""
+    WITH docs2 AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(2, len(w) + 1),
+                                     i -> {'w1': w[i-1], 'w2': w[i]})) AS b
+        FROM docs2 WHERE len(w) >= 2
+    ),
+    bigf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM big),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bigf GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bigf GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS v
+          FROM (SELECT UNNEST(w) AS tok FROM docs2))
+    SELECT bigf.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln((c2.c2 + 1.0) / (c1.c1 + v.v))), 6) AS xent
+    FROM bigf JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring (the CCNet/KenLM perplexity
+    filter, re-expressed deterministically): train an add-one-smoothed
+    BIGRAM model on the corpus itself, score every document by its
+    mean negative log-likelihood (cross-entropy, nats) — unusually
+    repetitive or incoherent documents stand out at the tails.
+
+    Scale shape: bigrams are built IN-ROW (transform over the token
+    array — no shuffle to form them); the model is two hash aggregates
+    (bigram counts, unigram-context counts); scoring joins the bigram
+    stream against the count tables on their natural keys — exactly
+    the shuffle a distributed LM scorer needs, nothing more. Everything
+    is integer counts + one ln(), so the DuckDB oracle replays it to
+    6dp."""
+    toks = _doc_tokens(spark, sf_dir).select("doc_id", "w")
+    big = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(w)), "
+                    "i -> struct(element_at(w, i - 1) AS w1, element_at(w, i) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select(F.explode("w").alias("tok")).distinct().count()
+    nll = -F.log(
+        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.lit(float(vocab)))
+    )
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("xent"),
+        )
+        .orderBy("doc_id")
+    )
