@@ -408,6 +408,35 @@ def ledger_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ledger_metadata_count", oracle="""
+    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events)
+    SELECT CAST(COUNT(*) AS BIGINT) AS row_count
+    FROM events, b
+    WHERE ts >= CAST(d0 AS TIMESTAMP) + INTERVAL 36 HOUR
+      AND ts <  CAST(d0 AS TIMESTAMP) + INTERVAL 3 DAY
+    """)
+def ledger_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation pushdown to the manifest (Iceberg metadata-only
+    count): a time-range COUNT where interior-day files are answered
+    from manifest record counts (stats prove every row matches) and
+    only the boundary files are scanned. The oracle recomputes the
+    count from raw rows; the full/partial classification itself is
+    pinned in tests/test_ledger.py (it depends on footer stats, so it
+    is not part of the graded shape)."""
+    import datetime
+
+    tbl = _events_tbl(spark, sf_dir)
+    d0 = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.min(F.to_date("ts")).alias("d0"))
+        .collect()[0]["d0"]
+    )
+    lo = f"{d0 + datetime.timedelta(days=1)}T12:00:00"
+    hi = f"{d0 + datetime.timedelta(days=3)}T00:00:00"
+    n, _cls = tbl.count_rows([("ts", ">=", lo), ("ts", "<", hi)])
+    return spark.createDataFrame([(n,)], "row_count bigint")
+
+
 @query("ledger_live_partition_stats", oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS ts_day,
            CAST(COUNT(*) AS BIGINT) AS record_count,

@@ -1435,6 +1435,117 @@ class LedgerTable:
             out = out.unionByName(p)
         return out
 
+    def count_rows(
+        self,
+        predicates: list[tuple[str, str, object]] | None = None,
+        snapshot_id: int | None = None,
+    ) -> tuple[int, dict[str, int]]:
+        """EXACT count with aggregation pushdown to the MANIFEST
+        (Iceberg's metadata-only count): files are classified per the
+        predicate set —
+
+        - *pruned*: stats prove no row matches → contribute 0;
+        - *full*: stats prove EVERY row matches (range fully inside the
+          predicate, zero nulls — min/max ignore nulls, so a file with
+          nulls can never be proven full) → contribute record_count
+          minus its position-delete count, no data read;
+        - *partial*: everything else → scanned with row filters.
+
+        Only the partial files (and the small delete files) are read.
+        On a day-partitioned 100 TB table a date-range count touches at
+        most the two boundary partitions' files. Returns
+        (count, {"full": n, "partial": n, "pruned": n}) — the
+        classification is exposed so tests/telemetry can pin how much
+        data the count actually read."""
+        predicates = predicates or []
+        all_files = self.live_files(snapshot_id)
+        data_files = [e for e in all_files if e.get("content", 0) == 0]
+        candidates = {
+            e["file_path"] for e in self.plan_files(predicates, snapshot_id)
+        }
+        delete_paths = [
+            e["file_path"] for e in all_files if e.get("content", 0) == 1
+        ]
+        # per-file position-delete counts (delete files are tiny)
+        del_by_file: dict[str, int] = {}
+        if delete_paths:
+            from urllib.parse import urlparse
+
+            for row in (
+                self.spark.read.parquet(*delete_paths)
+                .groupBy("file_path")
+                .count()
+                .collect()
+            ):
+                p = row["file_path"]
+                p = urlparse(p).path if p.startswith("file:") else p
+                del_by_file[p] = row["count"]
+
+        def proves_all(entry: dict) -> bool:
+            stats = entry.get("column_stats") or {}
+            nulls = entry.get("null_counts") or {}
+            for col, op, val in predicates:
+                nc = nulls.get(col)
+                if op == "is_null":
+                    if nc is None or nc < entry["record_count"]:
+                        return False
+                    continue
+                if op == "not_null":
+                    if nc != 0:
+                        return False
+                    continue
+                rng = stats.get(col)
+                if rng is None or nc != 0:  # unknown nulls → can't prove
+                    return False
+                lo, hi = rng
+                try:
+                    ok = {
+                        "<": hi < val,
+                        "<=": hi <= val,
+                        ">": lo > val,
+                        ">=": lo >= val,
+                        "=": lo == val == hi,
+                    }[op]
+                except TypeError:
+                    return False
+                if not ok:
+                    return False
+            return True
+
+        total = 0
+        partial_entries: list[dict] = []
+        meta_counts = {"full": 0, "partial": 0, "pruned": 0}
+        for e in data_files:
+            if e["file_path"] not in candidates:
+                meta_counts["pruned"] += 1
+            elif proves_all(e):
+                meta_counts["full"] += 1
+                total += e["record_count"] - del_by_file.get(e["file_path"], 0)
+            else:
+                meta_counts["partial"] += 1
+                partial_entries.append(e)
+        if partial_entries:
+            df = self._read_entries(partial_entries, with_meta=True)
+            df = self._apply_position_deletes(df, delete_paths)
+            for col, op, val in predicates:
+                c = F.col(col)
+                if op == "is_null":
+                    df = df.filter(c.isNull())
+                elif op == "not_null":
+                    df = df.filter(c.isNotNull())
+                else:
+                    target = (
+                        F.lit(val).cast(dict(df.dtypes).get(col, "string"))
+                        if isinstance(val, str)
+                        else F.lit(val)
+                    )
+                    df = df.filter(
+                        {"<": c < target, "<=": c <= target, ">": c > target,
+                         ">=": c >= target, "=": c == target}[op]
+                    )
+            total += df.count()
+        return total, meta_counts
+
     def read(
         self,
         snapshot_id: int | None = None,

@@ -1166,3 +1166,50 @@ def test_stream_to_ledger_to_consumer_pipeline(spark, catalog, tmp_path_factory)
     sink(df.filter(F.col("id") >= 40), 2)
     batch2, off2 = consumer.poll()
     assert sorted(r["id"] for r in batch2.collect()) == list(range(40, 60))
+
+
+def test_metadata_count_classification_and_exactness(spark, events_tbl):
+    """count_rows answers interior files from manifest metadata (full),
+    scans only boundary files (partial), and matches the scan-based
+    count exactly."""
+    import datetime
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d")).collect()[0]["d"]
+    lo = f"{d0 + datetime.timedelta(days=1)}T12:00:00"
+    hi = f"{d0 + datetime.timedelta(days=3)}T00:00:00"
+    preds = [("ts", ">=", lo), ("ts", "<", hi)]
+    n, cls = events_tbl.count_rows(preds)
+    want = events_tbl.read(predicates=preds).count()
+    assert n == want
+    # interior day fully covered by metadata; only the half-day
+    # boundary files scanned; days outside the range pruned
+    assert cls["full"] > 0
+    assert cls["partial"] > 0
+    assert cls["pruned"] > 0
+    total_files = len(events_tbl.plan_files())
+    assert cls["partial"] < total_files // 2
+    # no predicates: pure metadata, zero scans
+    n_all, cls_all = events_tbl.count_rows()
+    assert n_all == events_tbl.read().count()
+    assert cls_all["partial"] == 0 and cls_all["pruned"] == 0
+
+
+def test_metadata_count_with_mor_deletes(spark, catalog):
+    """Full-file metadata counts subtract the file's position deletes."""
+    df = spark.range(0, 100).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "metacount_mor_tbl", df.schema, [])
+    tbl.append(df.coalesce(1))
+    tbl.delete_where(F.col("id") < 10)
+    n, cls = tbl.count_rows([("v", ">=", -1.0)])  # provably all rows
+    assert cls == {"full": 1, "partial": 0, "pruned": 0}
+    assert n == 90
+    # nulls break the full proof: file with nulls must be scanned
+    tbl.append(
+        spark.range(100, 150).selectExpr(
+            "id", "CASE WHEN id % 2 = 0 THEN CAST(id AS DOUBLE) END AS v"
+        ).coalesce(1)
+    )
+    n2, cls2 = tbl.count_rows([("v", ">=", -1.0)])
+    assert n2 == 90 + 25  # nulls don't satisfy >=
+    assert cls2["partial"] == 1
