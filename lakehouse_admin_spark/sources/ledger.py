@@ -465,6 +465,7 @@ class LedgerTable:
         if branch not in refs or refs[branch]["type"] != "branch":
             raise KeyError(f"{branch!r} is not a branch")
         parent = self.snapshot(int(refs[branch]["snapshot_id"]))
+        self._validate_constraints(df)
         new_files = self._stage_write(df)
         added_records = sum(e["record_count"] for e in new_files)
         prev_files = int(parent.summary.get("total-data-files", 0))
@@ -667,6 +668,66 @@ class LedgerTable:
         """Write-time sort columns (Iceberg write.sort-order analog):
         set via create_table(sort_order=...); empty = unsorted."""
         return list(self._load_meta().get("sort_order") or [])
+
+    # ------------------------------------------------------------------
+    # CHECK constraints (Delta constraint parity): validated on write
+    # ------------------------------------------------------------------
+    def constraints(self) -> dict[str, str]:
+        """{name: SQL boolean expression} enforced on every write."""
+        return dict(self._load_meta().get("constraints") or {})
+
+    def add_constraint(self, name: str, expression: str) -> None:
+        """Register a CHECK constraint (a Spark SQL boolean expression
+        over the table's columns, e.g. ``"value >= 0"`` or
+        ``"event_id IS NOT NULL"``). EXISTING rows must already satisfy
+        it (Delta's ADD CONSTRAINT semantics) — verified with one
+        distributed count before the constraint lands."""
+        _validate_ident(name)
+        if name in self.constraints():
+            raise ValueError(f"constraint {name!r} already exists")
+        if self.current_snapshot_id() is not None:
+            bad = self.read().filter(~F.expr(expression).eqNullSafe(True)).limit(1).count()
+            if bad:
+                raise ValueError(
+                    f"existing rows violate constraint {name!r}: {expression}"
+                )
+        meta = self._load_meta()
+        cons = meta.get("constraints") or {}
+        cons[name] = expression
+        meta["constraints"] = cons
+        self._store_meta(meta)
+
+    def drop_constraint(self, name: str) -> None:
+        meta = self._load_meta()
+        cons = meta.get("constraints") or {}
+        if name not in cons:
+            raise KeyError(f"constraint {name!r} not found")
+        del cons[name]
+        meta["constraints"] = cons
+        self._store_meta(meta)
+
+    def _validate_constraints(self, df: DataFrame) -> None:
+        """One distributed pass counting violations of every registered
+        constraint (a single aggregate job — N conditional sums, not N
+        scans). Raises with per-constraint counts; the caller never
+        stages files for a violating write, so a failed write leaves no
+        garbage to clean."""
+        cons = self.constraints()
+        if not cons:
+            return
+        aggs = [
+            F.sum((~F.expr(expr).eqNullSafe(True)).cast("long")).alias(name)
+            for name, expr in cons.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {name: int(row[name] or 0) for name in cons if (row[name] or 0) > 0}
+        if bad:
+            detail = ", ".join(
+                f"{name} ({cons[name]}): {n} rows" for name, n in sorted(bad.items())
+            )
+            raise ValueError(
+                f"{self.database}.{self.name}: write violates constraints — {detail}"
+            )
 
     def _stage_write(self, df: DataFrame) -> list[dict]:
         """Write df's rows as new data files, return their file entries.
@@ -918,6 +979,7 @@ class LedgerTable:
         O(delta) end to end. Running totals come from the PARENT's
         summary, so neither the commit JSON nor driver memory ever
         touches the full file list."""
+        self._validate_constraints(df)
         new_files = self._stage_write(df)
         added_records = sum(e["record_count"] for e in new_files)
         last_err: Exception | None = None
@@ -950,6 +1012,7 @@ class LedgerTable:
         raise last_err
 
     def overwrite(self, df: DataFrame, prepare: bool = False) -> Snapshot:
+        self._validate_constraints(df)
         new_files = self._stage_write(df)
         cur = self.current_snapshot_id()
         snap = Snapshot(
@@ -1120,6 +1183,7 @@ class LedgerTable:
 
         new_data_entries: list[dict] = []
         if insert_df is not None:
+            self._validate_constraints(insert_df)
             new_data_entries = self._stage_write(insert_df.select(*[
                 c["name"] for c in self._load_meta()["columns"]
             ]))

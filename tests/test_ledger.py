@@ -1213,3 +1213,49 @@ def test_metadata_count_with_mor_deletes(spark, catalog):
     n2, cls2 = tbl.count_rows([("v", ">=", -1.0)])
     assert n2 == 90 + 25  # nulls don't satisfy >=
     assert cls2["partial"] == 1
+
+
+def test_check_constraints_enforced_on_writes(spark, catalog):
+    """Delta-style CHECK constraints: one aggregate validates every
+    write path; violating writes raise BEFORE staging and leave the
+    table untouched."""
+    df = spark.range(0, 20).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "constraints_tbl", df.schema, [])
+    tbl.append(df)
+    tbl.add_constraint("v_nonneg", "v >= 0")
+    tbl.add_constraint("id_not_null", "id IS NOT NULL")
+    assert set(tbl.constraints()) == {"v_nonneg", "id_not_null"}
+    head = tbl.current_snapshot_id()
+    bad = spark.range(20, 30).selectExpr("id", "CAST(-1 AS DOUBLE) AS v")
+    with pytest.raises(ValueError, match="v_nonneg.*10 rows"):
+        tbl.append(bad)
+    assert tbl.current_snapshot_id() == head  # nothing committed
+    assert tbl.read().count() == 20
+    # null in a NOT NULL column is a violation (null-safe evaluation)
+    with pytest.raises(ValueError, match="id_not_null"):
+        tbl.append(
+            spark.range(1).selectExpr("CAST(NULL AS BIGINT) AS id", "CAST(1 AS DOUBLE) AS v")
+        )
+    # merge insert path validates too
+    with pytest.raises(ValueError, match="v_nonneg"):
+        tbl.merge_into(bad, on=["id"])
+    # clean writes pass on every path
+    ok = spark.range(20, 25).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    tbl.append(ok)
+    tbl.merge_into(
+        spark.range(25, 28).selectExpr("id", "CAST(1 AS DOUBLE) AS v"), on=["id"]
+    )
+    assert tbl.read().count() == 28
+    # dropping the constraint re-admits the data
+    tbl.drop_constraint("v_nonneg")
+    tbl.append(bad)
+    assert tbl.read().count() == 38
+
+
+def test_add_constraint_rejects_existing_violations(spark, catalog):
+    df = spark.range(0, 10).selectExpr("id", "CAST(id - 5 AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "constraints_bad_tbl", df.schema, [])
+    tbl.append(df)
+    with pytest.raises(ValueError, match="existing rows violate"):
+        tbl.add_constraint("v_nonneg", "v >= 0")
+    assert tbl.constraints() == {}
