@@ -588,8 +588,16 @@ class LedgerTable:
         moved) for a WarehouseTransaction — the ledger analog of an
         Iceberg stage-only (WAP) commit."""
         depth = (parent.depth + 1) if parent is not None else 0
+        next_id = self._next_snapshot_id()
+        # Iceberg data-sequence-number analog: equality deletes apply
+        # only to files with a STRICTLY SMALLER sequence, so rows
+        # committed together with a delete are never self-deleted.
+        # Assigned (not setdefault) so an append RETRY re-stamps with
+        # the id it actually commits under.
+        for e in added:
+            e["sequence_number"] = next_id
         snap = Snapshot(
-            snapshot_id=self._next_snapshot_id(),
+            snapshot_id=next_id,
             parent_id=parent.snapshot_id if parent else None,
             committed_at_ms=int(time.time() * 1000),
             operation=operation,
@@ -870,26 +878,28 @@ class LedgerTable:
         :meth:`read` instead."""
         return self._read_entries(entries)
 
-    def _apply_position_deletes(self, df: DataFrame, delete_paths: list[str]) -> DataFrame:
+    def _apply_position_deletes(
+        self, df: DataFrame, delete_paths: list[str], keep_meta: bool = False
+    ) -> DataFrame:
         """Anti-join content=1 position deletes on the (_mor_fp,
         _mor_pos) columns a with_meta read carries. Broadcast: the
-        delete side is proportional to deleted rows, not the table."""
+        delete side is proportional to deleted rows, not the table.
+        ``keep_meta`` preserves the hidden columns for a downstream
+        equality-delete pass."""
         if not delete_paths:
-            return df.drop("_mor_fp", "_mor_pos")
+            return df if keep_meta else df.drop("_mor_fp", "_mor_pos")
         dels = self.spark.read.parquet(*delete_paths)
-        return (
-            df.join(
-                F.broadcast(
-                    dels.select(
-                        F.col("file_path").alias("_mor_fp"),
-                        F.col("pos").alias("_mor_pos"),
-                    )
-                ),
-                ["_mor_fp", "_mor_pos"],
-                "left_anti",
-            )
-            .drop("_mor_fp", "_mor_pos")
+        out = df.join(
+            F.broadcast(
+                dels.select(
+                    F.col("file_path").alias("_mor_fp"),
+                    F.col("pos").alias("_mor_pos"),
+                )
+            ),
+            ["_mor_fp", "_mor_pos"],
+            "left_anti",
         )
+        return out if keep_meta else out.drop("_mor_fp", "_mor_pos")
 
     def write_file_group(
         self,
@@ -1210,6 +1220,135 @@ class LedgerTable:
             parent=parent,
         )
 
+    def _stage_equality_deletes(
+        self, keys_df: DataFrame, columns: list[str]
+    ) -> list[dict]:
+        """Write DISTINCT key tuples as content=2 equality-delete files
+        (Iceberg v2): O(keys) written, no row lookup at delete time —
+        the shape a CDC/streaming upsert needs."""
+        stage_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.data_dir, stage_id)
+        keys_df.select(*columns).dropDuplicates(columns).coalesce(1).write.mode(
+            "append"
+        ).parquet(out_dir)
+        entries = []
+        for dirpath, _d, filenames in os.walk(out_dir):
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    entry = self._file_entry(
+                        os.path.join(dirpath, fn), {}, self.default_spec_id()
+                    )
+                    entry["content"] = 2
+                    entry["equality_columns"] = list(columns)
+                    entries.append(entry)
+        return entries
+
+    def delete_by_key(self, keys_df: DataFrame, columns: list[str]) -> Snapshot:
+        """Equality delete: drop every live row whose ``columns`` tuple
+        appears in ``keys_df`` — WITHOUT locating the rows (contrast
+        delete_where's position-delete scan). The commit writes only
+        the key tuples; readers anti-join them against rows from files
+        with a smaller sequence number."""
+        entries = self._stage_equality_deletes(keys_df, columns)
+        cur = self.current_snapshot_id()
+        parent = self.snapshot(cur) if cur else None
+        n_keys = sum(e["record_count"] for e in entries)
+        prev_files = int(parent.summary.get("total-data-files", 0)) if parent else 0
+        prev_records = int(parent.summary.get("total-records", 0)) if parent else 0
+        return self._commit_delta(
+            operation="delete",
+            summary={
+                "added-delete-files": str(len(entries)),
+                "added-equality-deletes": str(n_keys),
+                "total-data-files": str(prev_files),
+                "total-records": str(prev_records),
+            },
+            added=entries,
+            removed=[],
+            parent=parent,
+        )
+
+    def upsert_by_key(
+        self,
+        df: DataFrame,
+        columns: list[str],
+        extra_summary: dict[str, str] | None = None,
+    ) -> Snapshot:
+        """Streaming upsert (the Flink-CDC-into-Iceberg shape): ONE
+        commit carrying an equality-delete of ``df``'s key tuples plus
+        ``df`` as new data files. Old versions of the keys vanish (their
+        files have smaller sequence numbers); the new rows survive
+        (equality deletes apply only to STRICTLY SMALLER sequences).
+        O(batch) work — no target scan, no row lookup — which is what
+        makes it viable as a per-micro-batch sink at ingest scale."""
+        self._validate_constraints(df)
+        eq_entries = self._stage_equality_deletes(df, columns)
+        data_entries = self._stage_write(df)
+        n_keys = sum(e["record_count"] for e in eq_entries)
+        n_added = sum(e["record_count"] for e in data_entries)
+        cur = self.current_snapshot_id()
+        parent = self.snapshot(cur) if cur else None
+        prev_files = int(parent.summary.get("total-data-files", 0)) if parent else 0
+        prev_records = int(parent.summary.get("total-records", 0)) if parent else 0
+        return self._commit_delta(
+            operation="merge",
+            summary={
+                **(extra_summary or {}),
+                "added-data-files": str(len(data_entries)),
+                "added-records": str(n_added),
+                "added-delete-files": str(len(eq_entries)),
+                "added-equality-deletes": str(n_keys),
+                "total-data-files": str(prev_files + len(data_entries)),
+                "total-records": str(prev_records + n_added),
+            },
+            added=eq_entries + data_entries,
+            removed=[],
+            parent=parent,
+        )
+
+    def _apply_equality_deletes(
+        self,
+        df: DataFrame,
+        eq_entries: list[dict],
+        data_entries: list[dict],
+    ) -> DataFrame:
+        """Anti-join equality-delete keys against rows from files with a
+        strictly smaller sequence number. All delete files are unioned
+        with their sequence and applied in ONE broadcast anti-join; the
+        row side learns its file's sequence from a broadcast
+        (file_path → sequence) map join on the ``_mor_fp`` column."""
+        if not eq_entries:
+            return df.drop("_mor_fp", "_mor_pos")
+        col_sets = {tuple(e.get("equality_columns") or ()) for e in eq_entries}
+        if len(col_sets) != 1:
+            raise ValueError(
+                f"mixed equality-delete key sets {col_sets}; compact deletes first"
+            )
+        (columns,) = col_sets
+        columns = list(columns)
+        # _metadata.file_path is a file: URI; manifests store plain paths
+        seq_map = self.spark.createDataFrame(
+            [
+                ("file:" + e["file_path"], int(e.get("sequence_number", 0)))
+                for e in data_entries
+            ],
+            "_mor_fp string, _row_seq bigint",
+        )
+        dels = None
+        for e in eq_entries:
+            part = self.spark.read.parquet(e["file_path"]).select(
+                *[F.col(c).alias(f"_del_{c}") for c in columns]
+            ).withColumn("_del_seq", F.lit(int(e.get("sequence_number", 0))))
+            dels = part if dels is None else dels.unionByName(part)
+        df = df.join(F.broadcast(seq_map), "_mor_fp", "left")
+        cond = F.col("_row_seq") < F.col("_del_seq")
+        for c in columns:
+            cond = cond & (F.col(c).eqNullSafe(F.col(f"_del_{c}")))
+        return (
+            df.join(F.broadcast(dels), cond, "left_anti")
+            .drop("_mor_fp", "_mor_pos", "_row_seq")
+        )
+
     def delete_where(self, condition: Column) -> Snapshot:
         """Merge-on-read row delete: write POSITION DELETE files
         (content = 1, Iceberg v2 semantics) instead of rewriting data.
@@ -1419,6 +1558,22 @@ class LedgerTable:
             added, removed = self._snapshot_delta(snap)
             data_added = [e for e in added if e.get("content", 0) == 0]
             pos_delete_added = [e for e in added if e.get("content", 0) == 1]
+            eq_delete_added = [e for e in added if e.get("content", 0) == 2]
+            if eq_delete_added and snap.parent_id is not None:
+                # equality-delete commit: the removed rows are the
+                # PARENT-VISIBLE rows matching the key tuples (the
+                # parent read already applies all older deletes)
+                cols = list(eq_delete_added[0].get("equality_columns") or [])
+                keys = self.spark.read.parquet(
+                    *[e["file_path"] for e in eq_delete_added]
+                ).dropDuplicates(cols)
+                deleted_rows = self.read(snapshot_id=snap.parent_id).join(
+                    F.broadcast(keys), cols, "left_semi"
+                )
+                pieces.append(
+                    deleted_rows.withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_snapshot_id", F.lit(snap.snapshot_id))
+                )
             if pos_delete_added and snap.parent_id is not None:
                 # merge-on-read delete commit: the removed ROWS are the
                 # (file_path, pos) pairs in the new delete files. Only
@@ -1524,6 +1679,11 @@ class LedgerTable:
         predicates = predicates or []
         all_files = self.live_files(snapshot_id)
         data_files = [e for e in all_files if e.get("content", 0) == 0]
+        if any(e.get("content", 0) == 2 for e in all_files):
+            # equality deletes can hit any smaller-sequence file, so no
+            # file's metadata count is provable — scan conservatively
+            total = self.read(snapshot_id=snapshot_id, predicates=predicates).count()
+            return total, {"full": 0, "partial": len(data_files), "pruned": 0}
         candidates = {
             e["file_path"] for e in self.plan_files(predicates, snapshot_id)
         }
@@ -1637,19 +1797,20 @@ class LedgerTable:
                 + (" match the predicates" if predicates else " (empty table)")
             )
         # merge-on-read: anti-join position deletes (content = 1) on
-        # (file_path, pos). The delete side is tiny relative to data →
-        # Spark broadcasts it; data files are never rewritten.
-        delete_entries = [
-            e
-            for e in self.live_files(snapshot_id)
-            if e.get("content", 0) == 1
-        ]
+        # (file_path, pos), then equality deletes (content = 2) on
+        # their key columns against rows with a smaller sequence
+        # number. Both delete sides are tiny relative to data → Spark
+        # broadcasts them; data files are never rewritten.
+        live = self.live_files(snapshot_id)
+        delete_entries = [e for e in live if e.get("content", 0) == 1]
+        eq_entries = [e for e in live if e.get("content", 0) == 2]
         # field-id-resolved scan: renames map by id per schema epoch,
         # later-added columns null-fill
         df = self._read_entries(files, with_meta=True)
         df = self._apply_position_deletes(
-            df, [e["file_path"] for e in delete_entries]
+            df, [e["file_path"] for e in delete_entries], keep_meta=True
         )
+        df = self._apply_equality_deletes(df, eq_entries, files)
         for col, op, val in predicates or []:
             c = F.col(col)
             if op == "is_null":

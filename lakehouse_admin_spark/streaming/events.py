@@ -97,6 +97,32 @@ def make_ledger_batch_sink(table: LedgerTable):
     return sink
 
 
+def make_ledger_upsert_sink(table: LedgerTable, key_columns: list[str]):
+    """foreachBatch CDC upsert: each micro-batch lands as ONE
+    equality-delete + append commit (``upsert_by_key``) — the
+    Flink-CDC-into-Iceberg pattern. O(batch) per commit, no target
+    scan; batch-id stamping makes checkpoint replay a no-op (and even
+    a replay that slipped past the stamp would converge: re-upserting
+    an identical batch deletes its own prior copies). Callers must
+    pre-deduplicate each batch to one row per key — two same-key rows
+    in one batch would both survive the same-sequence rule."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        committed = {
+            s.summary.get("streaming-batch-id") for s in table.snapshots()
+        }
+        if str(batch_id) in committed:
+            return
+        table.upsert_by_key(
+            batch_df, key_columns,
+            extra_summary={"streaming-batch-id": str(batch_id)},
+        )
+
+    return sink
+
+
 def stream_to_ledger(
     stream: DataFrame, table: LedgerTable, checkpoint_dir: str
 ) -> StreamingQuery:

@@ -1259,3 +1259,87 @@ def test_add_constraint_rejects_existing_violations(spark, catalog):
     with pytest.raises(ValueError, match="existing rows violate"):
         tbl.add_constraint("v_nonneg", "v >= 0")
     assert tbl.constraints() == {}
+
+
+def test_equality_delete_basic(spark, catalog):
+    df = spark.range(0, 30).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "eqdel_tbl", df.schema, [])
+    tbl.append(df)
+    keys = spark.range(5, 12).selectExpr("id")
+    snap = tbl.delete_by_key(keys, ["id"])
+    assert snap.summary["added-equality-deletes"] == "7"
+    assert sorted(r["id"] for r in tbl.read().collect()) == (
+        list(range(5)) + list(range(12, 30))
+    )
+    # time travel to before the delete still sees everything
+    assert tbl.read(snapshot_id=snap.parent_id).count() == 30
+
+
+def test_upsert_by_key_sequence_semantics(spark, catalog):
+    """Rows committed WITH an equality delete survive it (strictly-
+    smaller-sequence rule); older versions vanish; repeated upserts
+    stack correctly."""
+    df = spark.range(0, 20).selectExpr("id", "CAST(0 AS DOUBLE) AS version")
+    tbl = catalog.create_table("main", "upsert_tbl", df.schema, [])
+    tbl.append(df)
+    tbl.upsert_by_key(
+        spark.range(10, 25).selectExpr("id", "CAST(1 AS DOUBLE) AS version"), ["id"]
+    )
+    got = {r["id"]: r["version"] for r in tbl.read().collect()}
+    assert len(got) == 25
+    assert all(got[i] == 0.0 for i in range(10))
+    assert all(got[i] == 1.0 for i in range(10, 25))
+    tbl.upsert_by_key(
+        spark.range(5, 15).selectExpr("id", "CAST(2 AS DOUBLE) AS version"), ["id"]
+    )
+    got = {r["id"]: r["version"] for r in tbl.read().collect()}
+    assert len(got) == 25
+    assert all(got[i] == 0.0 for i in range(5))
+    assert all(got[i] == 2.0 for i in range(5, 15))
+    assert all(got[i] == 1.0 for i in range(15, 25))
+    # count_rows stays exact (conservative full-scan under eq deletes)
+    n, cls = tbl.count_rows([("version", ">=", 1.0)])
+    assert n == 20
+    assert cls["full"] == 0
+
+
+def test_upsert_changelog_shows_old_versions_as_deletes(spark, catalog):
+    df = spark.range(0, 10).selectExpr("id", "CAST(0 AS DOUBLE) AS version")
+    tbl = catalog.create_table("main", "upsert_cdc_tbl", df.schema, [])
+    tbl.append(df)
+    s1 = tbl.current_snapshot_id()
+    tbl.upsert_by_key(
+        spark.range(7, 12).selectExpr("id", "CAST(1 AS DOUBLE) AS version"), ["id"]
+    )
+    s2 = tbl.current_snapshot_id()
+    log = tbl.changelog_scan(s1, s2).collect()
+    dels = sorted(r["id"] for r in log if r["_change_type"] == "delete")
+    ins = sorted(r["id"] for r in log if r["_change_type"] == "insert")
+    assert dels == [7, 8, 9]  # only keys that EXISTED are deletes
+    assert ins == list(range(7, 12))
+
+
+def test_streaming_upsert_sink_replay_idempotent(spark, catalog):
+    from lakehouse_admin_spark.streaming.events import make_ledger_upsert_sink
+
+    df = spark.range(0, 10).selectExpr("id", "CAST(0 AS DOUBLE) AS version")
+    tbl = catalog.create_table("main", "upsert_sink_tbl", df.schema, [])
+    sink = make_ledger_upsert_sink(tbl, ["id"])
+    sink(df, 0)
+    upd = spark.range(5, 15).selectExpr("id", "CAST(1 AS DOUBLE) AS version")
+    sink(upd, 1)
+    sink(upd, 1)  # checkpoint replay → no-op
+    assert len(tbl.snapshots()) == 2
+    got = {r["id"]: r["version"] for r in tbl.read().collect()}
+    assert len(got) == 15
+    assert all(got[i] == 0.0 for i in range(5))
+    assert all(got[i] == 1.0 for i in range(5, 15))
+
+
+def test_mixed_position_and_equality_deletes(spark, catalog):
+    df = spark.range(0, 40).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "mixed_del_tbl", df.schema, [])
+    tbl.append(df)
+    tbl.delete_where(F.col("id") < 5)  # position deletes
+    tbl.delete_by_key(spark.range(35, 45).selectExpr("id"), ["id"])  # equality
+    assert sorted(r["id"] for r in tbl.read().collect()) == list(range(5, 35))
