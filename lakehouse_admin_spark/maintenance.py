@@ -100,12 +100,14 @@ def rewrite_data_files(
     # the deletes reference, so folding them in is the only way rows
     # stay deleted afterwards
     delete_paths = [e["file_path"] for e in files if e.get("content", 0) == 1]
+    eq_entries = [e for e in files if e.get("content", 0) == 2]
 
     def _rewrite_group(args: tuple[dict, int, list[dict], int]) -> list[dict]:
         partition, spec_id, group, nbytes = args
         n_out = max(1, math.ceil(nbytes / target_file_size_bytes))
         return table.write_file_group(
-            group, partition, spec_id, n_out, delete_paths=delete_paths
+            group, partition, spec_id, n_out,
+            delete_paths=delete_paths, eq_entries=eq_entries,
         )
 
     with ThreadPoolExecutor(max_workers=max(1, max_concurrent_file_group_rewrites)) as pool:
@@ -152,6 +154,7 @@ def rewrite_data_files_zorder(
 
     files = table.live_files()
     delete_paths = [e["file_path"] for e in files if e.get("content", 0) == 1]
+    eq_entries = [e for e in files if e.get("content", 0) == 2]
     groups: dict[tuple, list[dict]] = {}
     for e in files:
         if e.get("content", 0) != 0:
@@ -165,7 +168,9 @@ def rewrite_data_files_zorder(
     max_bucket = (1 << bits) - 1
     for (spec_id, _key), group in sorted(groups.items()):
         df = table._read_entries(group, with_meta=True)
-        df = table._apply_position_deletes(df, delete_paths)
+        df = table._apply_position_deletes(df, delete_paths, keep_meta=bool(eq_entries))
+        if eq_entries:
+            df = table._apply_equality_deletes(df, eq_entries, group)
         rng = df.agg(
             *[
                 f
@@ -222,6 +227,44 @@ def rewrite_data_files_zorder(
         "rewritten_data_files_count": len(removed),
         "added_data_files_count": len(new_entries),
         "rewritten_bytes_count": rewritten_bytes,
+    }
+
+
+def convert_equality_deletes(table: LedgerTable) -> dict[str, int]:
+    """Materialize equality deletes as position deletes (Iceberg's
+    convert-equality-deletes maintenance): one scan semi-joins the
+    equality keys against smaller-sequence rows to locate their
+    (file_path, pos), writes them as content=1 files, and ONE commit
+    swaps the equality files out. Table content is unchanged
+    ('replace' — changelog-silent); reads afterwards pay a position
+    anti-join instead of the key join, and count_rows regains
+    metadata-only counting (which equality deletes force to degrade to
+    scans)."""
+    from pyspark.sql import functions as F
+
+    files = table.live_files()
+    eq_entries = [e for e in files if e.get("content", 0) == 2]
+    if not eq_entries:
+        return {"converted_equality_files_count": 0, "position_deletes_written": 0}
+    data_entries = [e for e in files if e.get("content", 0) == 0]
+    pos_paths = [e["file_path"] for e in files if e.get("content", 0) == 1]
+    df = table._read_entries(data_entries, with_meta=True)
+    # rows already position-deleted don't need a second delete record
+    df = table._apply_position_deletes(df, pos_paths, keep_meta=True)
+    matched = table._apply_equality_deletes(
+        df, eq_entries, data_entries, invert=True
+    ).select(
+        F.col("_mor_fp").alias("file_path"),
+        F.col("_mor_pos").alias("pos"),
+    )
+    new_entries = table._stage_position_deletes(matched)
+    n_pos = sum(e["record_count"] for e in new_entries)
+    table.commit_rewrite(
+        [e["file_path"] for e in eq_entries], new_entries, operation="replace"
+    )
+    return {
+        "converted_equality_files_count": len(eq_entries),
+        "position_deletes_written": n_pos,
     }
 
 

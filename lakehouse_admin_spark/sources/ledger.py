@@ -908,6 +908,7 @@ class LedgerTable:
         spec_id: int,
         n_out: int,
         delete_paths: list[str] | None = None,
+        eq_entries: list[dict] | None = None,
     ) -> list[dict]:
         """Rewrite ONE compaction file group (all entries share a
         partition tuple): read the group through the field-id-resolved
@@ -926,10 +927,18 @@ class LedgerTable:
         ``delete_paths``: pending position-delete files — applied during
         the rewrite (Iceberg binpack-with-deletes semantics) so deletes
         referencing the OLD paths cannot resurrect rows after the
-        rewrite invalidates those paths.
+        rewrite invalidates those paths. ``eq_entries``: pending
+        EQUALITY deletes — MANDATORY to fold in for the same reason in
+        the other direction: the rewritten files get a NEW (larger)
+        sequence number, so equality deletes would stop applying to
+        them and deleted rows would resurrect.
         """
         df = self._read_entries(group, with_meta=True)
-        df = self._apply_position_deletes(df, delete_paths or [])
+        df = self._apply_position_deletes(
+            df, delete_paths or [], keep_meta=bool(eq_entries)
+        )
+        if eq_entries:
+            df = self._apply_equality_deletes(df, eq_entries, group)
         stage_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, stage_id)
         df.coalesce(max(1, n_out)).write.mode("append").parquet(out_dir)
@@ -1089,11 +1098,13 @@ class LedgerTable:
             operation=operation,
             summary={
                 "rewritten-data-files": str(len(removed_set)),
-                "added-data-files": str(len(new_files)),
-                "total-data-files": str(len(_data_files(kept)) + len(new_files)),
+                "added-data-files": str(len(_data_files(new_files))),
+                "total-data-files": str(
+                    len(_data_files(kept)) + len(_data_files(new_files))
+                ),
                 "total-records": str(
                     sum(e["record_count"] for e in _data_files(kept))
-                    + sum(e["record_count"] for e in new_files)
+                    + sum(e["record_count"] for e in _data_files(new_files))
                 ),
             },
             added=new_files,
@@ -1311,6 +1322,7 @@ class LedgerTable:
         df: DataFrame,
         eq_entries: list[dict],
         data_entries: list[dict],
+        invert: bool = False,
     ) -> DataFrame:
         """Anti-join equality-delete keys against rows from files with a
         strictly smaller sequence number. All delete files are unioned
@@ -1344,6 +1356,10 @@ class LedgerTable:
         cond = F.col("_row_seq") < F.col("_del_seq")
         for c in columns:
             cond = cond & (F.col(c).eqNullSafe(F.col(f"_del_{c}")))
+        if invert:
+            # the MATCHING rows (meta kept) — convert_equality_deletes
+            # uses this to materialize position deletes
+            return df.join(F.broadcast(dels), cond, "left_semi").drop("_row_seq")
         return (
             df.join(F.broadcast(dels), cond, "left_anti")
             .drop("_mor_fp", "_mor_pos", "_row_seq")

@@ -1343,3 +1343,53 @@ def test_mixed_position_and_equality_deletes(spark, catalog):
     tbl.delete_where(F.col("id") < 5)  # position deletes
     tbl.delete_by_key(spark.range(35, 45).selectExpr("id"), ["id"])  # equality
     assert sorted(r["id"] for r in tbl.read().collect()) == list(range(5, 35))
+
+
+def test_compaction_does_not_resurrect_equality_deletes(spark, catalog):
+    """Rewritten files get NEW sequence numbers, so equality deletes
+    would stop applying — binpack must fold them in."""
+    df = spark.range(0, 40).selectExpr("id", "CAST(0 AS DOUBLE) AS version")
+    tbl = catalog.create_table("main", "eq_compact_tbl", df.schema, [])
+    tbl.append(df.filter(F.col("id") < 20).coalesce(1))
+    tbl.append(df.filter(F.col("id") >= 20).coalesce(1))
+    tbl.upsert_by_key(
+        spark.range(15, 25).selectExpr("id", "CAST(1 AS DOUBLE) AS version"), ["id"]
+    )
+    before = sorted((r["id"], r["version"]) for r in tbl.read().collect())
+    maintenance.rewrite_data_files(
+        tbl, target_file_size_bytes=1 << 40, min_input_files=2
+    )
+    after = sorted((r["id"], r["version"]) for r in tbl.read().collect())
+    assert after == before
+    got = dict(after)
+    assert all(got[i] == 1.0 for i in range(15, 25))
+
+
+def test_convert_equality_deletes_preserves_content(spark, catalog):
+    df = spark.range(0, 30).selectExpr("id", "CAST(0 AS DOUBLE) AS version")
+    tbl = catalog.create_table("main", "eq_convert_tbl", df.schema, [])
+    tbl.append(df)
+    tbl.delete_where(F.col("id") < 3)  # pre-existing position deletes
+    tbl.upsert_by_key(
+        spark.range(10, 35).selectExpr("id", "CAST(1 AS DOUBLE) AS version"), ["id"]
+    )
+    before = sorted((r["id"], r["version"]) for r in tbl.read().collect())
+    res = maintenance.convert_equality_deletes(tbl)
+    assert res["converted_equality_files_count"] == 1
+    # exactly the smaller-sequence rows for keys 10..29 (20 rows — the
+    # 25-key delete only matches 20 existing, none already pos-deleted)
+    assert res["position_deletes_written"] == 20
+    assert not any(
+        e.get("content", 0) == 2 for e in tbl.live_files()
+    ), "equality files must be swapped out"
+    after = sorted((r["id"], r["version"]) for r in tbl.read().collect())
+    assert after == before
+    # metadata-only counting works again
+    n, cls = tbl.count_rows([("version", ">=", -1.0)])
+    assert n == len(before)
+    assert cls["full"] > 0
+    # changelog across the conversion is silent (replace)
+    log = tbl.changelog_scan(
+        tbl.snapshots()[-2].snapshot_id, tbl.current_snapshot_id()
+    )
+    assert log.count() == 0
