@@ -437,6 +437,32 @@ def ledger_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "row_count bigint")
 
 
+@query("ledger_eq_upsert", oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN -1.0 ELSE value END), 2)
+               AS value_sum,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS updated_rows
+    FROM events
+    """)
+def ledger_eq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete upsert (the streaming CDC sink path), graded:
+    the fixture re-lands every purchase event with value = -1 via ONE
+    upsert_by_key commit (equality delete + append); the merge-on-read
+    scan must show exactly the replaced values, which the oracle
+    recomputes from raw rows."""
+    from lakehouse_admin_spark.sources.fixtures import build_events_eq_upsert_ledger
+
+    catalog = get_catalog(spark)
+    name = "events_equpsert_" + sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    tbl = build_events_eq_upsert_ledger(spark, sf_dir, catalog, name=name)
+    return tbl.read().agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+        F.sum((F.col("value") < 0).cast("long")).alias("updated_rows"),
+    )
+
+
 @query("ledger_live_partition_stats", oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS ts_day,
            CAST(COUNT(*) AS BIGINT) AS record_count,

@@ -229,6 +229,33 @@ def build_events_merge_ledger(
 
 
 @_locked
+def build_events_eq_upsert_ledger(
+    spark: SparkSession,
+    sf_dir: str,
+    catalog: LedgerCatalog,
+    database: str = "main",
+    name: str = "events_equpsert",
+) -> LedgerTable:
+    """Events table through ONE equality-delete upsert
+    (``upsert_by_key``, the streaming CDC sink path): every purchase
+    event re-lands with value = -1. Old purchase rows vanish via the
+    equality delete; replacements survive the strictly-smaller-sequence
+    rule. Deterministic → SQL-replayable."""
+    if name in catalog.list_tables(database):
+        return catalog.table(database, name)
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    tbl = catalog.create_table(database, name, ev.schema, [])
+    tbl.append(ev)
+    src = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.lit(-1.0)
+    )
+    tbl.upsert_by_key(src, ["event_id"])
+    return tbl
+
+
+@_locked
 def build_nested_ledger(
     spark: SparkSession,
     catalog: LedgerCatalog,
