@@ -1393,3 +1393,25 @@ def test_convert_equality_deletes_preserves_content(spark, catalog):
         tbl.snapshots()[-2].snapshot_id, tbl.current_snapshot_id()
     )
     assert log.count() == 0
+
+
+def test_eq_delete_read_plan_is_broadcast_only(spark, catalog):
+    """The merge-on-read scan with position + equality deletes must
+    stay shuffle-free: both delete applications are broadcast
+    anti-joins, and the sequence map is a broadcast lookup."""
+    from lakehouse_admin_spark.plans.inspect import exchange_count, join_strategies
+
+    df = spark.range(0, 1000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "eq_plan_tbl", df.schema, [])
+    tbl.append(df)
+    tbl.delete_where(F.col("id") < 5)
+    tbl.upsert_by_key(
+        spark.range(500, 600).selectExpr("id", "CAST(1 AS DOUBLE) AS v"), ["id"]
+    )
+    scan = tbl.read()
+    assert exchange_count(scan) == 0, "MOR read must not shuffle the data side"
+    strategies = join_strategies(scan)
+    assert "SortMergeJoin" not in strategies
+    assert "ShuffledHashJoin" not in strategies
+    # 1000 - 5 pos-deleted - 100 replaced + 100 replacements
+    assert scan.count() == 995
