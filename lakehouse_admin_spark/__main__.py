@@ -68,9 +68,16 @@ def main(argv: list[str] | None = None) -> int:
     for name in (
         "databases", "tables", "describe", "summary", "drilldown", "files",
         "refresh", "integrity", "optimize", "expire", "orphans", "rollback",
-        "tasks", "settings",
+        "tasks", "settings", "history", "refs", "changelog",
     ):
-        cmd(name)
+        sp = cmd(name)
+        if name == "refs":
+            sp.add_argument("--create")
+            sp.add_argument("--kind", default="tag", choices=["tag", "branch"])
+            sp.add_argument("--drop")
+        if name == "changelog":
+            sp.add_argument("--from-snapshot", type=int, dest="from_snapshot")
+            sp.add_argument("--to-snapshot", type=int, dest="to_snapshot")
 
     args = p.parse_args(argv)
     selected = dict(s.split("=", 1) for s in args.select)
@@ -133,6 +140,37 @@ def main(argv: list[str] | None = None) -> int:
         statuses = [args.status] if args.status else None
         page, total = admin.tasks.list(statuses=statuses, limit=100)
         _emit({"total": total, "tasks": [t.to_json() for t in page]})
+    elif args.cmd == "history":
+        tbl = admin.catalog.table(args.database, args.table)
+        _emit({
+            "snapshots": [
+                {
+                    "snapshot_id": s.snapshot_id,
+                    "parent_id": s.parent_id,
+                    "committed_at_ms": s.committed_at_ms,
+                    "operation": s.operation,
+                    "summary": s.summary,
+                }
+                for s in tbl.snapshots()
+            ],
+            "current": tbl.current_snapshot_id(),
+        })
+    elif args.cmd == "refs":
+        tbl = admin.catalog.table(args.database, args.table)
+        if args.create:
+            tbl.create_ref(args.create, snapshot_id=args.snapshot, kind=args.kind)
+        if args.drop:
+            tbl.drop_ref(args.drop)
+        _emit({"refs": tbl.refs()})
+    elif args.cmd == "changelog":
+        tbl = admin.catalog.table(args.database, args.table)
+        to_id = args.to_snapshot or tbl.current_snapshot_id()
+        log = tbl.changelog_scan(args.from_snapshot, to_id)
+        _emit({
+            "from": args.from_snapshot,
+            "to": to_id,
+            "changes": _df_rows(log),
+        })
     elif args.cmd == "settings":
         # GET/PUT /api/settings (reference: service_settings.go:30-34):
         # known keys only; updates are runtime-effective (the engine

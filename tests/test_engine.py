@@ -114,3 +114,34 @@ def test_settings_cli_surface(admin, capsys):
     assert cli.main(["-w", wh, "settings", "--set", "bogus=1"]) == 1
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "unknown setting" in err["error"]
+
+
+def test_history_refs_changelog_cli(admin, capsys):
+    import json
+
+    from lakehouse_admin_spark import __main__ as cli
+
+    wh = admin.catalog.warehouse
+    assert cli.main(["-w", wh, "history", "-t", "events_ledger"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["current"] == out["snapshots"][-1]["snapshot_id"]
+    assert out["snapshots"][0]["operation"] == "append"
+    # refs lifecycle through the CLI
+    assert cli.main(["-w", wh, "refs", "-t", "events_ledger",
+                     "--create", "cli_tag"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["refs"]["cli_tag"]["type"] == "tag"
+    assert cli.main(["-w", wh, "refs", "-t", "events_ledger",
+                     "--drop", "cli_tag"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "cli_tag" not in out["refs"]
+    # changelog between first and last snapshot
+    first = None
+    tbl = admin.catalog.table("main", "events_ledger")
+    first = tbl.snapshots()[0].snapshot_id
+    assert cli.main(["-w", wh, "changelog", "-t", "events_ledger",
+                     "--from-snapshot", str(first)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["to"] == tbl.current_snapshot_id()
+    kinds = {c["_change_type"] for c in out["changes"]}
+    assert "insert" in kinds
