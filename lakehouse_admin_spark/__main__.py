@@ -21,6 +21,11 @@ same verbs. Machine-readable: every command prints one JSON document.
     python -m lakehouse_admin_spark rollback      -w /path -d main -t events_ledger --snapshot 3
     python -m lakehouse_admin_spark tasks         -w /path [--status success]
     python -m lakehouse_admin_spark settings      -w /path [--set task_concurrency=4]
+    python -m lakehouse_admin_spark history       -w /path -d main -t events_ledger
+    python -m lakehouse_admin_spark refs          -w /path -d main -t events_ledger \
+        [--create v1 --kind tag [--snapshot 3]] [--drop v1]
+    python -m lakehouse_admin_spark changelog     -w /path -d main -t events_ledger \
+        --from-snapshot 2 [--to-snapshot 5]
 """
 
 from __future__ import annotations
