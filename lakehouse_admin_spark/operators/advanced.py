@@ -500,3 +500,85 @@ def min_cost_order_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@query("embedding_coverage", oracle="""
+    WITH j AS (
+        SELECT d.doc_id, d.source, e.vec_id,
+               CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS covered,
+               CASE WHEN e.vec_id IS NOT NULL
+                    AND len(e.embedding) <> 64 THEN 1 ELSE 0 END AS bad_dim
+        FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(covered) AS BIGINT) AS with_embedding,
+           CAST(COUNT(*) - SUM(covered) AS BIGINT) AS missing_embedding,
+           CAST(SUM(bad_dim) AS BIGINT) AS bad_dims
+    FROM j
+    GROUP BY source
+    ORDER BY source
+    """)
+def embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline data-quality check: per source, how many documents have
+    a corresponding embedding row (doc_id = vec_id), how many are
+    missing, and how many embeddings carry a wrong dimension. The
+    left-join shape is the standard coverage audit between any two
+    pipeline stages; the small side broadcasts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.size("embedding").alias("dim")
+    )
+    j = docs.join(F.broadcast(emb), docs.doc_id == emb.vec_id, "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("vec_id").isNotNull().cast("long")).alias("with_embedding"),
+            F.sum(F.col("vec_id").isNull().cast("long")).alias("missing_embedding"),
+            F.sum(
+                (F.col("vec_id").isNotNull() & (F.col("dim") != 64)).cast("long")
+            ).alias("bad_dims"),
+        )
+        .orderBy("source")
+    )
+
+
+HIST_BUCKETS = 10
+
+
+@query("events_value_histogram", oracle=f"""
+    WITH b AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    ),
+    bucketed AS (
+        SELECT LEAST(CAST(FLOOR((value - b.lo) / ((b.hi - b.lo) / {HIST_BUCKETS})
+                     ) AS BIGINT), {HIST_BUCKETS - 1}) AS bucket
+        FROM events, b
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram profiling of a numeric column (the admin
+    'column profile' panel): one min/max pass (at scale: from manifest
+    column stats instead), one bucketing aggregate. Integer bucket
+    arithmetic on both engines — no float-boundary ambiguity in the
+    compare because bucket ids are floor()s of the same expression."""
+    ev = load_table(spark, sf_dir, "events").select("value")
+    row = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    lo, hi = float(row["lo"]), float(row["hi"])
+    width = (hi - lo) / HIST_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("long"),
+        F.lit(HIST_BUCKETS - 1),
+    )
+    return (
+        ev.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
