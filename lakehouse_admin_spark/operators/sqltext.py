@@ -153,3 +153,29 @@ def sql_lateral_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY lang, tok
         """
     )
+
+
+_RANGE_FRAME_SQL = """
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL '1' DAY PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_1d_sum,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL '1' DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_1d_events
+    FROM events
+    ORDER BY user_id, event_id
+"""
+
+
+@query("sql_range_frame_trailing", oracle=_RANGE_FRAME_SQL)
+def sql_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frame via SQL text: per-user trailing
+    1-day sum/count (the rolling-metrics shape). RANGE frames bound by
+    an INTERVAL are value-based, so ties in ts aggregate identically
+    on both engines — no row-frame ordering ambiguity. One shuffle on
+    user_id; the frame is computed within sorted partitions."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RANGE_FRAME_SQL)
