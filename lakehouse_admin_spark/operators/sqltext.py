@@ -179,3 +179,25 @@ def sql_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id; the frame is computed within sorted partitions."""
     register_views(spark, sf_dir)
     return spark.sql(_RANGE_FRAME_SQL)
+
+
+_GROUPING_SETS_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
+"""
+
+
+@query("sql_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with GROUPING() markers via SQL text — the
+    multi-granularity rollup a reporting layer asks for in one pass
+    (Spark expands to a single Expand + aggregate, not four scans)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)

@@ -483,3 +483,31 @@ def attribution_counts_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query("event_type_pivot", oracle=f"""
+    SELECT user_id % 10 AS user_grp,
+           {', '.join(
+               "CAST(SUM(CASE WHEN event_type = '" + t + "' THEN 1 ELSE 0 END) AS BIGINT) AS " + t
+               for t in EVENT_TYPES)}
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native DataFrame pivot: per user-group event-type counts as
+    columns. The pivot VALUES are declared (not discovered), so the
+    plan is one pass with no values-collection job — the form that
+    scales; the oracle is the equivalent CASE fan-out."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_grp", F.col("user_id") % 10)
+        .groupBy("user_grp")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .orderBy("user_grp")
+    )
