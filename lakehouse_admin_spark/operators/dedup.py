@@ -819,3 +819,62 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster_id")
         .orderBy("doc_id")
     )
+
+
+_TRIPLET_A, _TRIPLET_B, _TRIPLET_C = 48271, 1103, 9973
+
+
+def _triplets_oracle() -> str:
+    from lakehouse_admin_spark.registry import QUERIES
+
+    pair_sql = QUERIES["minhash_near_dup"].oracle
+    return f"""
+    WITH pairs AS ({pair_sql}),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    base AS (
+        SELECT doc_a AS anchor, doc_b AS positive,
+               (doc_a * {_TRIPLET_A} + doc_b * {_TRIPLET_B}) % n.n_docs AS n0,
+               n.n_docs AS n_docs
+        FROM pairs CROSS JOIN n
+    )
+    SELECT anchor, positive,
+           CASE WHEN n0 <> anchor AND n0 <> positive THEN n0
+                WHEN (n0 + {_TRIPLET_C}) % n_docs <> anchor
+                     AND (n0 + {_TRIPLET_C}) % n_docs <> positive
+                    THEN (n0 + {_TRIPLET_C}) % n_docs
+                ELSE (n0 + 2 * {_TRIPLET_C}) % n_docs END AS negative
+    FROM base
+    ORDER BY anchor, positive
+    """
+
+
+@query("contrastive_triplets", oracle=_triplets_oracle())
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair mining: (anchor, positive) = the LSH
+    near-dup pairs; negative = a deterministic pseudo-random document
+    (MINSTD mix of the pair ids mod corpus size, skipping collisions
+    with the pair — three candidates spaced by a prime are always
+    distinct mod N, so at most two can collide). The negative draw
+    costs one projection on top of the near-dup join; at 100 TB
+    hard-negative mining would swap the draw for an ANN lookup, same
+    pipeline shape. Deterministic end to end — the oracle replays the
+    LSH pairs AND the draw."""
+    pairs = minhash_near_dup(spark, sf_dir).select(
+        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("positive")
+    )
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n0 = (F.col("anchor") * _TRIPLET_A + F.col("positive") * _TRIPLET_B) % n_docs
+    n1 = (n0 + _TRIPLET_C) % n_docs
+    n2 = (n0 + 2 * _TRIPLET_C) % n_docs
+
+    def ok(c):
+        return (c != F.col("anchor")) & (c != F.col("positive"))
+
+    return (
+        pairs.select(
+            "anchor",
+            "positive",
+            F.when(ok(n0), n0).when(ok(n1), n1).otherwise(n2).alias("negative"),
+        )
+        .orderBy("anchor", "positive")
+    )

@@ -260,3 +260,60 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", "frame_offset_bytes", F.length("frame").alias("frame_bytes")
     ).orderBy("doc_id", "frame_idx")
+
+
+EMBED_STUB_DIM = 8
+
+
+@query("doc_embed_stub", oracle=f"""
+    SELECT doc_id,
+           CAST(t.j AS BIGINT) AS dim,
+           ROUND(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                         CAST(t.j AS VARCHAR)), 1, 8)) AS BIGINT)
+                 / 4294967296.0, 6) AS val
+    FROM documents, UNNEST(range(0, {EMBED_STUB_DIM})) AS t(j)
+    ORDER BY doc_id, dim
+    """)
+def doc_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ENCODING plumbing (the embed-the-dataset batch-inference
+    pass): an Arrow-batched ``mapInPandas`` kernel plays the model
+    server — here a documented md5 stub (vector[j] derived from
+    md5(doc_id:j)), in production the same kernel shape hosts a real
+    encoder with per-batch model reuse. Each batch builds its vectors
+    as one ndarray then explodes to (doc_id, dim, val) rows so the
+    result is hash-comparable; the DuckDB oracle replays the hash
+    bit-for-bit. No shuffle: the encode is map-only over the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dim = EMBED_STUB_DIM
+
+    def make_kernel():
+        def kernel(batches):
+            import hashlib
+
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                ids = pdf["doc_id"].to_numpy()
+                n = len(ids)
+                vals = np.empty((n, dim), dtype=np.float64)
+                for i, d in enumerate(ids):
+                    for j in range(dim):
+                        h = hashlib.md5(f"{d}:{j}".encode()).hexdigest()
+                        vals[i, j] = round(int(h[:8], 16) / 4294967296.0, 6)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.repeat(ids, dim),
+                        "dim": np.tile(np.arange(dim, dtype=np.int64), n),
+                        "val": vals.ravel(),
+                    }
+                )
+
+        return kernel
+
+    out_schema = "doc_id bigint, dim bigint, val double"
+    return (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(make_kernel(), out_schema)
+        .orderBy("doc_id", "dim")
+    )
