@@ -1487,3 +1487,28 @@ def test_randomized_mutations_match_model(spark, catalog):
     # final invariants: count_rows exact, changelog round-trips
     n, _ = tbl.count_rows()
     assert n == len(model)
+
+
+def test_incremental_scan_across_fold_boundary(spark, catalog):
+    """Every FOLD_EVERY-th commit stores a full file list instead of a
+    delta; incremental/changelog ranges crossing a fold must diff the
+    fold against its parent instead of reading a stored delta."""
+    from lakehouse_admin_spark.sources.ledger import FOLD_EVERY
+
+    df = spark.range(0, 1).selectExpr("id")
+    tbl = catalog.create_table("main", "fold_scan_tbl", df.schema, [])
+    n_commits = FOLD_EVERY + 3
+    for i in range(n_commits):
+        tbl.append(spark.range(i * 10, i * 10 + 10).selectExpr("id"))
+    snaps = tbl.snapshots()
+    assert any(
+        s.is_fold for s in snaps[1:]
+    ), "expected a periodic fold inside the chain"
+    first, last = snaps[0].snapshot_id, snaps[-1].snapshot_id
+    inc = tbl.incremental_scan(first, last)
+    # commits 2..n: ids 10..(n_commits*10)
+    assert inc.count() == (n_commits - 1) * 10
+    assert inc.agg(F.min("id")).collect()[0][0] == 10
+    log = tbl.changelog_scan(first, last)
+    assert log.filter(F.col("_change_type") == "insert").count() == (n_commits - 1) * 10
+    assert log.filter(F.col("_change_type") == "delete").count() == 0
