@@ -677,6 +677,15 @@ class LedgerTable:
         set via create_table(sort_order=...); empty = unsorted."""
         return list(self._load_meta().get("sort_order") or [])
 
+    def set_sort_order(self, columns: list[str]) -> None:
+        """Replace the table's write sort order (Iceberg
+        ReplaceSortOrder): affects FUTURE writes and compactions;
+        existing files are not rewritten (run rewrite_data_files to
+        re-cluster them)."""
+        meta = self._load_meta()
+        meta["sort_order"] = list(columns)
+        self._store_meta(meta)
+
     # ------------------------------------------------------------------
     # CHECK constraints (Delta constraint parity): validated on write
     # ------------------------------------------------------------------
@@ -941,7 +950,19 @@ class LedgerTable:
             df = self._apply_equality_deletes(df, eq_entries, group)
         stage_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, stage_id)
-        df.coalesce(max(1, n_out)).write.mode("append").parquet(out_dir)
+        sort_cols = self.sort_order()
+        if sort_cols:
+            # sort-aware compaction: a plain coalesce would merge files
+            # with overlapping sort-key ranges and destroy the file
+            # skipping the sorted write bought; range-repartition +
+            # in-task sort keeps output ranges disjoint (costs the
+            # group one range shuffle — the price of a sort compaction)
+            df = df.repartitionByRange(
+                max(1, n_out), *[F.col(c) for c in sort_cols]
+            ).sortWithinPartitions(*sort_cols)
+        else:
+            df = df.coalesce(max(1, n_out))
+        df.write.mode("append").parquet(out_dir)
         entries = []
         for dirpath, _dirnames, filenames in os.walk(out_dir):
             for fn in filenames:

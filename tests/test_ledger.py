@@ -1512,3 +1512,35 @@ def test_incremental_scan_across_fold_boundary(spark, catalog):
     log = tbl.changelog_scan(first, last)
     assert log.filter(F.col("_change_type") == "insert").count() == (n_commits - 1) * 10
     assert log.filter(F.col("_change_type") == "delete").count() == 0
+
+
+def test_sorted_compaction_keeps_disjoint_ranges(spark, catalog):
+    """Binpack on a sort-ordered table must range-repartition, not
+    coalesce: output files keep DISJOINT sort-key ranges so file
+    skipping survives compaction."""
+    df = spark.range(0, 4000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "sorted_compact_tbl", df.schema, [])
+    # interleaved appends: each small file covers the FULL id range
+    for k in range(4):
+        tbl.append(df.filter(F.col("id") % 4 == k).coalesce(1))
+    # adopt a sort order AFTER the messy writes (ReplaceSortOrder);
+    # compaction must re-cluster under it
+    tbl.set_sort_order(["id"])
+    before = tbl.plan_files()
+    assert len(before) == 4
+    # every pre-compaction file spans nearly the whole range
+    for e in before:
+        lo, hi = e["column_stats"]["id"]
+        assert hi - lo > 3000
+    maintenance.rewrite_data_files(
+        tbl, target_file_size_bytes=30_000, min_input_files=2
+    )
+    after = tbl.plan_files()
+    assert len(after) >= 2
+    ranges = sorted(tuple(e["column_stats"]["id"]) for e in after)
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping post-compaction ranges {ranges}"
+    # skipping works again: a narrow range hits a strict subset
+    kept = tbl.plan_files([("id", "<", 500)])
+    assert len(kept) < len(after)
+    assert tbl.read().count() == 4000
