@@ -1,0 +1,132 @@
+"""Incremental view maintenance (IVM): keep a grouped aggregate table
+up to date from a source ledger's CDC changelog — O(delta) per refresh,
+never a recompute.
+
+This is the downstream half of the changelog story (sources/ledger.py
+``changelog_scan``): a 100 TB fact table's rollups can't be rebuilt per
+refresh; they must ABSORB deltas. The classic signed-delta algorithm:
+
+    delta  = changelog rows aggregated with sign (+1 insert, -1 delete)
+             → per-group (d_count, d_sum)
+    merged = current target ⟗ delta → (count + d_count, sum + d_sum)
+    apply  = ONE upsert_by_key commit on the group columns
+
+Exactly-once without a distributed transaction: the apply commit is
+stamped with the source snapshot offset it covers (``ivm-source-offset``
+in the snapshot summary), and refresh always re-derives "what has been
+applied" FROM THE TARGET — the sink is the offset store (the Kafka
+Connect pattern). A crash after apply but before anything else simply
+re-reads the stamp and skips; a replayed range can never double-count.
+
+Groups whose count reaches zero are KEPT as count=0 rows (filtered by
+:meth:`read`) so the apply stays a single atomic commit; a periodic
+compaction can drop them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakehouse_admin_spark.sources.ledger import LedgerCatalog, LedgerTable
+
+OFFSET_KEY = "ivm-source-offset"
+
+
+class IncrementalAggregate:
+    """A maintained ``SELECT group_cols, COUNT(*), SUM(sum_col)``."""
+
+    def __init__(
+        self,
+        source: LedgerTable,
+        catalog: LedgerCatalog,
+        name: str,
+        group_cols: list[str],
+        sum_col: str,
+        database: str = "main",
+    ):
+        self.source = source
+        self.group_cols = list(group_cols)
+        self.sum_col = sum_col
+        spark = source.spark
+        if name in catalog.list_tables(database):
+            self.target = catalog.table(database, name)
+        else:
+            fields = ", ".join(
+                f"`{c}` {dict(source.spark.createDataFrame([], source.unified_schema()).dtypes)[c]}"
+                for c in self.group_cols
+            )
+            schema = spark.createDataFrame(
+                [], f"{fields}, `row_count` bigint, `value_sum` double"
+            ).schema
+            self.target = catalog.create_table(database, name, schema)
+
+    def applied_offset(self) -> int | None:
+        """Last source snapshot absorbed into the target — read from
+        the TARGET's commit stamps (the sink is the offset store)."""
+        for s in reversed(self.target.snapshots()):
+            if OFFSET_KEY in s.summary:
+                return int(s.summary[OFFSET_KEY])
+        return None
+
+    def refresh(self) -> int:
+        """Absorb everything committed to the source since the last
+        apply. Returns the number of changelog rows absorbed (0 when
+        already current). One atomic stamped commit; idempotent under
+        replay."""
+        head = self.source.current_snapshot_id()
+        applied = self.applied_offset()
+        if head is None or head == applied:
+            return 0
+        log = self.source.changelog_scan(applied, head)
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        delta = (
+            log.withColumn("_sign", sign)
+            .groupBy(*self.group_cols)
+            .agg(
+                F.sum("_sign").cast("long").alias("d_count"),
+                F.sum(F.col("_sign") * F.col(self.sum_col)).alias("d_sum"),
+            )
+        )
+        n_rows = log.count()
+        if n_rows == 0:
+            return 0
+        try:
+            cur = self.target.read().select(
+                *self.group_cols, "row_count", "value_sum"
+            )
+        except ValueError:  # empty target
+            cur = None
+        if cur is None:
+            merged = delta.select(
+                *self.group_cols,
+                F.col("d_count").alias("row_count"),
+                F.col("d_sum").alias("value_sum"),
+            )
+        else:
+            merged = (
+                cur.join(delta, self.group_cols, "full_outer")
+                .select(
+                    *self.group_cols,
+                    (
+                        F.coalesce(F.col("row_count"), F.lit(0))
+                        + F.coalesce(F.col("d_count"), F.lit(0))
+                    ).alias("row_count"),
+                    (
+                        F.coalesce(F.col("value_sum"), F.lit(0.0))
+                        + F.coalesce(F.col("d_sum"), F.lit(0.0))
+                    ).alias("value_sum"),
+                )
+                # only touched groups re-land; untouched rows stay put
+                .join(F.broadcast(delta.select(*self.group_cols)), self.group_cols, "left_semi")
+            )
+        self.target.upsert_by_key(
+            merged, self.group_cols, extra_summary={OFFSET_KEY: str(head)}
+        )
+        return n_rows
+
+    def read(self) -> DataFrame:
+        """The maintained aggregate (zero-count tombstones hidden)."""
+        return self.target.read().filter(F.col("row_count") > 0)

@@ -1544,3 +1544,61 @@ def test_sorted_compaction_keeps_disjoint_ranges(spark, catalog):
     kept = tbl.plan_files([("id", "<", 500)])
     assert len(kept) < len(after)
     assert tbl.read().count() == 4000
+
+
+def test_incremental_view_maintenance(spark, catalog):
+    """IVM target equals a from-scratch recompute after every source
+    mutation round, absorbs only deltas, and is idempotent under
+    replayed refreshes (offset stamped in the sink)."""
+    from lakehouse_admin_spark.ivm import IncrementalAggregate
+
+    df = spark.range(0, 60).selectExpr(
+        "id", "CAST(id % 7 AS BIGINT) AS grp", "CAST(id AS DOUBLE) AS v"
+    )
+    src = catalog.create_table("main", "ivm_src_tbl", df.schema, [])
+    src.append(df)
+    ivm = IncrementalAggregate(src, catalog, "ivm_target_tbl", ["grp"], "v")
+
+    def check():
+        got = {
+            r["grp"]: (r["row_count"], round(r["value_sum"], 6))
+            for r in ivm.read().collect()
+        }
+        want = {
+            r["grp"]: (r["n"], round(r["s"], 6))
+            for r in src.read()
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .collect()
+        }
+        assert got == want
+
+    assert ivm.refresh() == 60
+    check()
+    assert ivm.refresh() == 0  # idempotent when current
+    # append more rows
+    src.append(
+        spark.range(60, 90).selectExpr(
+            "id", "CAST(id % 7 AS BIGINT) AS grp", "CAST(id AS DOUBLE) AS v"
+        )
+    )
+    assert ivm.refresh() == 30
+    check()
+    # merge-on-read delete: absorbed as negative deltas
+    src.delete_where(F.col("v") < 10)
+    assert ivm.refresh() == 10
+    check()
+    # upsert: old versions leave, new versions land
+    src.upsert_by_key(
+        spark.range(80, 100).selectExpr(
+            "id", "CAST(3 AS BIGINT) AS grp", "CAST(1.5 AS DOUBLE) AS v"
+        ),
+        ["id"],
+    )
+    assert ivm.refresh() > 0
+    check()
+    # a group emptied entirely becomes a hidden tombstone
+    src.delete_where(F.col("grp") == 3)
+    ivm.refresh()
+    check()
+    assert 3 not in {r["grp"] for r in ivm.read().collect()}
