@@ -410,3 +410,149 @@ def nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract is the recall pin against ``knn_graph`` (exact) in
     tests/test_graph_ann.py plus degree/shape invariants."""
     return nn_descent_edges(spark, sf_dir).orderBy("src", "rank")
+
+
+# ---------------------------------------------------------------------------
+# HNSW-style hierarchical serving tier
+# ---------------------------------------------------------------------------
+HNSW_M = 6  # neighbors per node in upper-layer graphs
+HNSW_MAX_LEVEL = 3
+_HNSW_U_DEN = float(1 << 32)
+
+_LAYER_CACHE: dict[tuple[int, str, int], DataFrame] = {}
+
+
+def hnsw_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HNSW level assignment: u = md5-derived uniform in
+    (0,1], level = min(MAX, floor(-ln(u)/ln(M))) — the geometric layer
+    distribution of Malkov/Yashunin (TPAMI 2020) with the randomness
+    replaced by a replayable hash."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    u = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_HNSW_U_DEN)
+    level = F.least(
+        F.lit(HNSW_MAX_LEVEL),
+        F.floor(-F.log(u) / math.log(HNSW_M)).cast("int"),
+    )
+    return emb.select("vec_id", level.alias("level"))
+
+
+def _layer_edges(spark: SparkSession, sf_dir: str, layer: int) -> DataFrame:
+    """Undirected M-NN graph among the nodes of one UPPER layer
+    (level >= layer). Upper layers are geometrically small (n/M^l), so
+    the build is a broadcast self-join top-M — cached per session."""
+    key = (id(spark), sf_dir, layer)
+    if key not in _LAYER_CACHE:
+        from lakehouse_admin_spark.operators.similarity import cosine_expr
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        nodes = hnsw_levels(spark, sf_dir).filter(F.col("level") >= layer)
+        sub = emb.join(F.broadcast(nodes.select("vec_id")), "vec_id")
+        a = sub.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ae"))
+        b = sub.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("be"))
+        w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+        g = (
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col("src") != F.col("dst"))
+            .select(
+                "src",
+                "dst",
+                F.round(cosine_expr(F.col("ae"), F.col("be")), 6).alias("cos"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= HNSW_M)
+            .select("src", "dst")
+        )
+        und = g.union(
+            g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        _LAYER_CACHE[key] = und.localCheckpoint()
+    return _LAYER_CACHE[key]
+
+
+@query("hnsw_search", oracle=None)
+def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (HNSW-style) ANN serving: greedy descent from the
+    top layer's entry point through geometrically-shrinking layer
+    graphs, then the layer-0 beam search. The descent gives each query
+    a GOOD layer-0 seed in O(log n) hops instead of fixed global
+    seeds. Deterministic (hash levels, 6dp cosines, id tie-breaks) but
+    iterative and per-query data-dependent → rows-only; correctness is
+    pinned by shape/determinism/recall tests against the exact top-k
+    (tests/test_graph_ann.py)."""
+    from lakehouse_admin_spark.operators.similarity import QUERY_STRIDE, cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+
+    def with_cos(cand: DataFrame) -> DataFrame:
+        ne = emb.select(F.col("vec_id").alias("node"), F.col("embedding").alias("ne"))
+        return (
+            ne.join(F.broadcast(cand), "node")
+            .join(F.broadcast(queries), "query_id")
+            .select(
+                "query_id",
+                "node",
+                F.round(cosine_expr(F.col("qe"), F.col("ne")), 6).alias("cos"),
+            )
+        )
+
+    levels = hnsw_levels(spark, sf_dir)
+    top = (
+        levels.orderBy(F.desc("level"), F.asc("vec_id")).limit(1).collect()[0]
+    )
+    l_max, entry = int(top["level"]), int(top["vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("node"))
+    cur = with_cos(
+        queries.select("query_id").withColumn("node", F.lit(entry))
+    ).localCheckpoint()
+    for layer in range(l_max, 0, -1):
+        edges_l = _layer_edges(spark, sf_dir, layer)
+        for _ in range(2):  # greedy improvement rounds per layer
+            expand = (
+                cur.select("query_id", F.col("node").alias("src"))
+                .join(edges_l, "src")
+                .select("query_id", F.col("dst").alias("node"))
+            )
+            cand = cur.select("query_id", "node").union(expand).distinct()
+            cur = (
+                with_cos(cand)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 1)
+                .drop("rn")
+                .localCheckpoint()
+            )
+    # layer 0: beam search seeded by the descended entry per query
+    edges0 = _undirected_knn_edges(spark, sf_dir)
+    beam = cur
+    for _ in range(GS_HOPS):
+        expand = (
+            beam.select("query_id", F.col("node").alias("src"))
+            .join(edges0, "src")
+            .select("query_id", F.col("dst").alias("node"))
+        )
+        cand = beam.select("query_id", "node").union(expand).distinct()
+        beam = (
+            with_cos(cand)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= GS_BEAM)
+            .drop("rn")
+            .localCheckpoint()
+        )
+    return (
+        beam.filter(F.col("node") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= GS_K)
+        .select(
+            "query_id",
+            F.col("node").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -108,3 +108,34 @@ def test_knn_graph_matches_brute_force_topk(spark):
         map(tuple, brute[["query_id", "neighbor_id", "rank"]].values)
     )
     assert (sub["cosine"].to_numpy() == brute["cosine"].to_numpy()).all()
+
+
+def test_hnsw_levels_geometric_and_deterministic(spark):
+    from lakehouse_admin_spark.operators.graph_ann import HNSW_M, hnsw_levels
+
+    lv = hnsw_levels(spark, SF_SMOKE).toPandas()
+    lv2 = hnsw_levels(spark, SF_SMOKE).toPandas()
+    assert lv.equals(lv2)
+    counts = lv.groupby("level").size()
+    # geometric shrinkage: each layer ~n/M of the previous (loose 2x band)
+    assert counts[0] > counts.get(1, 0) > counts.get(2, -1)
+    n = len(lv)
+    assert counts.get(1, 0) < 2 * n / HNSW_M
+
+
+def test_hnsw_search_shape_recall_determinism(spark):
+    from lakehouse_admin_spark.operators.graph_ann import GS_K
+
+    res = q("hnsw_search")(spark, SF_SMOKE).toPandas()
+    res2 = q("hnsw_search")(spark, SF_SMOKE).toPandas()
+    assert res.equals(res2), "HNSW serving must be deterministic"
+    assert (res["query_id"] != res["neighbor_id"]).all()
+    per_q = res.groupby("query_id")["rank"]
+    assert (per_q.max() <= GS_K).all()
+    assert (per_q.min() == 1).all()
+    brute = q("ann_topk_cosine")(spark, SF_SMOKE).toPandas()
+    ex = set(zip(brute["query_id"], brute["neighbor_id"]))
+    ap = set(zip(res["query_id"], res["neighbor_id"]))
+    assert len(ex & ap) / len(ex) > 0.0
+    # the hierarchical descent must cover every query the flat walk does
+    assert set(res["query_id"]) == set(brute["query_id"])
