@@ -130,3 +130,20 @@ class IncrementalAggregate:
     def read(self) -> DataFrame:
         """The maintained aggregate (zero-count tombstones hidden)."""
         return self.target.read().filter(F.col("row_count") > 0)
+
+    def compact(self) -> int:
+        """Drop the zero-count tombstone rows (one equality-delete
+        commit) and binpack the target. Returns tombstones removed."""
+        from lakehouse_admin_spark import maintenance
+
+        dead = self.target.read().filter(F.col("row_count") <= 0).select(
+            *self.group_cols
+        )
+        n = dead.count()
+        if n:
+            self.target.delete_by_key(dead, self.group_cols)
+        maintenance.convert_equality_deletes(self.target)
+        maintenance.rewrite_data_files(
+            self.target, target_file_size_bytes=1 << 40, min_input_files=2
+        )
+        return n

@@ -480,3 +480,59 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_tokens"),
         F.element_at(F.col("w"), start.cast("int")).alias("first_token"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@query("dataset_card", oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang, source, n_chars,
+               len(list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x != '')) AS n_tokens,
+               md5(text) AS fp
+        FROM documents
+    ),
+    dups AS (
+        SELECT CAST(SUM(c - 1) AS BIGINT) AS dup_docs
+        FROM (SELECT fp, COUNT(*) AS c FROM t GROUP BY fp)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           ROUND(AVG(n_tokens), 4) AS avg_doc_tokens,
+           ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS en_share,
+           (SELECT dup_docs FROM dups) AS exact_dup_docs
+    FROM t
+    """)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card — the summary block of a corpus datasheet:
+    doc/token/lang/source counts, average length, language share, and
+    the exact-duplicate count (md5 fingerprints). One tokenizing pass +
+    one fingerprint aggregate; every number is replayed by the oracle
+    from raw rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    )
+    dup_docs = (
+        t.groupBy("fp")
+        .agg((F.count(F.lit(1)) - 1).alias("extra"))
+        .agg(F.sum("extra").cast("long").alias("exact_dup_docs"))
+    )
+    card = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_doc_tokens"),
+        F.round(
+            F.sum((F.col("lang") == "en").cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("en_share"),
+    )
+    return card.crossJoin(F.broadcast(dup_docs))

@@ -142,13 +142,15 @@ def bucketed_ledger_join(
         rrows = sum(e["record_count"] for e in re_)
         lds = left.scan_entries(le)
         rds = right.scan_entries(re_)
-        cond = lds[left_key] == rds[right_key]
+        # same-name keys join BY NAME (coalesced single key column);
+        # distinct names use an equality condition
+        on = left_key if left_key == right_key else (lds[left_key] == rds[right_key])
         if min(lrows, rrows) > row_budget:
-            joined.append(lds.join(rds, cond))  # in-bucket shuffle fallback
+            joined.append(lds.join(rds, on))  # in-bucket shuffle fallback
         elif lrows <= rrows:
-            joined.append(F.broadcast(lds).join(rds, cond))
+            joined.append(F.broadcast(lds).join(rds, on))
         else:
-            joined.append(lds.join(F.broadcast(rds), cond))
+            joined.append(lds.join(F.broadcast(rds), on))
     if not joined:
         raise ValueError("no overlapping non-empty buckets")
     return reduce(lambda a, b2: a.unionByName(b2), joined)

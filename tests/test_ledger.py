@@ -1602,3 +1602,56 @@ def test_incremental_view_maintenance(spark, catalog):
     ivm.refresh()
     check()
     assert 3 not in {r["grp"] for r in ivm.read().collect()}
+
+
+def test_ivm_compact_drops_tombstones_and_stays_correct(spark, catalog):
+    from lakehouse_admin_spark.ivm import IncrementalAggregate
+
+    df = spark.range(0, 40).selectExpr(
+        "id", "CAST(id % 4 AS BIGINT) AS grp", "CAST(id AS DOUBLE) AS v"
+    )
+    src = catalog.create_table("main", "ivm_c_src", df.schema, [])
+    src.append(df)
+    ivm = IncrementalAggregate(src, catalog, "ivm_c_target", ["grp"], "v")
+    ivm.refresh()
+    src.delete_where(F.col("grp") == 2)
+    ivm.refresh()
+    assert ivm.compact() == 1  # one tombstoned group
+    # tombstone physically gone, content unchanged, refresh still works
+    assert ivm.target.read().filter(F.col("row_count") <= 0).count() == 0
+    src.append(
+        spark.range(100, 110).selectExpr(
+            "id", "CAST(2 AS BIGINT) AS grp", "CAST(1 AS DOUBLE) AS v"
+        )
+    )
+    ivm.refresh()
+    got = {r["grp"]: r["row_count"] for r in ivm.read().collect()}
+    assert got[2] == 10  # group resurrects cleanly after compaction
+
+
+def test_bucket_join_with_combined_day_and_bucket_spec(spark, catalog):
+    """bucket-map join still plans correctly when the spec ALSO has a
+    date partition: plan_bucket filters the bucket field only, so a
+    bucket's files span every day but never another bucket."""
+    from lakehouse_admin_spark.sources.ledger import PartitionField
+    from lakehouse_admin_spark.sources.ledger_bucketing import bucketed_ledger_join
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    spec = [
+        PartitionField("ts", "day", "ts_day"),
+        PartitionField("user_id", "bucket[4]", "user_bucket"),
+    ]
+    t1 = catalog.create_table("main", "ev_daybkt_a", ev.schema, spec)
+    t1.append(ev)
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    t2 = catalog.create_table(
+        "main",
+        "ev_daybkt_b",
+        agg.schema,
+        [PartitionField("user_id", "bucket[4]", "user_bucket")],
+    )
+    t2.append(agg)
+    joined = bucketed_ledger_join(t1, t2, "user_id", "user_id")
+    total = joined.count()
+    want = ev.join(agg, "user_id").count()
+    assert total == want
