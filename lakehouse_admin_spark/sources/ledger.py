@@ -296,19 +296,68 @@ class LedgerTable:
         meta["columns"] = new_cols
         self._store_meta(meta)
 
-    def add_column(self, name: str, type_ddl: str) -> None:
+    def add_column(self, name: str, type_ddl: str, default=None) -> None:
         """Schema evolution: append a nullable column with a fresh
         field id. Existing data files are NOT rewritten — reads project
         each file's write-time schema version onto the current one and
-        null-fill (Iceberg add-column semantics)."""
+        fill with ``default`` (Iceberg v3 initial-default) or null."""
         meta = self._load_meta()
         if any(c["name"] == name for c in meta["columns"]):
             raise ValueError(f"column {name!r} already exists")
         versions, _cur = self._schema_versions(meta)
         next_id = 1 + max(c["id"] for v in versions.values() for c in v)
-        self._push_schema_version(
-            meta, meta["columns"] + [{"name": name, "type": type_ddl, "id": next_id}]
-        )
+        col = {"name": name, "type": type_ddl, "id": next_id}
+        if default is not None:
+            col["default"] = default
+        self._push_schema_version(meta, meta["columns"] + [col])
+
+    # legal type promotions (Iceberg type-evolution rules)
+    _WIDENINGS = {
+        ("int", "bigint"),
+        ("int", "double"),
+        ("bigint", "double"),
+        ("float", "double"),
+    }
+
+    def widen_column(self, name: str, new_type: str) -> None:
+        """Schema evolution: widen a column's type (int→bigint,
+        float→double, …). Old files keep their written type; reads
+        promote via a cast in the field-id projection. Narrowing or
+        unrelated changes are rejected."""
+        meta = self._load_meta()
+        self._schema_versions(meta)
+        cur = next((c for c in meta["columns"] if c["name"] == name), None)
+        if cur is None:
+            raise KeyError(f"column {name!r} not found")
+        if (cur["type"], new_type) not in self._WIDENINGS:
+            raise ValueError(
+                f"illegal type change {cur['type']} -> {new_type} for {name!r}"
+            )
+        new_cols = [
+            {**c, "type": new_type} if c["name"] == name else dict(c)
+            for c in meta["columns"]
+        ]
+        self._push_schema_version(meta, new_cols)
+
+    def drop_column(self, name: str) -> None:
+        """Schema evolution: drop a column. Files are untouched — the
+        field-id projection simply stops selecting it; a column that
+        sources the CURRENT partition spec cannot be dropped."""
+        meta = self._load_meta()
+        self._schema_versions(meta)
+        if not any(c["name"] == name for c in meta["columns"]):
+            raise KeyError(f"column {name!r} not found")
+        for f in meta["partition_spec"]:
+            src = f["source"]
+            if src == name or src.startswith(name + "."):
+                raise ValueError(
+                    f"column {name!r} sources partition field {f['name']!r}; "
+                    "evolve the spec first"
+                )
+        if len(meta["columns"]) == 1:
+            raise ValueError("cannot drop the last column")
+        new_cols = [dict(c) for c in meta["columns"] if c["name"] != name]
+        self._push_schema_version(meta, new_cols)
 
     def rename_column(self, old: str, new: str) -> None:
         """Schema evolution: rename a column. The field ID is stable, so
@@ -865,9 +914,17 @@ class LedgerTable:
             for c in cur_cols:
                 o = old_by_id.get(c["id"])
                 if o is not None:
-                    proj.append(F.col(f"`{o['name']}`").alias(c["name"]))
+                    # cast: a widened column (int→bigint, float→double)
+                    # reads old files at their written type and promotes
+                    proj.append(
+                        F.col(f"`{o['name']}`").cast(c["type"]).alias(c["name"])
+                    )
                 else:
-                    proj.append(F.lit(None).cast(c["type"]).alias(c["name"]))
+                    # column added after this file was written: fill
+                    # with the declared default (Iceberg v3 initial
+                    # default) or null
+                    dv = c.get("default")
+                    proj.append(F.lit(dv).cast(c["type"]).alias(c["name"]))
             if with_meta:
                 proj.append(F.col("_metadata.file_path").alias("_mor_fp"))
                 proj.append(F.col("_metadata.row_index").alias("_mor_pos"))
@@ -1384,6 +1441,65 @@ class LedgerTable:
         return (
             df.join(F.broadcast(dels), cond, "left_anti")
             .drop("_mor_fp", "_mor_pos", "_row_seq")
+        )
+
+    def update_where(
+        self, condition: Column, assignments: dict[str, Column]
+    ) -> Snapshot:
+        """Row-level UPDATE ... SET, merge-on-read: the matched rows
+        become position deletes and their updated copies append — ONE
+        atomic commit, O(matched rows), data files untouched (the same
+        shape as merge_into with a computed source). Constraints are
+        validated on the updated rows before anything stages."""
+        data_entries = [e for e in self.live_files() if e.get("content", 0) == 0]
+        if not data_entries:
+            raise ValueError(f"{self.database}.{self.name}: nothing to update")
+        pos_paths = [
+            e["file_path"] for e in self.live_files() if e.get("content", 0) == 1
+        ]
+        eq_entries = [
+            e for e in self.live_files() if e.get("content", 0) == 2
+        ]
+        df = self._read_entries(data_entries, with_meta=True)
+        df = self._apply_position_deletes(df, pos_paths, keep_meta=True)
+        if eq_entries:
+            # matched rows must be LIVE rows only
+            seqd = self._apply_equality_deletes(df, eq_entries, data_entries,
+                                                invert=True).select("_mor_fp", "_mor_pos")
+            df = df.join(F.broadcast(seqd), ["_mor_fp", "_mor_pos"], "left_anti")
+        matched = df.filter(condition)
+        updated = matched
+        for col_name, expr in assignments.items():
+            updated = updated.withColumn(col_name, expr)
+        cols = [c["name"] for c in self._load_meta()["columns"]]
+        updated = updated.select(*cols)
+        self._validate_constraints(updated)
+        del_entries = self._stage_position_deletes(
+            matched.select(
+                F.col("_mor_fp").alias("file_path"),
+                F.col("_mor_pos").alias("pos"),
+            )
+        )
+        n_updated = sum(e["record_count"] for e in del_entries)
+        data_new = self._stage_write(updated) if n_updated else []
+        cur = self.current_snapshot_id()
+        parent = self.snapshot(cur) if cur else None
+        prev_files = int(parent.summary.get("total-data-files", 0)) if parent else 0
+        prev_records = int(parent.summary.get("total-records", 0)) if parent else 0
+        return self._commit_delta(
+            operation="merge",
+            summary={
+                "updated-records": str(n_updated),
+                "added-data-files": str(len(data_new)),
+                "added-records": str(n_updated),
+                "added-delete-files": str(len(del_entries)),
+                "added-position-deletes": str(n_updated),
+                "total-data-files": str(prev_files + len(data_new)),
+                "total-records": str(prev_records + n_updated),
+            },
+            added=del_entries + data_new,
+            removed=[],
+            parent=parent,
         )
 
     def delete_where(self, condition: Column) -> Snapshot:

@@ -1655,3 +1655,73 @@ def test_bucket_join_with_combined_day_and_bucket_spec(spark, catalog):
     total = joined.count()
     want = ev.join(agg, "user_id").count()
     assert total == want
+
+
+def test_drop_column_and_widen_column(spark, catalog):
+    df = spark.range(0, 20).selectExpr(
+        "CAST(id AS INT) AS id", "CAST(id AS FLOAT) AS v", "id * 2 AS extra"
+    )
+    tbl = catalog.create_table("main", "evolve2_tbl", df.schema, [])
+    tbl.append(df)
+    # widen int->bigint and float->double; old files promote via cast
+    tbl.widen_column("id", "bigint")
+    tbl.widen_column("v", "double")
+    got = tbl.read()
+    assert dict(got.dtypes)["id"] == "bigint"
+    assert dict(got.dtypes)["v"] == "double"
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(20))
+    # new writes land at the widened type and mix fine
+    tbl.append(
+        spark.range(20, 30).selectExpr("id", "CAST(id AS DOUBLE) AS v", "id * 2 AS extra")
+    )
+    assert tbl.read().count() == 30
+    # illegal changes rejected
+    with pytest.raises(ValueError, match="illegal type change"):
+        tbl.widen_column("id", "int")
+    # drop a column: projection stops selecting it, data intact
+    tbl.drop_column("extra")
+    assert "extra" not in tbl.read().columns
+    assert tbl.read().count() == 30
+    with pytest.raises(ValueError, match="cannot drop the last"):
+        tbl.drop_column("id") or tbl.drop_column("v") or tbl.drop_column("id")
+    # re-adding a dropped name gets a FRESH field id: old values must
+    # NOT resurface
+    tbl.add_column("extra", "bigint")
+    assert tbl.read().filter(F.col("extra").isNotNull()).count() == 0
+
+
+def test_add_column_with_default(spark, catalog):
+    df = spark.range(0, 10).selectExpr("id")
+    tbl = catalog.create_table("main", "default_tbl", df.schema, [])
+    tbl.append(df)
+    tbl.add_column("status", "string", default="active")
+    # old files fill the default; new writes carry their own values
+    assert {r["status"] for r in tbl.read().collect()} == {"active"}
+    tbl.append(
+        spark.range(10, 15).selectExpr("id", "'archived' AS status")
+    )
+    got = {r["id"]: r["status"] for r in tbl.read().collect()}
+    assert got[0] == "active" and got[12] == "archived"
+
+
+def test_update_where_mor(spark, catalog):
+    df = spark.range(0, 30).selectExpr("id", "CAST(id AS DOUBLE) AS v", "'a' AS tag")
+    tbl = catalog.create_table("main", "update_tbl", df.schema, [])
+    tbl.append(df)
+    snap = tbl.update_where(
+        F.col("id") >= 20, {"v": F.col("v") * 10, "tag": F.lit("b")}
+    )
+    assert snap.summary["updated-records"] == "10"
+    got = {r["id"]: (r["v"], r["tag"]) for r in tbl.read().collect()}
+    assert len(got) == 30
+    assert got[5] == (5.0, "a")
+    assert got[25] == (250.0, "b")
+    # update of already-updated rows sees the NEW values
+    tbl.update_where(F.col("tag") == "b", {"v": F.col("v") + 1})
+    got = {r["id"]: r["v"] for r in tbl.read().collect()}
+    assert got[25] == 251.0
+    # constraints guard updates too
+    tbl.add_constraint("v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        tbl.update_where(F.col("id") < 3, {"v": F.lit(-5.0)})
+    assert tbl.read().filter(F.col("v") < 0).count() == 0
