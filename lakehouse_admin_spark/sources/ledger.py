@@ -1409,11 +1409,29 @@ class LedgerTable:
         (file_path → sequence) map join on the ``_mor_fp`` column."""
         if not eq_entries:
             return df.drop("_mor_fp", "_mor_pos")
-        col_sets = {tuple(e.get("equality_columns") or ()) for e in eq_entries}
-        if len(col_sets) != 1:
-            raise ValueError(
-                f"mixed equality-delete key sets {col_sets}; compact deletes first"
+        col_sets = sorted({tuple(e.get("equality_columns") or ()) for e in eq_entries})
+        if len(col_sets) > 1:
+            # mixed key sets: apply each group independently (anti-joins
+            # compose; the semi/invert caller unions the matches)
+            if invert:
+                matches = None
+                for cs in col_sets:
+                    grp = [
+                        e
+                        for e in eq_entries
+                        if tuple(e.get("equality_columns") or ()) == cs
+                    ]
+                    m = self._apply_equality_deletes(
+                        df, grp, data_entries, invert=True
+                    ).select("_mor_fp", "_mor_pos")
+                    matches = m if matches is None else matches.unionByName(m)
+                return matches.distinct()
+            matched = self._apply_equality_deletes(
+                df, eq_entries, data_entries, invert=True
             )
+            return df.join(
+                F.broadcast(matched), ["_mor_fp", "_mor_pos"], "left_anti"
+            ).drop("_mor_fp", "_mor_pos")
         (columns,) = col_sets
         columns = list(columns)
         # _metadata.file_path is a file: URI; manifests store plain paths

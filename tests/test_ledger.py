@@ -1725,3 +1725,31 @@ def test_update_where_mor(spark, catalog):
     with pytest.raises(ValueError, match="v_nonneg"):
         tbl.update_where(F.col("id") < 3, {"v": F.lit(-5.0)})
     assert tbl.read().filter(F.col("v") < 0).count() == 0
+
+
+def test_mixed_equality_delete_key_sets(spark, catalog):
+    """Equality deletes with DIFFERENT key sets (id-keyed upsert plus a
+    tag-keyed delete) compose: each set applies independently."""
+    df = spark.range(0, 30).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS tag", "CAST(id AS DOUBLE) AS v"
+    )
+    tbl = catalog.create_table("main", "mixed_eq_tbl", df.schema, [])
+    tbl.append(df)
+    tbl.upsert_by_key(
+        spark.range(25, 35).selectExpr(
+            "id", "'9' AS tag", "CAST(0 AS DOUBLE) AS v"
+        ),
+        ["id"],
+    )
+    # tag-keyed equality delete (different key set than the upsert's)
+    tbl.delete_by_key(spark.createDataFrame([("1",)], "tag string"), ["tag"])
+    got = {r["id"]: r["tag"] for r in tbl.read().collect()}
+    # tag '1' rows (id%3==1, id<25) gone; upserted rows have tag '9'
+    assert all(t != "1" for t in got.values())
+    assert all(got[i] == "9" for i in range(25, 35))
+    assert 1 not in got and 4 not in got
+    assert 0 in got and 2 in got
+    # convert handles the mixed sets too
+    maintenance.convert_equality_deletes(tbl)
+    got2 = {r["id"]: r["tag"] for r in tbl.read().collect()}
+    assert got2 == got
