@@ -463,6 +463,37 @@ def ledger_eq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ledger_update_where", oracle="""
+    SELECT CASE WHEN event_type = 'error' THEN 'error_handled'
+                ELSE event_type END AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CASE WHEN event_type = 'error' THEN 0.0 ELSE value END), 2)
+               AS value_sum
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """)
+def ledger_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE graded end to end: the fixture rewrites every
+    error event (value→0, type→'error_handled') in one MOR commit; the
+    post-update scan's per-type aggregate must equal the oracle's
+    replay of the same UPDATE over raw rows."""
+    from lakehouse_admin_spark.sources.fixtures import build_events_update_ledger
+
+    catalog = get_catalog(spark)
+    name = "events_update_" + sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    tbl = build_events_update_ledger(spark, sf_dir, catalog, name=name)
+    return (
+        tbl.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query("ledger_live_partition_stats", oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS ts_day,
            CAST(COUNT(*) AS BIGINT) AS record_count,

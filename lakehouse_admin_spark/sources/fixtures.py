@@ -256,6 +256,31 @@ def build_events_eq_upsert_ledger(
 
 
 @_locked
+def build_events_update_ledger(
+    spark: SparkSession,
+    sf_dir: str,
+    catalog: LedgerCatalog,
+    database: str = "main",
+    name: str = "events_update",
+) -> LedgerTable:
+    """Events table through one row-level UPDATE: every error event's
+    value is zeroed and its type rewritten to 'error_handled'.
+    Deterministic → SQL-replayable."""
+    if name in catalog.list_tables(database):
+        return catalog.table(database, name)
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    tbl = catalog.create_table(database, name, ev.schema, [])
+    tbl.append(ev)
+    tbl.update_where(
+        F.col("event_type") == "error",
+        {"value": F.lit(0.0), "event_type": F.lit("error_handled")},
+    )
+    return tbl
+
+
+@_locked
 def build_nested_ledger(
     spark: SparkSession,
     catalog: LedgerCatalog,
