@@ -147,3 +147,170 @@ class IncrementalAggregate:
             self.target, target_file_size_bytes=1 << 40, min_input_files=2
         )
         return n
+
+
+LEFT_OFFSET_KEY = "ivm-left-offset"
+RIGHT_OFFSET_KEY = "ivm-right-offset"
+
+
+class IncrementalJoinAggregate:
+    """A maintained ``SELECT group_cols, COUNT(*), SUM(sum_col) FROM
+    left JOIN right USING (key)`` — the two-source delta rule:
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_new ⋈ ΔB
+
+    (exactly new·new − old·old under signed multiset semantics; join
+    row signs multiply). ``B_old`` is the right source AT its last
+    absorbed snapshot — a TIME-TRAVEL read, which is why a snapshot
+    log makes join IVM tractable at all: no shadow copies, the table
+    format itself serves the old state. Both absorbed offsets ride in
+    the one apply commit (sink-anchored, replay-safe, same contract as
+    :class:`IncrementalAggregate`).
+
+    Refresh cost: O(|ΔA|·match + |ΔB|·match + touched groups), never a
+    recompute of the join — the only rollup-over-join shape that keeps
+    up with two independently-ingesting 100 TB sources.
+    """
+
+    def __init__(
+        self,
+        left: LedgerTable,
+        right: LedgerTable,
+        catalog: LedgerCatalog,
+        name: str,
+        key: str,
+        group_cols: list[str],
+        sum_col: str,
+        database: str = "main",
+    ):
+        self.left = left
+        self.right = right
+        self.key = key
+        self.group_cols = list(group_cols)
+        self.sum_col = sum_col
+        spark = left.spark
+        if name in catalog.list_tables(database):
+            self.target = catalog.table(database, name)
+        else:
+            joined_types = dict(
+                spark.createDataFrame([], left.unified_schema()).join(
+                    spark.createDataFrame([], right.unified_schema()), key
+                ).dtypes
+            )
+            fields = ", ".join(
+                f"`{c}` {joined_types[c]}" for c in self.group_cols
+            )
+            schema = spark.createDataFrame(
+                [], f"{fields}, `row_count` bigint, `value_sum` double"
+            ).schema
+            self.target = catalog.create_table(database, name, schema)
+
+    def applied_offsets(self) -> tuple[int | None, int | None]:
+        for s in reversed(self.target.snapshots()):
+            if LEFT_OFFSET_KEY in s.summary:
+                return (
+                    int(s.summary[LEFT_OFFSET_KEY]),
+                    int(s.summary[RIGHT_OFFSET_KEY]),
+                )
+        return None, None
+
+    def _signed(self, log: DataFrame, cols: list[str]) -> DataFrame:
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(-1)
+        return log.select(*cols, sign.alias("_sign"))
+
+    def _read_at(self, tbl: LedgerTable, snapshot_id: int | None, cols: list[str]):
+        if snapshot_id is None:
+            return tbl.spark.createDataFrame([], tbl.unified_schema()).select(*cols)
+        return tbl.read(snapshot_id=snapshot_id).select(*cols)
+
+    def refresh(self) -> int:
+        h1 = self.left.current_snapshot_id()
+        h2 = self.right.current_snapshot_id()
+        a1, a2 = self.applied_offsets()
+        if (h1, h2) == (a1, a2) or h1 is None or h2 is None:
+            return 0
+        lcols = [c.name for c in self.left.unified_schema().fields]
+        rcols = [c.name for c in self.right.unified_schema().fields]
+        d1 = (
+            self._signed(self.left.changelog_scan(a1, h1), lcols)
+            if h1 != a1
+            else None
+        )
+        d2 = (
+            self._signed(self.right.changelog_scan(a2, h2), rcols)
+            if h2 != a2
+            else None
+        )
+        pieces = []
+        if d1 is not None:
+            b_old = self._read_at(self.right, a2, rcols)
+            pieces.append(d1.join(b_old, self.key))
+        if d2 is not None:
+            a_new = self.left.read(snapshot_id=h1).select(
+                *lcols
+            ).withColumn("_sign", F.lit(1))
+            pieces.append(
+                a_new.join(
+                    d2.withColumnRenamed("_sign", "_sign_r"), self.key
+                ).withColumn(
+                    "_sign", F.col("_sign") * F.col("_sign_r")
+                ).drop("_sign_r")
+            )
+        if not pieces:
+            return 0
+        joined = pieces[0]
+        for p in pieces[1:]:
+            joined = joined.unionByName(p.select(*joined.columns))
+        delta = joined.groupBy(*self.group_cols).agg(
+            F.sum("_sign").cast("long").alias("d_count"),
+            F.sum(F.col("_sign") * F.col(self.sum_col)).alias("d_sum"),
+        )
+        n_delta = joined.count()
+        if n_delta == 0:
+            # nothing joined — still advance offsets? No: leave them;
+            # replaying an empty range is free and always empty again.
+            return 0
+        try:
+            cur = self.target.read().select(
+                *self.group_cols, "row_count", "value_sum"
+            )
+        except ValueError:
+            cur = None
+        if cur is None:
+            merged = delta.select(
+                *self.group_cols,
+                F.col("d_count").alias("row_count"),
+                F.col("d_sum").alias("value_sum"),
+            )
+        else:
+            merged = (
+                cur.join(delta, self.group_cols, "full_outer")
+                .select(
+                    *self.group_cols,
+                    (
+                        F.coalesce(F.col("row_count"), F.lit(0))
+                        + F.coalesce(F.col("d_count"), F.lit(0))
+                    ).alias("row_count"),
+                    (
+                        F.coalesce(F.col("value_sum"), F.lit(0.0))
+                        + F.coalesce(F.col("d_sum"), F.lit(0.0))
+                    ).alias("value_sum"),
+                )
+                .join(
+                    F.broadcast(delta.select(*self.group_cols)),
+                    self.group_cols,
+                    "left_semi",
+                )
+            )
+        self.target.upsert_by_key(
+            merged,
+            self.group_cols,
+            extra_summary={
+                LEFT_OFFSET_KEY: str(h1),
+                RIGHT_OFFSET_KEY: str(h2),
+            },
+        )
+        return n_delta
+
+    def read(self) -> DataFrame:
+        return self.target.read().filter(F.col("row_count") > 0)

@@ -1753,3 +1753,67 @@ def test_mixed_equality_delete_key_sets(spark, catalog):
     maintenance.convert_equality_deletes(tbl)
     got2 = {r["id"]: r["tag"] for r in tbl.read().collect()}
     assert got2 == got
+
+
+def test_incremental_join_view_maintenance(spark, catalog):
+    """Join-view IVM: Δ(A⋈B) = ΔA⋈B_old ∪ A_new⋈ΔB with B_old served
+    by TIME TRAVEL. Target equals a from-scratch join recompute after
+    mutations on either side, including dimension re-assignment."""
+    from lakehouse_admin_spark.ivm import IncrementalJoinAggregate
+
+    facts = spark.range(0, 80).selectExpr(
+        "id", "CAST(id % 10 AS BIGINT) AS user_id", "CAST(id AS DOUBLE) AS v"
+    )
+    dims = spark.range(0, 10).selectExpr(
+        "id AS user_id", "CAST(id % 3 AS STRING) AS segment"
+    )
+    fsrc = catalog.create_table("main", "jivm_facts", facts.schema, [])
+    dsrc = catalog.create_table("main", "jivm_dims", dims.schema, [])
+    fsrc.append(facts)
+    dsrc.append(dims)
+    ivm = IncrementalJoinAggregate(
+        fsrc, dsrc, catalog, "jivm_target", "user_id", ["segment"], "v"
+    )
+
+    def check():
+        got = {
+            r["segment"]: (r["row_count"], round(r["value_sum"], 6))
+            for r in ivm.read().collect()
+        }
+        want = {
+            r["segment"]: (r["n"], round(r["s"], 6))
+            for r in fsrc.read()
+            .join(dsrc.read(), "user_id")
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .collect()
+        }
+        assert got == want
+
+    assert ivm.refresh() > 0
+    check()
+    assert ivm.refresh() == 0  # current → no-op (replay-safe)
+    # fact-side append
+    fsrc.append(
+        spark.range(80, 120).selectExpr(
+            "id", "CAST(id % 10 AS BIGINT) AS user_id", "CAST(id AS DOUBLE) AS v"
+        )
+    )
+    assert ivm.refresh() > 0
+    check()
+    # dimension re-assignment: users 0-4 move to segment '9'
+    dsrc.upsert_by_key(
+        spark.range(0, 5).selectExpr("id AS user_id", "'9' AS segment"),
+        ["user_id"],
+    )
+    assert ivm.refresh() > 0
+    check()
+    # simultaneous two-sided change
+    fsrc.delete_where(F.col("v") < 30)
+    dsrc.upsert_by_key(
+        spark.range(7, 9).selectExpr("id AS user_id", "'x' AS segment"),
+        ["user_id"],
+    )
+    assert ivm.refresh() > 0
+    check()
+    assert ivm.refresh() == 0
