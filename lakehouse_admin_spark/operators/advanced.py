@@ -582,3 +582,39 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")
     )
+
+
+@query("customer_value_quartiles", oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment, c_acctbal,
+               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer
+    )
+    SELECT quartile,
+           CAST(COUNT(*) AS BIGINT) AS customers,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS segments
+    FROM ranked
+    GROUP BY quartile
+    ORDER BY quartile
+    """)
+def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartile profiling via ntile: a TOTAL order
+    (acctbal, custkey) makes the tile assignment engine-independent;
+    one global sort + one aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.select("c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.countDistinct("c_mktsegment").alias("segments"),
+        )
+        .orderBy("quartile")
+    )
