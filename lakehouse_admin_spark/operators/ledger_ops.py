@@ -494,6 +494,42 @@ def ledger_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ledger_ivm_rollup", oracle="""
+    WITH final AS (
+        SELECT event_type, value FROM events
+        WHERE value >= 20 AND event_type <> 'purchase'
+        UNION ALL
+        SELECT 'purchase' AS event_type, -1.0 AS value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS row_count,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM final
+    GROUP BY 1
+    ORDER BY 1
+    """)
+def ledger_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance graded end to end: the rollup
+    absorbed an append, a MOR delete, and a CDC upsert as three signed
+    deltas — never a recompute — and must equal the oracle's replay of
+    the final state from raw rows."""
+    from lakehouse_admin_spark.sources.fixtures import build_events_ivm
+
+    catalog = get_catalog(spark)
+    name = "events_ivm_src_" + sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    ivm = build_events_ivm(spark, sf_dir, catalog, name=name)
+    return (
+        ivm.read()
+        .select(
+            "event_type",
+            "row_count",
+            F.round(F.col("value_sum"), 2).alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query("ledger_live_partition_stats", oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS ts_day,
            CAST(COUNT(*) AS BIGINT) AS record_count,

@@ -281,6 +281,49 @@ def build_events_update_ledger(
 
 
 @_locked
+def build_events_ivm(
+    spark: SparkSession,
+    sf_dir: str,
+    catalog: LedgerCatalog,
+    database: str = "main",
+    name: str = "events_ivm_src",
+):
+    """Source + incrementally-maintained rollup pair: append all
+    events, refresh; MOR-delete value<20, refresh; CDC-upsert every
+    purchase at value=-1, refresh. THREE stamped apply commits — the
+    target never saw a recompute. Returns the IncrementalAggregate."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_admin_spark.ivm import IncrementalAggregate
+
+    target_name = name + "_rollup"
+    if name in catalog.list_tables(database):
+        src = catalog.table(database, name)
+        ivm = IncrementalAggregate(
+            src, catalog, target_name, ["event_type"], "value", database=database
+        )
+        ivm.refresh()
+        return ivm
+    ev = load_table(spark, sf_dir, "events")
+    src = catalog.create_table(database, name, ev.schema, [])
+    src.append(ev)
+    ivm = IncrementalAggregate(
+        src, catalog, target_name, ["event_type"], "value", database=database
+    )
+    ivm.refresh()
+    src.delete_where(F.col("value") < 20)
+    ivm.refresh()
+    src.upsert_by_key(
+        ev.filter(F.col("event_type") == "purchase").withColumn(
+            "value", F.lit(-1.0)
+        ),
+        ["event_id"],
+    )
+    ivm.refresh()
+    return ivm
+
+
+@_locked
 def build_nested_ledger(
     spark: SparkSession,
     catalog: LedgerCatalog,
