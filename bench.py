@@ -61,6 +61,10 @@ HEADLINE = [
     "ledger_bucketed_join_revenue",  # r3: in-ledger bucket-map join
     "graph_ann_search",  # r3: beam walk over the exact k-NN graph
     "ledger_incremental_scan",  # r3: manifest-delta incremental read
+    "ledger_merge_upsert",  # r3: MERGE INTO (MOR upsert) round-trip
+    "ledger_ivm_rollup",  # r3: incrementally-maintained rollup
+    "bigram_lm_xent",  # r3: LM perplexity quality scoring
+    "dataset_card",  # r3: one-pass corpus datasheet
 ]
 
 
