@@ -552,7 +552,8 @@ HIST_BUCKETS = 10
         SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
     ),
     bucketed AS (
-        SELECT LEAST(CAST(FLOOR((value - b.lo) / ((b.hi - b.lo) / {HIST_BUCKETS})
+        SELECT LEAST(CAST(FLOOR((value - b.lo) /
+                     GREATEST((b.hi - b.lo) / {HIST_BUCKETS}, 1e-12)
                      ) AS BIGINT), {HIST_BUCKETS - 1}) AS bucket
         FROM events, b
     )
@@ -571,7 +572,9 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("value")
     row = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
     lo, hi = float(row["lo"]), float(row["hi"])
-    width = (hi - lo) / HIST_BUCKETS
+    # constant column ⇒ zero width ⇒ null buckets from the division;
+    # clamp (mirrored by GREATEST in the oracle) → everything in bucket 0
+    width = max((hi - lo) / HIST_BUCKETS, 1e-12)
     bucket = F.least(
         F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("long"),
         F.lit(HIST_BUCKETS - 1),

@@ -940,9 +940,28 @@ class LedgerTable:
         """Public field-id-resolved scan over an EXPLICIT manifest-entry
         list — the hook bucket-wise planning (ledger_bucketing.py) uses
         to scan exactly one bucket's files. Position deletes are NOT
-        applied here; callers holding delete files pass them through
-        :meth:`read` instead."""
+        applied here; callers holding delete files use
+        :meth:`scan_entries_live` (or :meth:`read`) instead."""
         return self._read_entries(entries)
+
+    def scan_entries_live(
+        self, entries: list[dict], snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Scan an explicit manifest-entry list with the snapshot's LIVE
+        position/equality deletes applied — the correct per-bucket read
+        on a table carrying row-level deletes. Position deletes anti-
+        join only the pairs addressing these entries' files (broadcast);
+        equality deletes apply key-wise with the usual sequence-number
+        visibility. On an append-only table this is exactly
+        :meth:`scan_entries` (no meta columns, no joins)."""
+        live = self.live_files(snapshot_id)
+        pos_paths = [e["file_path"] for e in live if e.get("content", 0) == 1]
+        eq_entries = [e for e in live if e.get("content", 0) == 2]
+        if not pos_paths and not eq_entries:
+            return self._read_entries(entries)
+        df = self._read_entries(entries, with_meta=True)
+        df = self._apply_position_deletes(df, pos_paths, keep_meta=True)
+        return self._apply_equality_deletes(df, eq_entries, entries)
 
     def _apply_position_deletes(
         self, df: DataFrame, delete_paths: list[str], keep_meta: bool = False
@@ -1241,10 +1260,12 @@ class LedgerTable:
         dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
         if dup:
             raise ValueError("MERGE source has duplicate keys on " + ",".join(on))
-        data_entries = [e for e in self.live_files() if e.get("content", 0) == 0]
+        live = self.live_files()
+        data_entries = [e for e in live if e.get("content", 0) == 0]
         existing_deletes = [
-            e["file_path"] for e in self.live_files() if e.get("content", 0) == 1
+            e["file_path"] for e in live if e.get("content", 0) == 1
         ]
+        eq_entries = [e for e in live if e.get("content", 0) == 2]
         if not data_entries:
             raise ValueError(f"{self.database}.{self.name}: empty merge target")
         target = self._read_entries(data_entries, with_meta=True)
@@ -1255,6 +1276,17 @@ class LedgerTable:
                 F.col("file_path").alias("_mor_fp"), F.col("pos").alias("_mor_pos")
             )
             target = target.join(F.broadcast(prior), ["_mor_fp", "_mor_pos"], "left_anti")
+        if eq_entries:
+            # equality-deleted rows are NOT part of the target either:
+            # a source key that only matches an eq-deleted row is
+            # unmatched (it must insert under insert_not_matched, and
+            # must not stage deletes / block inserts otherwise)
+            eq_matched = self._apply_equality_deletes(
+                target, eq_entries, data_entries, invert=True
+            ).select("_mor_fp", "_mor_pos")
+            target = target.join(
+                F.broadcast(eq_matched), ["_mor_fp", "_mor_pos"], "left_anti"
+            )
         src_keys = source.select(*on).dropDuplicates(on)
 
         new_delete_entries: list[dict] = []
@@ -1532,10 +1564,23 @@ class LedgerTable:
         metadata queries must filter ``content = 0`` exactly like the
         reference's `$files` browse does (service_browse_files.go:206).
         """
-        data_entries = [e for e in self.live_files() if e.get("content", 0) == 0]
+        live = self.live_files()
+        data_entries = [e for e in live if e.get("content", 0) == 0]
         if not data_entries:
             raise ValueError(f"{self.database}.{self.name}: nothing to delete from")
+        pos_paths = [e["file_path"] for e in live if e.get("content", 0) == 1]
+        eq_entries = [e for e in live if e.get("content", 0) == 2]
         src = self._read_entries(data_entries, with_meta=True)
+        # only LIVE rows may stage new position deletes: a row already
+        # removed by an older position/equality delete must not be
+        # re-recorded, or (file_path, pos) pairs duplicate across delete
+        # files and metadata-only counts / the changelog double-count it
+        src = self._apply_position_deletes(src, pos_paths, keep_meta=True)
+        if eq_entries:
+            eq_matched = self._apply_equality_deletes(
+                src, eq_entries, data_entries, invert=True
+            ).select("_mor_fp", "_mor_pos")
+            src = src.join(F.broadcast(eq_matched), ["_mor_fp", "_mor_pos"], "left_anti")
         dels = src.filter(condition).select(
             F.col("_mor_fp").alias("file_path"),
             F.col("_mor_pos").alias("pos"),
@@ -1796,10 +1841,12 @@ class LedgerTable:
             if removed:
                 # entries of the removed paths live in the PARENT's file
                 # list (they were live there by definition)
-                parent_entries = {
-                    e["file_path"]: e
-                    for e in self.snapshot(snap.parent_id).files
-                } if snap.parent_id is not None else {}
+                parent_files = (
+                    self.snapshot(snap.parent_id).files
+                    if snap.parent_id is not None
+                    else []
+                )
+                parent_entries = {e["file_path"]: e for e in parent_files}
                 removed_entries = [
                     parent_entries[p]
                     for p in removed
@@ -1807,9 +1854,29 @@ class LedgerTable:
                     and parent_entries[p].get("content", 0) == 0
                 ]
                 if removed_entries:
+                    # only PARENT-VISIBLE rows are deleted by removing a
+                    # file: rows the parent's position/equality deletes
+                    # already hid were emitted as deletes by the earlier
+                    # MOR commit — re-emitting them here would
+                    # double-count (e.g. in IVM delta absorption)
+                    parent_pos = [
+                        e["file_path"]
+                        for e in parent_files
+                        if e.get("content", 0) == 1
+                    ]
+                    parent_eq = [
+                        e for e in parent_files if e.get("content", 0) == 2
+                    ]
+                    rm = self._read_entries(removed_entries, with_meta=True)
+                    rm = self._apply_position_deletes(
+                        rm, parent_pos, keep_meta=bool(parent_eq)
+                    )
+                    if parent_eq:
+                        rm = self._apply_equality_deletes(
+                            rm, parent_eq, removed_entries
+                        )
                     pieces.append(
-                        self._read_entries(removed_entries)
-                        .withColumn("_change_type", F.lit("delete"))
+                        rm.withColumn("_change_type", F.lit("delete"))
                         .withColumn("_commit_snapshot_id", F.lit(snap.snapshot_id))
                     )
         if not pieces:
@@ -1868,6 +1935,10 @@ class LedgerTable:
 
             for row in (
                 self.spark.read.parquet(*delete_paths)
+                # a (file_path, pos) pair may appear in more than one
+                # delete file (e.g. tables written before delete_where
+                # filtered already-deleted rows); it removes ONE row
+                .dropDuplicates(["file_path", "pos"])
                 .groupBy("file_path")
                 .count()
                 .collect()

@@ -110,7 +110,8 @@ def bucket_point_lookup(tbl: LedgerTable, key_col: str, value) -> DataFrame:
     entries = [e for e in entries if may_match(e)]
     if not entries:
         return tbl.spark.createDataFrame([], tbl.unified_schema())
-    return tbl.scan_entries(entries).filter(F.col(key_col) == F.lit(value))
+    # delete-aware: a MOR table's per-bucket read must hide deleted rows
+    return tbl.scan_entries_live(entries).filter(F.col(key_col) == F.lit(value))
 
 
 def bucketed_ledger_join(
@@ -140,8 +141,12 @@ def bucketed_ledger_join(
             continue  # inner join: an empty side empties the bucket
         lrows = sum(e["record_count"] for e in le)
         rrows = sum(e["record_count"] for e in re_)
-        lds = left.scan_entries(le)
-        rds = right.scan_entries(re_)
+        # delete-aware per-bucket reads (no-op joins on append-only
+        # tables); record counts stay manifest-sourced — an overcount
+        # from pending deletes only makes the broadcast choice
+        # conservative, never wrong
+        lds = left.scan_entries_live(le)
+        rds = right.scan_entries_live(re_)
         # same-name keys join BY NAME (coalesced single key column);
         # distinct names use an equality condition
         on = left_key if left_key == right_key else (lds[left_key] == rds[right_key])
