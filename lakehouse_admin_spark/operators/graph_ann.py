@@ -20,14 +20,23 @@ query surface catalogued in SURVEY.md §2 extensions):
   re-rank each vertex's candidate pool, keep top-k. Per-round
   ``localCheckpoint`` truncates the growing self-join lineage
   (persist alone doubles the PLAN per round — the round-3 label
-  propagation lesson). Iterative and data-dependent, hence rows-only
-  (no single-statement SQL oracle); recall against ``knn_graph`` is
-  pinned in tests/test_graph_ann.py.
+  propagation lesson). The FIXED round count and closed-form init make
+  the whole build SQL-unrollable (:func:`_nnd_cte`), so it is
+  hash-graded like everything else; recall against ``knn_graph`` is
+  additionally pinned in tests/test_graph_ann.py.
+
+The SERVING tier (``graph_ann_search``, ``hnsw_search``) walks the
+NN-descent edges by default — the exact block-matrix build is O(n²)
+compute and exists only as the ground-truth/recall-pin path
+(``edge_source='exact'``). All oracle CTEs are ``MATERIALIZED``:
+DuckDB otherwise inlines a CTE at every reference, and the unrolled
+rounds reference the build chain recursively — exponential re-eval.
 """
 
 from __future__ import annotations
 
 import math
+from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
@@ -233,6 +242,74 @@ def nn_descent_edges(
     return graph.filter(F.col("rank") <= KNN_K)
 
 
+# 6dp-rounded all-pairs cosine CTE shared by every unrolled oracle
+# (an oracle-side convenience only: the SQL replay may brute-force what
+# the Spark side navigates sparsely)
+_PAIRS_CTE = """
+    pairs AS MATERIALIZED (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+               (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                   AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )"""
+
+
+def _nnd_cte(pool: int = NND_POOL, rounds: int = NND_ROUNDS) -> str:
+    """CTE chain replaying the NN-descent build in SQL (requires the
+    ``pairs`` CTE in scope; terminates in ``nnd`` = the final
+    (src, dst, cos, rn<=KNN_K) edge set). The build has a FIXED round
+    count and a closed-form deterministic init, so — like the beam walk
+    — it unrolls mechanically: init → rank-to-pool, then per round
+    undirect → neighbor-of-neighbor propose → union → re-rank."""
+    ctes = [
+        f"""
+    nvec AS MATERIALIZED (SELECT COUNT(*) AS n FROM embeddings),
+    nnd_init AS MATERIALIZED (
+        SELECT DISTINCT e.vec_id AS src,
+               (e.vec_id * {NND_A} + j.range * {NND_B}) % n.n AS dst
+        FROM embeddings e, nvec n, range(1, {pool} + 2) j
+        WHERE (e.vec_id * {NND_A} + j.range * {NND_B}) % n.n <> e.vec_id
+    ),
+    nnd_g0 AS MATERIALIZED (
+        SELECT src, dst, cos, rn FROM (
+            SELECT i.src, i.dst, p.cos,
+                   row_number() OVER (PARTITION BY i.src
+                                      ORDER BY p.cos DESC, i.dst) AS rn
+            FROM nnd_init i JOIN pairs p ON p.src = i.src AND p.dst = i.dst
+        ) WHERE rn <= {pool}
+    )"""
+    ]
+    prev = "nnd_g0"
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+    nnd_u{r} AS MATERIALIZED (
+        SELECT src, dst FROM {prev} UNION SELECT dst, src FROM {prev}
+    ),
+    nnd_nb{r} AS MATERIALIZED (
+        SELECT DISTINCT a.dst AS src, b.dst AS dst
+        FROM nnd_u{r} a JOIN nnd_u{r} b ON a.src = b.src
+        WHERE a.dst <> b.dst
+    ),
+    nnd_c{r} AS MATERIALIZED (
+        SELECT src, dst FROM {prev} UNION SELECT src, dst FROM nnd_nb{r}
+    ),
+    nnd_g{r} AS MATERIALIZED (
+        SELECT src, dst, cos, rn FROM (
+            SELECT c.src, c.dst, p.cos,
+                   row_number() OVER (PARTITION BY c.src
+                                      ORDER BY p.cos DESC, c.dst) AS rn
+            FROM nnd_c{r} c JOIN pairs p ON p.src = c.src AND p.dst = c.dst
+        ) WHERE rn <= {pool}
+    )""")
+        prev = f"nnd_g{r}"
+    ctes.append(f"""
+    nnd AS MATERIALIZED (SELECT src, dst, cos, rn FROM {prev} WHERE rn <= {KNN_K})""")
+    return ",".join(ctes)
+
+
 GS_SEEDS = 4  # fixed entry points: vec_id < GS_SEEDS
 GS_BEAM = 10  # beam width per query during the walk
 GS_HOPS = 3  # expansion rounds
@@ -243,55 +320,42 @@ def _gs_oracle() -> str:
     """Unrolled beam-search oracle: DuckDB replays the exact same walk —
     brute-force cosine matrix for the query stride (an oracle-side
     convenience only; it SELECTS just the candidate pairs' values), the
-    exact k-NN graph made undirected, then GS_HOPS rounds of
-    expand → dedup → top-GS_BEAM, and a final top-GS_K excluding the
-    query node. Every selection uses (cos desc, node asc) on 6dp-rounded
-    cosines, so both engines make identical beam decisions."""
+    NN-DESCENT edge build replayed via :func:`_nnd_cte` and made
+    undirected, then GS_HOPS rounds of expand → dedup → top-GS_BEAM,
+    and a final top-GS_K excluding the query node. Every selection uses
+    (cos desc, node asc) on 6dp-rounded cosines, so both engines make
+    identical build and beam decisions."""
     from lakehouse_admin_spark.operators.similarity import QUERY_STRIDE
 
     head = f"""
-    WITH pairs AS (
-        SELECT a.vec_id AS src, b.vec_id AS dst,
-               ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
-               (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-                sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
-                   AS cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WITH {_PAIRS_CTE},
+    {_nnd_cte()},
+    edges AS MATERIALIZED (
+        SELECT src, dst FROM nnd
+        UNION SELECT dst AS src, src AS dst FROM nnd
     ),
-    edges_dir AS (
-        SELECT src, dst FROM (
-            SELECT src, dst,
-                   row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-            FROM pairs
-        ) WHERE rn <= {KNN_K}
-    ),
-    edges AS (
-        SELECT src, dst FROM edges_dir
-        UNION SELECT dst AS src, src AS dst FROM edges_dir
-    ),
-    cosmat AS (
+    cosmat AS MATERIALIZED (
         SELECT src AS qid, dst AS node, cos FROM pairs
         WHERE src % {QUERY_STRIDE} = 0
         UNION ALL
         SELECT vec_id AS qid, vec_id AS node, CAST(1.0 AS DOUBLE) AS cos
         FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
     ),
-    b0 AS (
+    b0 AS MATERIALIZED (
         SELECT qid, node, cos FROM cosmat WHERE node < {GS_SEEDS}
     )"""
     rounds = []
     prev = "b0"
     for r in range(1, GS_HOPS + 1):
         rounds.append(f"""
-    c{r} AS (
+    c{r} AS MATERIALIZED (
         SELECT DISTINCT qid, node FROM (
             SELECT qid, node FROM {prev}
             UNION ALL
             SELECT b.qid, e.dst AS node FROM {prev} b JOIN edges e ON e.src = b.node
         )
     ),
-    b{r} AS (
+    b{r} AS MATERIALIZED (
         SELECT qid, node, cos FROM (
             SELECT c.qid, c.node, m.cos,
                    row_number() OVER (PARTITION BY c.qid
@@ -313,45 +377,90 @@ def _gs_oracle() -> str:
     return head + "," + ",".join(rounds) + tail
 
 
-_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+# Bounded LRU over every cached graph artifact (edge indexes, HNSW
+# layer graphs). A graph is an INDEX — built once per (session, tier),
+# searched many times — but a long-lived server must be able to evict:
+# the cache is size-bounded and explicitly invalidatable (e.g. after an
+# embeddings rewrite). Deterministic builds, so caching never changes
+# results.
+_GRAPH_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+GRAPH_CACHE_MAX = 16
 
 
-def _undirected_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-cached undirected k-NN edge list: the graph is an INDEX
-    — built once per (session, sf tier), searched many times — the same
-    build-once/serve-many trade as the bucketed fact copies
-    (sources/bucketing.py). localCheckpoint materializes it so repeated
-    searches never re-run the block-matrix build. Deterministic, so
-    caching cannot change results."""
-    key = (id(spark), sf_dir)
-    if key not in _EDGE_CACHE:
-        g = knn_graph(spark, sf_dir).select("src", "dst").localCheckpoint()
-        _EDGE_CACHE[key] = (
+def _cached(key: tuple, build) -> DataFrame:
+    df = _GRAPH_CACHE.get(key)
+    if df is None:
+        df = build()
+        _GRAPH_CACHE[key] = df
+        while len(_GRAPH_CACHE) > GRAPH_CACHE_MAX:
+            _GRAPH_CACHE.popitem(last=False)
+    else:
+        _GRAPH_CACHE.move_to_end(key)
+    return df
+
+
+def invalidate_graph_caches(sf_dir: str | None = None) -> int:
+    """Drop cached graph indexes — ALL of them, or only those built
+    over ``sf_dir`` (call after rewriting that tier's embeddings).
+    Returns the number of evicted entries."""
+    keys = [
+        k for k in _GRAPH_CACHE if sf_dir is None or k[2] == sf_dir
+    ]
+    for k in keys:
+        del _GRAPH_CACHE[k]
+    return len(keys)
+
+
+def _undirected_edges(
+    spark: SparkSession, sf_dir: str, source: str = "nn_descent"
+) -> DataFrame:
+    """Session-cached undirected k-NN edge list for the serving tier.
+    ``source='nn_descent'`` (default) builds sub-quadratically — the
+    only shape buildable at 100 TB; ``source='exact'`` uses the
+    block-matrix exact graph and exists as the ground-truth/recall-pin
+    path. localCheckpoint materializes the index so repeated searches
+    never re-run the build."""
+
+    def build() -> DataFrame:
+        if source == "exact":
+            g = knn_graph(spark, sf_dir).select("src", "dst").localCheckpoint()
+        else:
+            g = (
+                nn_descent_edges(spark, sf_dir)
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+        return (
             g.union(g.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
             .distinct()
             .localCheckpoint()
         )
-    return _EDGE_CACHE[key]
+
+    return _cached(("edges", id(spark), sf_dir, source), build)
 
 
 @query("graph_ann_search", oracle=_gs_oracle())
-def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Query-time greedy beam search over the exact k-NN graph (the
-    HNSW/NSG serving pattern, single-layer): start every stride-100
-    query at fixed entry points, repeatedly expand the beam along
-    (undirected) graph edges, keep the GS_BEAM closest visited nodes,
-    report the final top-GS_K. Cosines are computed ONLY for visited
-    candidates — the big embedding table is never shuffled: candidate
-    sets (≤ beam·(k+1) rows per query) broadcast against it, and the
-    graph is built once and localCheckpoint'd so the walk's H rounds
-    reuse it without re-running the build. At serving scale the graph +
-    vectors are a prebuilt artifact and each round touches O(|beam|·k)
-    vectors per query; the driver-graded oracle replays the identical
-    walk in SQL."""
+def graph_ann_search(
+    spark: SparkSession, sf_dir: str, edge_source: str = "nn_descent"
+) -> DataFrame:
+    """Query-time greedy beam search over the NN-DESCENT k-NN graph
+    (the HNSW/NSG serving pattern, single-layer): start every
+    stride-100 query at fixed entry points, repeatedly expand the beam
+    along (undirected) graph edges, keep the GS_BEAM closest visited
+    nodes, report the final top-GS_K. The default edge source is the
+    sub-quadratic NN-descent build — the only index buildable at
+    100 TB; ``edge_source='exact'`` keeps the block-matrix graph as the
+    ground-truth path for recall pins. Cosines are computed ONLY for
+    visited candidates — the big embedding table is never shuffled:
+    candidate sets (≤ beam·(k+1) rows per query) broadcast against it,
+    and the graph is built once and localCheckpoint'd so the walk's H
+    rounds reuse it without re-running the build. The driver-graded
+    oracle replays BOTH the NN-descent build and the identical walk in
+    SQL (:func:`_nnd_cte` + the unrolled hops)."""
     from lakehouse_admin_spark.operators.similarity import QUERY_STRIDE, cosine_expr
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    edges = _undirected_knn_edges(spark, sf_dir)
+    edges = _undirected_edges(spark, sf_dir, edge_source)
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -403,12 +512,22 @@ def graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("nn_descent_graph", oracle=None)
+_NND_ORACLE = f"""
+    WITH {_PAIRS_CTE},
+    {_nnd_cte()}
+    SELECT src, dst, cos AS cosine, CAST(rn AS INT) AS rank
+    FROM nnd ORDER BY src, rank
+"""
+
+
+@query("nn_descent_graph", oracle=_NND_ORACLE)
 def nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate k-NN graph via NN-descent. Rows-only: the fixpoint
-    iteration is not single-statement-SQL-expressible; the correctness
-    contract is the recall pin against ``knn_graph`` (exact) in
-    tests/test_graph_ann.py plus degree/shape invariants."""
+    """Approximate k-NN graph via NN-descent. The build runs a FIXED
+    number of refinement rounds from a closed-form deterministic init,
+    so the whole fixpoint-free iteration unrolls into a SQL oracle
+    (:func:`_nnd_cte`) — hash-graded, not rows-only. The recall pin
+    against ``knn_graph`` (exact) in tests/test_graph_ann.py remains
+    the quality contract."""
     return nn_descent_edges(spark, sf_dir).orderBy("src", "rank")
 
 
@@ -418,8 +537,6 @@ def nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 HNSW_M = 6  # neighbors per node in upper-layer graphs
 HNSW_MAX_LEVEL = 3
 _HNSW_U_DEN = float(1 << 32)
-
-_LAYER_CACHE: dict[tuple[int, str, int], DataFrame] = {}
 
 
 def hnsw_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,9 +560,10 @@ def hnsw_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _layer_edges(spark: SparkSession, sf_dir: str, layer: int) -> DataFrame:
     """Undirected M-NN graph among the nodes of one UPPER layer
     (level >= layer). Upper layers are geometrically small (n/M^l), so
-    the build is a broadcast self-join top-M — cached per session."""
-    key = (id(spark), sf_dir, layer)
-    if key not in _LAYER_CACHE:
+    the build is a broadcast self-join top-M — cached in the bounded
+    LRU (see ``_cached`` / :func:`invalidate_graph_caches`)."""
+
+    def build() -> DataFrame:
         from lakehouse_admin_spark.operators.similarity import cosine_expr
 
         emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -469,20 +587,141 @@ def _layer_edges(spark: SparkSession, sf_dir: str, layer: int) -> DataFrame:
         und = g.union(
             g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
-        _LAYER_CACHE[key] = und.localCheckpoint()
-    return _LAYER_CACHE[key]
+        return und.localCheckpoint()
+
+    return _cached(("layer", id(spark), sf_dir, layer), build)
 
 
-@query("hnsw_search", oracle=None)
+def _hnsw_oracle() -> str:
+    """Unrolled HNSW oracle: levels from the same md5-derived uniform
+    (DuckDB parses the hex prefix via CAST('0x'||… AS BIGINT), which
+    equals Spark's conv(…,16,10)), per-layer M-NN graphs among
+    level>=l nodes, the greedy descent unrolled layer-by-layer from
+    HNSW_MAX_LEVEL (layers above the realized l_max have empty node
+    sets, so their rounds are no-ops — equivalent to Spark starting at
+    l_max), then the layer-0 beam walk over the NN-descent edges."""
+    from lakehouse_admin_spark.operators.similarity import QUERY_STRIDE
+
+    head = f"""
+    WITH {_PAIRS_CTE},
+    {_nnd_cte()},
+    edges AS MATERIALIZED (
+        SELECT src, dst FROM nnd
+        UNION SELECT dst AS src, src AS dst FROM nnd
+    ),
+    cosmat AS MATERIALIZED (
+        SELECT src AS qid, dst AS node, cos FROM pairs
+        WHERE src % {QUERY_STRIDE} = 0
+        UNION ALL
+        SELECT vec_id AS qid, vec_id AS node, CAST(1.0 AS DOUBLE) AS cos
+        FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+    ),
+    levels AS MATERIALIZED (
+        SELECT vec_id,
+               LEAST({HNSW_MAX_LEVEL},
+                     CAST(FLOOR(-ln(u) / ln({HNSW_M})) AS INT)) AS level
+        FROM (
+            SELECT vec_id,
+                   (CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) + 1.0) / {_HNSW_U_DEN!r} AS u
+            FROM embeddings
+        )
+    ),
+    entry AS MATERIALIZED (
+        SELECT vec_id FROM levels ORDER BY level DESC, vec_id LIMIT 1
+    ),
+    d0 AS MATERIALIZED (
+        SELECT qid, node, cos FROM cosmat
+        WHERE node = (SELECT vec_id FROM entry)
+    )"""
+    parts = []
+    step = 0
+    prev = "d0"
+    for layer in range(HNSW_MAX_LEVEL, 0, -1):
+        parts.append(f"""
+    ln{layer} AS MATERIALIZED (SELECT vec_id FROM levels WHERE level >= {layer}),
+    lg{layer} AS MATERIALIZED (
+        SELECT src, dst FROM (
+            SELECT p.src, p.dst,
+                   row_number() OVER (PARTITION BY p.src
+                                      ORDER BY p.cos DESC, p.dst) AS rn
+            FROM pairs p
+            JOIN ln{layer} a ON a.vec_id = p.src
+            JOIN ln{layer} b ON b.vec_id = p.dst
+        ) WHERE rn <= {HNSW_M}
+    ),
+    le{layer} AS MATERIALIZED (
+        SELECT src, dst FROM lg{layer}
+        UNION SELECT dst AS src, src AS dst FROM lg{layer}
+    )""")
+        for _ in range(2):  # two greedy rounds per layer, like Spark
+            step += 1
+            parts.append(f"""
+    dx{step} AS MATERIALIZED (
+        SELECT DISTINCT qid, node FROM (
+            SELECT qid, node FROM {prev}
+            UNION ALL
+            SELECT d.qid, e.dst AS node
+            FROM {prev} d JOIN le{layer} e ON e.src = d.node
+        )
+    ),
+    d{step} AS MATERIALIZED (
+        SELECT qid, node, cos FROM (
+            SELECT x.qid, x.node, m.cos,
+                   row_number() OVER (PARTITION BY x.qid
+                                      ORDER BY m.cos DESC, x.node) AS rn
+            FROM dx{step} x JOIN cosmat m
+              ON m.qid = x.qid AND m.node = x.node
+        ) WHERE rn <= 1
+    )""")
+            prev = f"d{step}"
+    # layer-0 beam walk seeded by the descended entry
+    bprev = prev
+    for r in range(1, GS_HOPS + 1):
+        parts.append(f"""
+    bc{r} AS MATERIALIZED (
+        SELECT DISTINCT qid, node FROM (
+            SELECT qid, node FROM {bprev}
+            UNION ALL
+            SELECT b.qid, e.dst AS node
+            FROM {bprev} b JOIN edges e ON e.src = b.node
+        )
+    ),
+    bb{r} AS MATERIALIZED (
+        SELECT qid, node, cos FROM (
+            SELECT c.qid, c.node, m.cos,
+                   row_number() OVER (PARTITION BY c.qid
+                                      ORDER BY m.cos DESC, c.node) AS rn
+            FROM bc{r} c JOIN cosmat m ON m.qid = c.qid AND m.node = c.node
+        ) WHERE rn <= {GS_BEAM}
+    )""")
+        bprev = f"bb{r}"
+    tail = f"""
+    SELECT qid AS query_id, node AS neighbor_id, cos AS cosine,
+           CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT qid, node, cos,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, node) AS rnk
+        FROM {bprev} WHERE node <> qid
+    ) WHERE rnk <= {GS_K}
+    ORDER BY query_id, rank
+    """
+    return head + "," + ",".join(parts) + tail
+
+
+@query("hnsw_search", oracle=_hnsw_oracle())
 def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical (HNSW-style) ANN serving: greedy descent from the
     top layer's entry point through geometrically-shrinking layer
-    graphs, then the layer-0 beam search. The descent gives each query
-    a GOOD layer-0 seed in O(log n) hops instead of fixed global
-    seeds. Deterministic (hash levels, 6dp cosines, id tie-breaks) but
-    iterative and per-query data-dependent → rows-only; correctness is
-    pinned by shape/determinism/recall tests against the exact top-k
-    (tests/test_graph_ann.py)."""
+    graphs, then the layer-0 beam search over the NN-DESCENT edge
+    index (sub-quadratic build — the 100 TB path; upper layers are
+    geometrically small, so their exact M-NN builds stay cheap). The
+    descent gives each query a GOOD layer-0 seed in O(log n) hops
+    instead of fixed global seeds. Deterministic (hash levels, 6dp
+    cosines, id tie-breaks); the oracle unrolls levels + descent +
+    walk per layer (:func:`_hnsw_oracle`), and recall vs the exact
+    top-k is pinned in tests/test_graph_ann.py."""
     from lakehouse_admin_spark.operators.similarity import QUERY_STRIDE, cosine_expr
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -527,8 +766,9 @@ def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .drop("rn")
                 .localCheckpoint()
             )
-    # layer 0: beam search seeded by the descended entry per query
-    edges0 = _undirected_knn_edges(spark, sf_dir)
+    # layer 0: beam search seeded by the descended entry per query,
+    # over the sub-quadratically-built NN-descent edge index
+    edges0 = _undirected_edges(spark, sf_dir)
     beam = cur
     for _ in range(GS_HOPS):
         expand = (

@@ -110,6 +110,49 @@ def test_knn_graph_matches_brute_force_topk(spark):
     assert (sub["cosine"].to_numpy() == brute["cosine"].to_numpy()).all()
 
 
+def test_nnd_served_search_recall_vs_exact_served(spark):
+    """The DEFAULT serving path walks NN-descent edges; with recall
+    >= 0.9 edges (pinned above), the walk over them must find nearly
+    the same neighbors as the walk over the exact graph."""
+    from lakehouse_admin_spark.operators.graph_ann import graph_ann_search
+
+    nnd_served = graph_ann_search(spark, SF_SMOKE).toPandas()
+    exact_served = graph_ann_search(
+        spark, SF_SMOKE, edge_source="exact"
+    ).toPandas()
+    ap = set(zip(nnd_served["query_id"], nnd_served["neighbor_id"]))
+    ex = set(zip(exact_served["query_id"], exact_served["neighbor_id"]))
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.9, f"NN-descent-served search recall: {recall:.3f}"
+
+
+def test_graph_cache_bounded_and_invalidatable(spark):
+    """The graph-index cache is a bounded LRU with explicit
+    invalidation — a long-lived server must not leak indexes or serve
+    stale edges after an embeddings rewrite."""
+    from lakehouse_admin_spark.operators import graph_ann as ga
+
+    ga.invalidate_graph_caches()
+    assert len(ga._GRAPH_CACHE) == 0
+    ga._undirected_edges(spark, SF_SMOKE)  # populate
+    assert len(ga._GRAPH_CACHE) == 1
+    # scoped invalidation: another tier's key survives
+    ga._GRAPH_CACHE[("edges", 0, "/other/tier", "nn_descent")] = (
+        ga._GRAPH_CACHE[("edges", id(spark), SF_SMOKE, "nn_descent")]
+    )
+    assert ga.invalidate_graph_caches(SF_SMOKE) == 1
+    assert list(ga._GRAPH_CACHE) == [("edges", 0, "/other/tier", "nn_descent")]
+    ga.invalidate_graph_caches()
+    assert len(ga._GRAPH_CACHE) == 0
+    # LRU bound: inserting past the cap evicts the oldest
+    dummy = spark.range(1)
+    for i in range(ga.GRAPH_CACHE_MAX + 3):
+        ga._cached(("layer", 0, f"/t{i}", 1), lambda: dummy)
+    assert len(ga._GRAPH_CACHE) == ga.GRAPH_CACHE_MAX
+    assert ("layer", 0, "/t0", 1) not in ga._GRAPH_CACHE
+    ga.invalidate_graph_caches()
+
+
 def test_hnsw_levels_geometric_and_deterministic(spark):
     from lakehouse_admin_spark.operators.graph_ann import HNSW_M, hnsw_levels
 
