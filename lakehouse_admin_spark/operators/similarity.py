@@ -187,6 +187,38 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_PROBES = 2  # multi-probe width: nearest cells searched per query
 
 
+def _ivf_probes(emb: DataFrame, probes: int = IVF_PROBES) -> DataFrame:
+    """(query_id, qe, label) — the ``probes`` nearest IVF cells per
+    stride query, ranked by query-to-centroid cosine. The coarse
+    quantizer is the per-label mean vector (deterministic, SQL-
+    replayable); centroids are |cells| rows, broadcast against the
+    query set — metadata-scale work."""
+    # centroid arrays: per-dim mean folded back into an ordered array
+    cents = (
+        emb.select("label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("v"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+            ).alias("ce")
+        )
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pcos = F.round(cosine_expr(F.col("qe"), F.col("ce")), 6)
+    pw = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("label"))
+    return (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("pcos", pcos)
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= probes)
+        .select("query_id", "qe", "label")
+    )
+
+
 @query(
     "ann_ivf_multiprobe",
     oracle=f"""
@@ -257,30 +289,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall knob — probes=2 roughly doubles candidates while staying
     |cells|/probes times below brute force."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # centroid arrays: per-dim mean folded back into an ordered array
-    cents = (
-        emb.select("label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(F.avg("v").alias("v"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
-            ).alias("ce")
-        )
-    )
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    pcos = F.round(cosine_expr(F.col("qe"), F.col("ce")), 6)
-    pw = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("label"))
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("pcos", pcos)
-        .withColumn("pr", F.row_number().over(pw))
-        .filter(F.col("pr") <= IVF_PROBES)
-        .select("query_id", "qe", "label")
-    )
+    probes = _ivf_probes(emb).select("query_id", "qe", "label")
     cands = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("fe"),
@@ -667,6 +676,82 @@ PQ_K = 16  # codewords per subspace
 PQ_D = 8  # dims per subspace
 
 
+def _pq_index(
+    spark: SparkSession, emb: DataFrame, include_label: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """The PQ index build shared by the full-ADC and IVF+PQ queries:
+    returns ``(codes, query_luts)``. Codebook = subvectors of the 16
+    lowest vec_ids (deterministic, no RNG); encoding and LUT
+    construction run as Arrow-batched ``mapInPandas`` kernels with the
+    tiny (K, M, D) codebook broadcast. ``include_label`` passes the IVF
+    cell id through the encode kernel so the ADC join can be keyed on
+    the probed cell."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cb_rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(PQ_K).collect()
+    )  # 16-row sample
+    cb = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in cb_rows]
+    ).reshape(PQ_K, PQ_M, PQ_D)
+    bc = spark.sparkContext.broadcast(cb)
+
+    # nested so cloudpickle ships them BY VALUE (foreign-cwd drivers)
+    def subdists(batch: pd.DataFrame) -> np.ndarray:
+        """(n, M, K) rounded squared L2 between subvectors and codewords."""
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+        ).reshape(-1, PQ_M, PQ_D)
+        diff = x[:, None, :, :] - bc.value[None, :, :, :]  # (n, K, M, D)
+        return np.round((diff * diff).sum(axis=3), 6).transpose(0, 2, 1)
+
+    codes_fields = [
+        StructField("vec_id", LongType()),
+        StructField("codes", ArrayType(IntegerType())),
+    ]
+    if include_label:
+        codes_fields.append(StructField("label", IntegerType()))
+    codes_schema = StructType(codes_fields)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            d2 = subdists(pdf)  # (n, M, K)
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                "codes": list(d2.argmin(axis=2).astype(np.int32)),
+            }
+            if include_label:
+                out["label"] = pdf["label"].to_numpy(dtype=np.int32)
+            yield pd.DataFrame(out)
+
+    lut_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("lut", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+
+    def build_lut(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            d2 = subdists(pdf)  # (n, M, K)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "lut": [row for row in d2],
+                }
+            )
+
+    codes = emb.mapInPandas(encode, codes_schema)
+    luts = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).mapInPandas(
+        build_lut, lut_schema
+    )
+    return codes, luts
+
+
 def _pq_oracle() -> str:
     """DuckDB replay of the full PQ pipeline: codebook = subvectors of
     the 16 lowest vec_ids, encode by rounded-L2 argmin (ties → lowest
@@ -734,65 +819,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel (one broadcast (16,8,8) codebook, one vectorized distance
     per batch); the ADC join broadcasts the tiny query LUTs.
     """
-    from pyspark.sql.types import ArrayType, IntegerType
-
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cb_rows = emb.orderBy("vec_id").limit(PQ_K).collect()  # 16-row sample
-    cb = np.stack(
-        [np.asarray(r["embedding"], dtype=np.float64) for r in cb_rows]
-    ).reshape(PQ_K, PQ_M, PQ_D)
-    bc = spark.sparkContext.broadcast(cb)
-
-    def subdists(batch: pd.DataFrame) -> np.ndarray:
-        """(n, M, K) rounded squared L2 between subvectors and codewords."""
-        x = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
-        ).reshape(-1, PQ_M, PQ_D)
-        diff = x[:, None, :, :] - bc.value[None, :, :, :]  # (n, K, M, D)
-        return np.round((diff * diff).sum(axis=3), 6).transpose(0, 2, 1)
-
-    codes_schema = StructType(
-        [
-            StructField("vec_id", LongType()),
-            StructField("codes", ArrayType(IntegerType())),
-        ]
-    )
-
-    def encode(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            d2 = subdists(pdf)  # (n, M, K)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "codes": list(d2.argmin(axis=2).astype(np.int32)),
-                }
-            )
-
-    lut_schema = StructType(
-        [
-            StructField("query_id", LongType()),
-            StructField("lut", ArrayType(ArrayType(DoubleType()))),
-        ]
-    )
-
-    def build_lut(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            d2 = subdists(pdf)  # (n, M, K)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "lut": [row for row in d2],
-                }
-            )
-
-    codes = emb.mapInPandas(encode, codes_schema)
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).mapInPandas(
-        build_lut, lut_schema
-    )
+    codes, queries = _pq_index(spark, emb)
     adc = (
         F.broadcast(queries)
         .crossJoin(codes)
@@ -815,6 +843,139 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivf_pq_oracle() -> str:
+    """DuckDB replay of the composed IVF+PQ pipeline: the multiprobe
+    cell selection (per-label mean centroids, top-IVF_PROBES cells per
+    query by centroid cosine) feeding the PQ/ADC ranking — ADC is
+    summed ONLY over codes in the probed cells. MATERIALIZED CTEs:
+    subdist is referenced by codes and lut, and DuckDB re-inlines per
+    reference otherwise."""
+    sq = (
+        "(CAST(e.embedding[m.m * 8 + d + 1] AS DOUBLE)"
+        " - CAST(cb.embedding[m.m * 8 + d + 1] AS DOUBLE))"
+    )
+    return f"""
+    WITH cent AS MATERIALIZED (
+        SELECT label, dim, AVG(CAST(embedding[dim] AS DOUBLE)) AS cv
+        FROM (SELECT label, UNNEST(range(1, 65)) AS dim, embedding FROM embeddings)
+        GROUP BY label, dim
+    ),
+    centv AS (SELECT label, list(cv ORDER BY dim) AS ce FROM cent GROUP BY label),
+    q AS MATERIALIZED (
+        SELECT vec_id AS qid, embedding AS qe
+        FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+    ),
+    pc AS (
+        SELECT q.qid, c.label,
+               ROUND(
+                 list_sum(list_transform(list_zip(q.qe, c.ce),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(c.ce, x -> x * x)))), 6) AS pcos
+        FROM q CROSS JOIN centv c
+    ),
+    probes AS MATERIALIZED (
+        SELECT qid, label FROM (
+            SELECT qid, label,
+                   row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, label) AS pr
+            FROM pc
+        ) WHERE pr <= {IVF_PROBES}
+    ),
+    cb AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k, embedding
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    subdist AS MATERIALIZED (
+        SELECT e.vec_id, e.label, m.m, cb.k,
+               ROUND(list_sum(list_transform(range({PQ_D}), d ->
+                   {sq} * {sq})), 6) AS d2
+        FROM embeddings e
+        CROSS JOIN (SELECT UNNEST(range({PQ_M})) AS m) m
+        CROSS JOIN cb
+    ),
+    codes AS MATERIALIZED (
+        SELECT vec_id, label, m, k AS code FROM (
+            SELECT vec_id, label, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+            FROM subdist
+        ) WHERE rn = 1
+    ),
+    lut AS MATERIALIZED (
+        SELECT * FROM subdist WHERE vec_id % {QUERY_STRIDE} = 0
+    ),
+    adc AS (
+        SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(SUM(l.d2), 6) AS approx_dist
+        FROM codes c
+        JOIN probes p ON p.label = c.label
+        JOIN lut l ON l.vec_id = p.qid AND l.m = c.m AND l.k = c.code
+        WHERE c.vec_id <> l.vec_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, approx_dist,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY approx_dist, neighbor_id
+               ) AS INT) AS rank
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, approx_dist, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("ann_ivf_pq_topk", oracle=_ivf_pq_oracle())
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed PQ/ADC top-k — the composition that makes PQ work at
+    100 TB: ``ann_pq_topk`` ADC-scans EVERY code row per query (correct
+    but a full scan); here the multiprobe cell selection
+    (:func:`_ivf_probes`) bounds ADC to the IVF_PROBES probed cells, so
+    each query touches ~probes/|cells| of the codes table. The plan is
+    two broadcast hash joins against the big codes side — probes
+    (nq×probes rows) keyed on the CELL id, then the per-query LUTs
+    (nq rows) keyed on query_id — the codes table itself never
+    shuffles and never meets un-probed queries (pinned: no
+    BroadcastNestedLoopJoin/cartesian in tests/test_plans.py). Recall
+    vs the full ADC scan is pinned in tests (the probed scan can only
+    lose neighbors OUTSIDE the probed cells)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    codes, luts = _pq_index(spark, emb, include_label=True)
+    probes = _ivf_probes(emb).select("query_id", "label")
+    adc = (
+        codes.join(F.broadcast(probes), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(luts), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("lut"),
+                        F.col("codes"),
+                        lambda l, c: F.element_at(l, c + F.lit(1)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
     return (
         adc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)

@@ -138,6 +138,40 @@ def test_minhash_bucket_join_bounded_exchanges(spark):
     assert exchange_count(df) <= 4
 
 
+def test_ivf_pq_cell_keyed_plan_and_recall(spark):
+    """IVF+PQ composition: the ADC candidate join must be keyed on the
+    probed cell (broadcast hash joins against the codes side — no
+    BroadcastNestedLoopJoin/cartesian like the full-ADC scan's
+    deliberate crossJoin), and its results can only differ from the
+    full ADC scan by neighbors OUTSIDE the probed cells — candidates
+    found in-cell must carry identical approx_dist."""
+    df = q("ann_ivf_pq_topk")(spark, SF_SMOKE)
+    assert not has_cartesian(df)
+    strategies = join_strategies(df)
+    # exactly one nested-loop join is allowed: the deliberate broadcast
+    # of the |cells|-row centroid table during probing (same shape as
+    # ann_ivf_multiprobe); every join TOUCHING THE CODES SIDE is a
+    # keyed broadcast hash join
+    assert strategies.count("BroadcastNestedLoopJoin") <= 1, strategies
+    assert strategies.count("BroadcastHashJoin") >= 2, strategies
+    full = {
+        (r.query_id, r.neighbor_id): r.approx_dist
+        for r in q("ann_pq_topk")(spark, SF_SMOKE).collect()
+    }
+    probed = {
+        (r.query_id, r.neighbor_id): r.approx_dist
+        for r in df.collect()
+    }
+    # same ADC metric wherever both found the pair
+    for key in probed.keys() & full.keys():
+        assert probed[key] == full[key]
+    # every query covered; recall vs full ADC bounded below by the
+    # probed-cell mass (2 probes of the synthetic random cells)
+    assert {qid for qid, _ in probed} == {qid for qid, _ in full}
+    recall = len(probed.keys() & full.keys()) / len(full)
+    assert recall > 0, "probed ADC found none of the full-scan top-k"
+
+
 # -- skew utilities ---------------------------------------------------------
 
 
