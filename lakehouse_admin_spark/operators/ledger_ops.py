@@ -311,6 +311,40 @@ def ledger_bucket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ledger_sketch_lookup", oracle=_LIVE + """
+    SELECT event_id, user_id, event_type, ROUND(value, 6) AS value
+    FROM live
+    WHERE user_id = (SELECT MIN(user_id) FROM live)
+    ORDER BY event_id
+    """)
+def ledger_sketch_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sketch-pruned point lookup on a NON-sorted, NON-bucketed
+    column (user_id is uniform across every file, so min/max stats
+    prune nothing): a Puffin-style per-file Bloom sidecar
+    (sources/sketches.py) proves key-absence per file from metadata
+    alone, and plan_files reads only the surviving files. The oracle
+    is the plain equality scan over the raw rows."""
+    from lakehouse_admin_spark.sources.sketches import (
+        compute_file_sketches,
+        load_sketches,
+    )
+
+    tbl = _events_tbl(spark, sf_dir)
+    if not load_sketches(tbl):
+        compute_file_sketches(tbl, ["user_id"])
+    key = tbl.read().agg(F.min("user_id").alias("k")).collect()[0]["k"]
+    return (
+        tbl.read(predicates=[("user_id", "=", int(key))])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy("event_id")
+    )
+
+
 @query("ledger_incremental_scan", oracle="""
     WITH t AS (
         SELECT event_type, row_number() OVER (ORDER BY event_type) AS rn

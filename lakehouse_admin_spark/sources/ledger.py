@@ -1662,6 +1662,16 @@ class LedgerTable:
         ]
         if not predicates:
             return files
+        # Puffin-style secondary pruning: per-file Bloom sketches prove
+        # key-absence for `=` predicates on columns min/max can't prune
+        # (non-sorted, non-bucketed). Metadata-only; files the sidecar
+        # doesn't cover are kept (see sources/sketches.py).
+        if any(op == "=" for _c, op, _v in predicates):
+            from lakehouse_admin_spark.sources.sketches import prunable_by_sketch
+
+            bloom_pruned = prunable_by_sketch(self, files, predicates)
+            if bloom_pruned:
+                files = [e for e in files if e["file_path"] not in bloom_pruned]
 
         def may_match(entry: dict) -> bool:
             stats = entry.get("column_stats") or {}

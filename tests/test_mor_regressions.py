@@ -155,6 +155,37 @@ def test_bucketed_reads_apply_deletes(spark, catalog):
     assert sorted(r["k"] for r in j.collect()) == list(range(10, 30))
 
 
+def test_bucketed_join_mixed_equality_delete_key_sets(spark, catalog):
+    """A table carrying equality deletes with HETEROGENEOUS key sets
+    (real CDC tables do) must still bucket-join correctly — the per-
+    key-set grouped apply in _apply_equality_deletes composes through
+    scan_entries_live; no pre-compaction required."""
+    from lakehouse_admin_spark.sources.ledger import PartitionField
+    from lakehouse_admin_spark.sources.ledger_bucketing import bucketed_ledger_join
+
+    lschema = spark.range(1).selectExpr(
+        "id AS k", "id AS grp", "CAST(id AS DOUBLE) AS lv"
+    ).schema
+    rschema = spark.range(1).selectExpr("id AS k", "CAST(id AS DOUBLE) AS rv").schema
+    spec = [PartitionField(name="k_bucket", source="k", transform="bucket[4]")]
+    left = catalog.create_table("main", "bkt_mixed_eq_left", lschema, spec)
+    right = catalog.create_table("main", "bkt_mixed_eq_right", rschema, spec)
+    left.append(
+        spark.range(0, 30).selectExpr("id AS k", "id % 5 AS grp",
+                                      "CAST(1 AS DOUBLE) AS lv")
+    )
+    right.append(spark.range(0, 30).selectExpr("id AS k", "CAST(2 AS DOUBLE) AS rv"))
+    # two DIFFERENT equality key sets on the same table
+    left.delete_by_key(spark.range(0, 4).selectExpr("id AS k"), ["k"])
+    left.delete_by_key(
+        spark.range(1).selectExpr("CAST(3 AS BIGINT) AS grp"), ["grp"]
+    )  # drops k in {3,8,13,18,23,28}
+    expect = [k for k in range(4, 30) if k % 5 != 3]
+    assert sorted(r["k"] for r in left.read().collect()) == expect
+    j = bucketed_ledger_join(left, right, "k", "k")
+    assert sorted(r["k"] for r in j.collect()) == expect
+
+
 def test_histogram_constant_column(spark, tmp_path):
     """Constant value column ⇒ zero bucket width: both engines clamp
     (GREATEST / max) and agree on a single bucket-0 row."""
