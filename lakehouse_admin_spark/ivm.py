@@ -69,15 +69,16 @@ class IncrementalAggregate:
                 return int(s.summary[OFFSET_KEY])
         return None
 
-    def refresh(self) -> int:
-        """Absorb everything committed to the source since the last
-        apply. Returns the number of changelog rows absorbed (0 when
-        already current). One atomic stamped commit; idempotent under
-        replay."""
+    def plan_refresh(self) -> tuple[DataFrame, int, dict[str, str]] | None:
+        """(merged rows to upsert, changelog rows absorbed, offset
+        stamp) for everything committed since the last apply — PURE
+        planning, no commit. None when already current. refresh()
+        applies it directly; :func:`refresh_group` stages several
+        views' plans into one atomic warehouse transaction."""
         head = self.source.current_snapshot_id()
         applied = self.applied_offset()
         if head is None or head == applied:
-            return 0
+            return None
         log = self.source.changelog_scan(applied, head)
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
             F.lit(-1)
@@ -92,7 +93,7 @@ class IncrementalAggregate:
         )
         n_rows = log.count()
         if n_rows == 0:
-            return 0
+            return None
         try:
             cur = self.target.read().select(
                 *self.group_cols, "row_count", "value_sum"
@@ -122,9 +123,18 @@ class IncrementalAggregate:
                 # only touched groups re-land; untouched rows stay put
                 .join(F.broadcast(delta.select(*self.group_cols)), self.group_cols, "left_semi")
             )
-        self.target.upsert_by_key(
-            merged, self.group_cols, extra_summary={OFFSET_KEY: str(head)}
-        )
+        return merged, n_rows, {OFFSET_KEY: str(head)}
+
+    def refresh(self) -> int:
+        """Absorb everything committed to the source since the last
+        apply. Returns the number of changelog rows absorbed (0 when
+        already current). One atomic stamped commit; idempotent under
+        replay."""
+        plan = self.plan_refresh()
+        if plan is None:
+            return 0
+        merged, n_rows, stamp = plan
+        self.target.upsert_by_key(merged, self.group_cols, extra_summary=stamp)
         return n_rows
 
     def read(self) -> DataFrame:
@@ -223,12 +233,12 @@ class IncrementalJoinAggregate:
             return tbl.spark.createDataFrame([], tbl.unified_schema()).select(*cols)
         return tbl.read(snapshot_id=snapshot_id).select(*cols)
 
-    def refresh(self) -> int:
+    def plan_refresh(self) -> tuple[DataFrame, int, dict[str, str]] | None:
         h1 = self.left.current_snapshot_id()
         h2 = self.right.current_snapshot_id()
         a1, a2 = self.applied_offsets()
         if (h1, h2) == (a1, a2) or h1 is None or h2 is None:
-            return 0
+            return None
         lcols = [c.name for c in self.left.unified_schema().fields]
         rcols = [c.name for c in self.right.unified_schema().fields]
         d1 = (
@@ -257,7 +267,7 @@ class IncrementalJoinAggregate:
                 ).drop("_sign_r")
             )
         if not pieces:
-            return 0
+            return None
         joined = pieces[0]
         for p in pieces[1:]:
             joined = joined.unionByName(p.select(*joined.columns))
@@ -269,7 +279,7 @@ class IncrementalJoinAggregate:
         if n_delta == 0:
             # nothing joined — still advance offsets? No: leave them;
             # replaying an empty range is free and always empty again.
-            return 0
+            return None
         try:
             cur = self.target.read().select(
                 *self.group_cols, "row_count", "value_sum"
@@ -302,15 +312,57 @@ class IncrementalJoinAggregate:
                     "left_semi",
                 )
             )
-        self.target.upsert_by_key(
-            merged,
-            self.group_cols,
-            extra_summary={
-                LEFT_OFFSET_KEY: str(h1),
-                RIGHT_OFFSET_KEY: str(h2),
-            },
-        )
+        return merged, n_delta, {
+            LEFT_OFFSET_KEY: str(h1),
+            RIGHT_OFFSET_KEY: str(h2),
+        }
+
+    def refresh(self) -> int:
+        plan = self.plan_refresh()
+        if plan is None:
+            return 0
+        merged, n_delta, stamp = plan
+        self.target.upsert_by_key(merged, self.group_cols, extra_summary=stamp)
         return n_delta
 
     def read(self) -> DataFrame:
         return self.target.read().filter(F.col("row_count") > 0)
+
+
+def refresh_group(catalog: LedgerCatalog, views: list) -> int:
+    """Atomic MULTI-VIEW refresh: plan every view's delta absorption,
+    stage each apply commit (prepare=True — data files land, pointers
+    don't move), then advance ALL target pointers in one warehouse
+    transaction (sources/transactions.py). A reader joining the views
+    therefore always sees a CONSISTENT cross-view frontier — never
+    view 1 advanced while view 2 is stale.
+
+    Crash safety is the transaction WAL's: a crash before the intent
+    record leaves only invisible staged snapshots (next refresh
+    re-plans); a crash between pointer swaps is rolled forward at the
+    next catalog open by recover_pending. Offsets stay sink-anchored
+    per view, so a replay after roll-forward sees every offset already
+    stamped and absorbs nothing. Returns total changelog rows absorbed
+    across the group (0 = all current)."""
+    plans = []
+    for v in views:
+        p = v.plan_refresh()
+        if p is not None:
+            plans.append((v, p))
+    if not plans:
+        return 0
+    txn = catalog.transaction()
+    try:
+        for v, (merged, _n, stamp) in plans:
+            txn.upsert_by_key(
+                v.target.database,
+                v.target.name,
+                merged,
+                v.group_cols,
+                extra_summary=stamp,
+            )
+        txn.commit()
+    except BaseException:
+        txn.abort()
+        raise
+    return sum(n for _v, (_m, n, _s) in plans)

@@ -1394,6 +1394,7 @@ class LedgerTable:
         df: DataFrame,
         columns: list[str],
         extra_summary: dict[str, str] | None = None,
+        prepare: bool = False,
     ) -> Snapshot:
         """Streaming upsert (the Flink-CDC-into-Iceberg shape): ONE
         commit carrying an equality-delete of ``df``'s key tuples plus
@@ -1425,6 +1426,7 @@ class LedgerTable:
             added=eq_entries + data_entries,
             removed=[],
             parent=parent,
+            prepare=prepare,
         )
 
     def _apply_equality_deletes(

@@ -100,6 +100,20 @@ class WarehouseTransaction:
         t = self._table(database, name)
         return self._record(t, t.delete_partitions(predicate, prepare=True))
 
+    def upsert_by_key(
+        self, database: str, name: str, df, columns, extra_summary=None
+    ) -> Snapshot:
+        """Stage a CDC upsert (equality delete + append in one staged
+        snapshot) — the apply step of an IVM refresh; used by
+        ivm.refresh_group for atomic multi-view advancement."""
+        t = self._table(database, name)
+        return self._record(
+            t,
+            t.upsert_by_key(
+                df, columns, extra_summary=extra_summary, prepare=True
+            ),
+        )
+
     # -- commit / abort ------------------------------------------------
     @property
     def _intent_path(self) -> str:
