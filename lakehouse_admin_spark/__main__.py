@@ -26,6 +26,8 @@ same verbs. Machine-readable: every command prints one JSON document.
         [--create v1 --kind tag [--snapshot 3]] [--drop v1]
     python -m lakehouse_admin_spark changelog     -w /path -d main -t events_ledger \
         --from-snapshot 2 [--to-snapshot 5]
+    python -m lakehouse_admin_spark sketch        -w /path -d main -t events_ledger \
+        --columns user_id,event_type
 """
 
 from __future__ import annotations
@@ -73,7 +75,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in (
         "databases", "tables", "describe", "summary", "drilldown", "files",
         "refresh", "integrity", "optimize", "expire", "orphans", "rollback",
-        "tasks", "settings", "history", "refs", "changelog",
+        "tasks", "settings", "history", "refs", "changelog", "sketch",
     ):
         sp = cmd(name)
         if name == "refs":
@@ -83,6 +85,8 @@ def main(argv: list[str] | None = None) -> int:
         if name == "changelog":
             sp.add_argument("--from-snapshot", type=int, dest="from_snapshot")
             sp.add_argument("--to-snapshot", type=int, dest="to_snapshot")
+        if name == "sketch":
+            sp.add_argument("--columns", default="")
 
     args = p.parse_args(argv)
     selected = dict(s.split("=", 1) for s in args.select)
@@ -176,6 +180,18 @@ def main(argv: list[str] | None = None) -> int:
             "to": to_id,
             "changes": _df_rows(log),
         })
+    elif args.cmd == "sketch":
+        # Puffin-style compute-stats procedure (sources/sketches.py):
+        # per-file Bloom+NDV sidecar enabling '=' file skipping on
+        # non-sorted, non-bucketed columns
+        from lakehouse_admin_spark.sources.sketches import compute_file_sketches
+
+        cols = [c for c in args.columns.split(",") if c]
+        if not cols:
+            _emit({"error": "--columns col1[,col2...] required"})
+            return 1
+        tbl = admin.catalog.table(args.database, args.table)
+        _emit(compute_file_sketches(tbl, cols))
     elif args.cmd == "settings":
         # GET/PUT /api/settings (reference: service_settings.go:30-34):
         # known keys only; updates are runtime-effective (the engine

@@ -145,3 +145,24 @@ def test_history_refs_changelog_cli(admin, capsys):
     assert out["to"] == tbl.current_snapshot_id()
     kinds = {c["_change_type"] for c in out["changes"]}
     assert "insert" in kinds
+
+
+def test_sketch_cli_surface(admin, capsys):
+    """The compute-stats procedure via CLI: builds the Bloom sidecar,
+    reports files/columns, and subsequent '=' plans prune files."""
+    import json
+
+    from lakehouse_admin_spark import __main__ as cli
+
+    wh = admin.catalog.warehouse
+    assert cli.main(["-w", wh, "sketch", "-t", "events_ledger"]) == 1  # no cols
+    capsys.readouterr()
+    assert cli.main(["-w", wh, "sketch", "-t", "events_ledger",
+                     "--columns", "user_id"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["columns"] == ["user_id"]
+    assert out["files_sketched"] > 0
+    tbl = admin.catalog.table("main", "events_ledger")
+    key = tbl.read().agg({"user_id": "min"}).collect()[0][0]
+    planned = tbl.plan_files([("user_id", "=", int(key))])
+    assert len(planned) <= out["files_sketched"]
