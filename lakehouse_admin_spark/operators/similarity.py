@@ -851,13 +851,15 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_pq_oracle() -> str:
+def _ivf_pq_oracle(tail: str | None = None) -> str:
     """DuckDB replay of the composed IVF+PQ pipeline: the multiprobe
     cell selection (per-label mean centroids, top-IVF_PROBES cells per
     query by centroid cosine) feeding the PQ/ADC ranking — ADC is
-    summed ONLY over codes in the probed cells. MATERIALIZED CTEs:
-    subdist is referenced by codes and lut, and DuckDB re-inlines per
-    reference otherwise."""
+    summed ONLY over codes in the probed cells. ``tail`` replaces the
+    default final ranking (the re-rank query appends its shortlist +
+    exact-cosine CTEs instead). MATERIALIZED CTEs: subdist is
+    referenced by codes and lut, and DuckDB re-inlines per reference
+    otherwise."""
     sq = (
         "(CAST(e.embedding[m.m * 8 + d + 1] AS DOUBLE)"
         " - CAST(cb.embedding[m.m * 8 + d + 1] AS DOUBLE))"
@@ -911,7 +913,7 @@ def _ivf_pq_oracle() -> str:
     lut AS MATERIALIZED (
         SELECT * FROM subdist WHERE vec_id % {QUERY_STRIDE} = 0
     ),
-    adc AS (
+    adc AS MATERIALIZED (
         SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
                ROUND(SUM(l.d2), 6) AS approx_dist
         FROM codes c
@@ -919,7 +921,7 @@ def _ivf_pq_oracle() -> str:
         JOIN lut l ON l.vec_id = p.qid AND l.m = c.m AND l.k = c.code
         WHERE c.vec_id <> l.vec_id
         GROUP BY 1, 2
-    ),
+    )""" + (tail if tail is not None else f""",
     ranked AS (
         SELECT query_id, neighbor_id, approx_dist,
                CAST(row_number() OVER (
@@ -930,7 +932,7 @@ def _ivf_pq_oracle() -> str:
     SELECT query_id, neighbor_id, approx_dist, rank
     FROM ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
-    """
+    """)
 
 
 @query("ann_ivf_pq_topk", oracle=_ivf_pq_oracle())
