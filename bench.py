@@ -65,6 +65,11 @@ HEADLINE = [
     "ledger_ivm_rollup",  # r3: incrementally-maintained rollup
     "bigram_lm_xent",  # r3: LM perplexity quality scoring
     "dataset_card",  # r3: one-pass corpus datasheet
+    "ann_ivf_pq_topk",  # r5: IVF(√n kmeans cells)+PQ/ADC composition
+    "ann_ivf_pq_rerank",  # r5: IVFADC + exact re-rank (FAISS serving shape)
+    "hnsw_search",  # r5: hierarchical descent + NND layer builds
+    "nn_descent_graph",  # r5: the serving-tier edge index build cost
+    "ledger_sketch_lookup",  # r5: Bloom-sidecar-pruned point lookup
 ]
 
 

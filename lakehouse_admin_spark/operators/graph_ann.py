@@ -237,8 +237,12 @@ def nn_descent_edges(
         )
         cand = edges.union(non).distinct()
         # localCheckpoint per round: the self-join lineage otherwise
-        # doubles the plan each pass and plan compilation blows up
+        # doubles the plan each pass and plan compilation blows up.
+        # The superseded round's checkpoint is freed eagerly (blocks
+        # otherwise linger until GC — rounds × graph size of storage).
+        prev = graph
         graph = rank_topk(cand, pool).localCheckpoint()
+        _free_checkpoint(prev)
     return graph.filter(F.col("rank") <= KNN_K)
 
 
@@ -387,13 +391,30 @@ _GRAPH_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
 GRAPH_CACHE_MAX = 16
 
 
+def _free_checkpoint(df: DataFrame | None) -> None:
+    """Promptly release a localCheckpoint'd DataFrame's storage blocks.
+    Dropping the Python reference alone leaves the checkpointed RDD in
+    executor storage until the JVM GC + ContextCleaner get to it; a
+    bounded cache must free on EVICTION, not eventually. The analyzed
+    plan of a checkpointed Dataset is a LogicalRDD whose backing RDD we
+    unpersist directly (best-effort: a non-checkpointed df just
+    no-ops)."""
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _cached(key: tuple, build) -> DataFrame:
     df = _GRAPH_CACHE.get(key)
     if df is None:
         df = build()
         _GRAPH_CACHE[key] = df
         while len(_GRAPH_CACHE) > GRAPH_CACHE_MAX:
-            _GRAPH_CACHE.popitem(last=False)
+            _, evicted = _GRAPH_CACHE.popitem(last=False)
+            _free_checkpoint(evicted)
     else:
         _GRAPH_CACHE.move_to_end(key)
     return df
@@ -401,12 +422,14 @@ def _cached(key: tuple, build) -> DataFrame:
 
 def invalidate_graph_caches(sf_dir: str | None = None) -> int:
     """Drop cached graph indexes — ALL of them, or only those built
-    over ``sf_dir`` (call after rewriting that tier's embeddings).
+    over ``sf_dir`` (call after rewriting that tier's embeddings) —
+    and unpersist their checkpointed blocks immediately.
     Returns the number of evicted entries."""
     keys = [
         k for k in _GRAPH_CACHE if sf_dir is None or k[2] == sf_dir
     ]
     for k in keys:
+        _free_checkpoint(_GRAPH_CACHE[k])
         del _GRAPH_CACHE[k]
     return len(keys)
 
@@ -491,6 +514,7 @@ def graph_ann_search(
             .select("query_id", F.col("dst").alias("node"))
         )
         cand = beam.select("query_id", "node").union(expand).distinct()
+        prev = beam
         beam = (
             with_cos(cand)
             .withColumn("rn", F.row_number().over(w))
@@ -498,6 +522,7 @@ def graph_ann_search(
             .drop("rn")
             .localCheckpoint()
         )
+        _free_checkpoint(prev)
     return (
         beam.filter(F.col("node") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(w).cast("int"))
@@ -537,6 +562,24 @@ def nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 HNSW_M = 6  # neighbors per node in upper-layer graphs
 HNSW_MAX_LEVEL = 3
 _HNSW_U_DEN = float(1 << 32)
+LAYER_POOL = 3 * HNSW_M  # subset-NND candidate pool for layer builds
+LAYER_ROUNDS = 2  # subset-NND refinement rounds per layer
+NND_SEED_GROUP = 6  # md5-bucket group size for the subset-NND init
+
+
+def _hnsw_level_col():
+    """The deterministic level EXPRESSION (computed from vec_id alone,
+    so layer membership never needs a join): u = md5-derived uniform in
+    (0,1], level = min(MAX, floor(-ln(u)/ln(M)))."""
+    u = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_HNSW_U_DEN)
+    return F.least(
+        F.lit(HNSW_MAX_LEVEL),
+        F.floor(-F.log(u) / math.log(HNSW_M)).cast("int"),
+    )
 
 
 def hnsw_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,45 +588,110 @@ def hnsw_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution of Malkov/Yashunin (TPAMI 2020) with the randomness
     replaced by a replayable hash."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
-    u = (
-        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        + F.lit(1.0)
-    ) / F.lit(_HNSW_U_DEN)
-    level = F.least(
-        F.lit(HNSW_MAX_LEVEL),
-        F.floor(-F.log(u) / math.log(HNSW_M)).cast("int"),
+    return emb.select("vec_id", _hnsw_level_col().alias("level"))
+
+
+def _subset_nnd_edges(
+    spark: SparkSession,
+    emb_sub: DataFrame,
+    pool: int,
+    rounds: int,
+    keep: int,
+) -> DataFrame:
+    """NN-descent over an ARBITRARY node subset (src, dst) — the layer
+    builds can't reuse :func:`nn_descent_edges`' closed-form init
+    because a subset's ids aren't contiguous. Init instead hashes each
+    node into pseudo-random groups of ~NND_SEED_GROUP via seeded md5
+    buckets (n_seeds independent groupings ≈ the proposal pool) and
+    proposes all within-group pairs — fully distributed (grouped
+    self-join keyed on (seed, bucket), never a cross join) and
+    replayable in SQL (:func:`_subset_nnd_cte` derives identical
+    buckets from the same md5 prefix). Refinement = the standard
+    neighbor-of-neighbor rounds with 6dp cosines and id tiebreaks."""
+    nl = emb_sub.count()
+    if nl <= 1:
+        return spark.createDataFrame([], "src bigint, dst bigint")
+    nb = max(1, math.ceil(nl / NND_SEED_GROUP))
+    n_seeds = max(1, math.ceil(pool / (NND_SEED_GROUP - 1)))
+    b = emb_sub.select("vec_id").select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(j) for j in range(n_seeds)])).alias("seed"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("seed").cast("string"),
+                        F.col("vec_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(nb),
     )
-    return emb.select("vec_id", level.alias("level"))
+    u = b.select(F.col("vec_id").alias("src"), "seed", "bucket")
+    v = b.select(F.col("vec_id").alias("dst"), "seed", "bucket")
+    g = (
+        u.join(v, ["seed", "bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    ea = emb_sub.select(F.col("vec_id").alias("src"), F.col("embedding").alias("se"))
+    eb = emb_sub.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("de"))
+    da, db = _as_double(F.col("se")), _as_double(F.col("de"))
+    cos = F.round(
+        pair_dot(da, db) / (F.sqrt(pair_dot(da, da)) * F.sqrt(pair_dot(db, db))), 6
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+
+    def rank_topk(cand_edges: DataFrame, keep_n: int) -> DataFrame:
+        return (
+            cand_edges.join(ea, "src")
+            .join(eb, "dst")
+            .select("src", "dst", cos.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= keep_n)
+        )
+
+    graph = rank_topk(g, pool).localCheckpoint()
+    for _ in range(rounds):
+        edges = graph.select("src", "dst")
+        und = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        a = und.select(F.col("src").alias("x"), F.col("dst").alias("u"))
+        b2 = und.select(F.col("src").alias("x"), F.col("dst").alias("v"))
+        non = (
+            a.join(b2, "x")
+            .filter(F.col("u") != F.col("v"))
+            .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        )
+        cand = edges.union(non).distinct()
+        prev = graph
+        graph = rank_topk(cand, pool).localCheckpoint()
+        _free_checkpoint(prev)
+    return graph.filter(F.col("rank") <= keep).select("src", "dst")
 
 
 def _layer_edges(spark: SparkSession, sf_dir: str, layer: int) -> DataFrame:
     """Undirected M-NN graph among the nodes of one UPPER layer
-    (level >= layer). Upper layers are geometrically small (n/M^l), so
-    the build is a broadcast self-join top-M — cached in the bounded
-    LRU (see ``_cached`` / :func:`invalidate_graph_caches`)."""
+    (level >= layer), built with SUBSET NN-DESCENT — sub-quadratic in
+    the layer size. The r4 version was a broadcast crossJoin self-join:
+    fine for the top layers but layer 1 holds ~n/M of the corpus, which
+    is neither broadcastable nor all-pairs-scannable at 100 TB. Cached
+    in the bounded LRU (see ``_cached`` / :func:`invalidate_graph_caches`)."""
 
     def build() -> DataFrame:
-        from lakehouse_admin_spark.operators.similarity import cosine_expr
-
         emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        nodes = hnsw_levels(spark, sf_dir).filter(F.col("level") >= layer)
-        sub = emb.join(F.broadcast(nodes.select("vec_id")), "vec_id")
-        a = sub.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ae"))
-        b = sub.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("be"))
-        w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
-        g = (
-            a.crossJoin(F.broadcast(b))
-            .filter(F.col("src") != F.col("dst"))
-            .select(
-                "src",
-                "dst",
-                F.round(cosine_expr(F.col("ae"), F.col("be")), 6).alias("cos"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= HNSW_M)
-            .select("src", "dst")
-        )
+        sub = emb.filter(_hnsw_level_col() >= layer)
+        g = _subset_nnd_edges(spark, sub, LAYER_POOL, LAYER_ROUNDS, HNSW_M)
         und = g.union(
             g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
@@ -592,14 +700,83 @@ def _layer_edges(spark: SparkSession, sf_dir: str, layer: int) -> DataFrame:
     return _cached(("layer", id(spark), sf_dir, layer), build)
 
 
+def _subset_nnd_cte(
+    p: str,
+    nodes: str,
+    pool: int = LAYER_POOL,
+    rounds: int = LAYER_ROUNDS,
+    keep: int = HNSW_M,
+) -> str:
+    """CTE chain replaying :func:`_subset_nnd_edges` over the node
+    relation ``nodes`` (one vec_id column), all names prefixed ``p``;
+    terminates in ``{p}out`` (src, dst). Requires ``pairs`` in scope.
+    Buckets derive from the same md5 hex prefix as Spark's
+    conv(…,16,10) (the proven-equal hnsw-levels arithmetic)."""
+    n_seeds = max(1, math.ceil(pool / (NND_SEED_GROUP - 1)))
+    ctes = [f"""
+    {p}n AS MATERIALIZED (
+        SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {NND_SEED_GROUP}.0) AS BIGINT)) AS nb
+        FROM {nodes}
+    ),
+    {p}b AS MATERIALIZED (
+        SELECT v.vec_id, s.seed,
+               CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' ||
+                    CAST(v.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % (SELECT nb FROM {p}n) AS bucket
+        FROM {nodes} v CROSS JOIN (SELECT UNNEST(range({n_seeds})) AS seed) s
+    ),
+    {p}i AS MATERIALIZED (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM {p}b a JOIN {p}b b
+          ON a.seed = b.seed AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    {p}g0 AS MATERIALIZED (
+        SELECT src, dst, cos, rn FROM (
+            SELECT i.src, i.dst, pr.cos,
+                   row_number() OVER (PARTITION BY i.src
+                                      ORDER BY pr.cos DESC, i.dst) AS rn
+            FROM {p}i i JOIN pairs pr ON pr.src = i.src AND pr.dst = i.dst
+        ) WHERE rn <= {pool}
+    )"""]
+    prev = f"{p}g0"
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+    {p}u{r} AS MATERIALIZED (
+        SELECT src, dst FROM {prev} UNION SELECT dst, src FROM {prev}
+    ),
+    {p}nb{r} AS MATERIALIZED (
+        SELECT DISTINCT a.dst AS src, b.dst AS dst
+        FROM {p}u{r} a JOIN {p}u{r} b ON a.src = b.src
+        WHERE a.dst <> b.dst
+    ),
+    {p}c{r} AS MATERIALIZED (
+        SELECT src, dst FROM {prev} UNION SELECT src, dst FROM {p}nb{r}
+    ),
+    {p}g{r} AS MATERIALIZED (
+        SELECT src, dst, cos, rn FROM (
+            SELECT c.src, c.dst, pr.cos,
+                   row_number() OVER (PARTITION BY c.src
+                                      ORDER BY pr.cos DESC, c.dst) AS rn
+            FROM {p}c{r} c JOIN pairs pr ON pr.src = c.src AND pr.dst = c.dst
+        ) WHERE rn <= {pool}
+    )""")
+        prev = f"{p}g{r}"
+    ctes.append(f"""
+    {p}out AS MATERIALIZED (SELECT src, dst FROM {prev} WHERE rn <= {keep})""")
+    return ",".join(ctes)
+
+
 def _hnsw_oracle() -> str:
     """Unrolled HNSW oracle: levels from the same md5-derived uniform
     (DuckDB parses the hex prefix via CAST('0x'||… AS BIGINT), which
     equals Spark's conv(…,16,10)), per-layer M-NN graphs among
-    level>=l nodes, the greedy descent unrolled layer-by-layer from
-    HNSW_MAX_LEVEL (layers above the realized l_max have empty node
-    sets, so their rounds are no-ops — equivalent to Spark starting at
-    l_max), then the layer-0 beam walk over the NN-descent edges."""
+    level>=l nodes built by SUBSET NN-DESCENT (:func:`_subset_nnd_cte`
+    — replaying :func:`_subset_nnd_edges`'s md5-bucket init and NoN
+    rounds, no all-pairs layer build), the greedy descent unrolled
+    layer-by-layer from HNSW_MAX_LEVEL (layers above the realized
+    l_max have empty node sets, so their rounds are no-ops —
+    equivalent to Spark starting at l_max), then the layer-0 beam walk
+    over the NN-descent edges."""
     from lakehouse_admin_spark.operators.similarity import QUERY_STRIDE
 
     head = f"""
@@ -640,19 +817,10 @@ def _hnsw_oracle() -> str:
     for layer in range(HNSW_MAX_LEVEL, 0, -1):
         parts.append(f"""
     ln{layer} AS MATERIALIZED (SELECT vec_id FROM levels WHERE level >= {layer}),
-    lg{layer} AS MATERIALIZED (
-        SELECT src, dst FROM (
-            SELECT p.src, p.dst,
-                   row_number() OVER (PARTITION BY p.src
-                                      ORDER BY p.cos DESC, p.dst) AS rn
-            FROM pairs p
-            JOIN ln{layer} a ON a.vec_id = p.src
-            JOIN ln{layer} b ON b.vec_id = p.dst
-        ) WHERE rn <= {HNSW_M}
-    ),
+    {_subset_nnd_cte(f"l{layer}", f"ln{layer}")},
     le{layer} AS MATERIALIZED (
-        SELECT src, dst FROM lg{layer}
-        UNION SELECT dst AS src, src AS dst FROM lg{layer}
+        SELECT src, dst FROM l{layer}out
+        UNION SELECT dst AS src, src AS dst FROM l{layer}out
     )""")
         for _ in range(2):  # two greedy rounds per layer, like Spark
             step += 1
@@ -759,6 +927,7 @@ def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("query_id", F.col("dst").alias("node"))
             )
             cand = cur.select("query_id", "node").union(expand).distinct()
+            prev = cur
             cur = (
                 with_cos(cand)
                 .withColumn("rn", F.row_number().over(w))
@@ -766,6 +935,7 @@ def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .drop("rn")
                 .localCheckpoint()
             )
+            _free_checkpoint(prev)
     # layer 0: beam search seeded by the descended entry per query,
     # over the sub-quadratically-built NN-descent edge index
     edges0 = _undirected_edges(spark, sf_dir)
@@ -777,6 +947,7 @@ def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", F.col("dst").alias("node"))
         )
         cand = beam.select("query_id", "node").union(expand).distinct()
+        prev = beam
         beam = (
             with_cos(cand)
             .withColumn("rn", F.row_number().over(w))
@@ -784,6 +955,7 @@ def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("rn")
             .localCheckpoint()
         )
+        _free_checkpoint(prev)
     return (
         beam.filter(F.col("node") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(w).cast("int"))

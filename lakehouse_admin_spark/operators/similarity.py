@@ -6,23 +6,38 @@ Training-data-pipeline extension: approximate-nearest-neighbor search.
   Dot products run as JVM higher-order functions (zip_with + aggregate)
   in double precision; ranking is on the 6-decimal-rounded cosine with an
   id tiebreak so the selected set is deterministic across engines.
-- ``ann_ivf_topk``: the scale path — IVF-style cell restriction (here the
-  ``label`` column stands in for a k-means cell id; at 100 TB you'd
-  assign cells with a trained centroid table broadcast to executors and
-  probe n_cells ≪ N). Candidate set per query shrinks by the cell
-  fan-out, and the join is keyed on the cell id, not a cross join.
+- ``ann_ivf_topk``: IVF-style cell restriction with the ``label`` column
+  standing in for a cell id — the untrained demonstration tier.
+- ``ann_ivf_multiprobe`` / ``ann_ivf_pq_topk`` / ``ann_ivf_pq_rerank``:
+  the scale path — a TRAINED coarse quantizer (:func:`ivf_cells`,
+  deterministic Lloyd k-means with k ≈ √n cells so probed mass per
+  query is ~probes·√n, the FAISS sizing rule), optionally composed
+  with PQ/ADC ranking and an exact re-rank of the ADC shortlist (the
+  FAISS IVFADC serving shape). Every stage is replayed bit-for-bit by
+  the DuckDB oracles (:func:`_kmeans_cte`).
+- ``embedding_lsh_near_dup``: sign-random-projection LSH whose
+  bits-per-band GROW with the corpus (:func:`lsh_bits_per_band`) so
+  candidate volume stays linear in n.
 - ``embedding_norms``: the cheap precomputation pass (norms are computed
   once and stored, so repeated queries skip half the arithmetic).
 """
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 
 from lakehouse_admin_spark.registry import query
@@ -32,11 +47,28 @@ TOP_K = 5
 QUERY_STRIDE = 100  # vec_id % stride == 0 → query vector
 NEAR_DUP_THRESHOLD = 0.4
 BLOCK_SIZE = 256  # vectors per block-matrix tile; ~4096 at corpus scale
-LSH_HYPERPLANES = 32  # sign-random-projection bits
-LSH_BANDS = 4  # 4 bands × 8 bits: 256 buckets/band keeps candidate
-# volume Σ|bucket|² sub-quadratic (4-bit bands put ~n/16 docs in every
-# bucket — measured 9.5 s at sf0.1 from verify-join blowup; 8-bit
-# bands cut it to ~1 s)
+LSH_BANDS = 4  # band count b in the 1-(1-s^r)^b recall curve
+LSH_TARGET_BUCKET = 8  # target MEAN bucket occupancy n/2^r
+LSH_MIN_BITS = 4  # bits-per-band clamp (r)
+LSH_MAX_BITS = 16
+# Bits per band GROW with the corpus: candidate volume is
+# Σ|bucket|² ≈ b·n²/2^r, so a CONSTANT r goes quadratic the moment n
+# outgrows 2^r (measured r4 stress: fixed r=8 → 15.8× time at 4×
+# rows). Holding mean occupancy n/2^r ≈ LSH_TARGET_BUCKET makes the
+# candidate volume ≈ b·n·TARGET — linear in n. The recall curve shifts
+# with r as 1-(1-s^r)^b (documented per tier; near-dups at s→1 stay
+# caught), and the oracle derives the SAME r from COUNT(*) in SQL.
+
+
+def lsh_bits_per_band(n: int) -> int:
+    """The corpus-scaled signature width: smallest r with
+    2^r >= ceil(n / LSH_TARGET_BUCKET), clamped to
+    [LSH_MIN_BITS, LSH_MAX_BITS]. Integer arithmetic only — the DuckDB
+    oracle replays the identical derivation (bit-shift scan, no
+    float log2 whose last-ulp could flip a ceil cross-engine)."""
+    m = -(-max(int(n), 1) // LSH_TARGET_BUCKET)
+    r = max(1, (m - 1).bit_length())
+    return max(LSH_MIN_BITS, min(LSH_MAX_BITS, r))
 
 
 # DoubleType() instance, not "double": the DDL-string form parses via
@@ -185,74 +217,216 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_PROBES = 2  # multi-probe width: nearest cells searched per query
+IVF_ITERS = 2  # Lloyd update rounds for the coarse quantizer
 
 
-def _ivf_probes(emb: DataFrame, probes: int = IVF_PROBES) -> DataFrame:
-    """(query_id, qe, label) — the ``probes`` nearest IVF cells per
-    stride query, ranked by query-to-centroid cosine. The coarse
-    quantizer is the per-label mean vector (deterministic, SQL-
-    replayable); centroids are |cells| rows, broadcast against the
-    query set — metadata-scale work."""
-    # centroid arrays: per-dim mean folded back into an ordered array
-    cents = (
-        emb.select("label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(F.avg("v").alias("v"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
-            ).alias("ce")
-        )
+def ivf_cell_count(n: int) -> int:
+    """k ≈ √n — the FAISS IVF sizing rule: with k cells a probe touches
+    ~n/k = √n codes, so per-query cost grows as √n instead of the Θ(n)
+    a CONSTANT cell count degenerates to (measured r4 stress: the 20
+    label-cells gave 18.4× time at 4× rows). CEIL(SQRT(n)) is replayed
+    verbatim in the oracle (IEEE sqrt is correctly rounded — both
+    engines agree bit-for-bit)."""
+    return max(1, math.ceil(math.sqrt(max(int(n), 1))))
+
+
+def ivf_cells(
+    spark: SparkSession, emb: DataFrame, iters: int = IVF_ITERS
+) -> tuple[DataFrame, DataFrame]:
+    """Train the IVF coarse quantizer: deterministic Lloyd k-means with
+    k = :func:`ivf_cell_count`, init = the k lowest vec_ids, ``iters``
+    update rounds, then a FINAL assignment against the trained
+    centroids. Returns ``(cells, centroids)`` as
+    ``(vec_id, cell)`` / ``(cell, ce array<double>)`` DataFrames.
+
+    Deterministic and SQL-replayable (:func:`_kmeans_cte` unrolls the
+    same rounds in DuckDB): centroid means are 5dp-rounded each round
+    (the embedding_centroids convention — partial-aggregation order
+    can't flip a value), assignments argmin squared-L2 with
+    lowest-cell tiebreak. Scale shape: per round one Arrow-batched
+    assignment kernel (broadcast k×dim matrix, one BLAS distance
+    matmul per batch — the n·k term lives inside BLAS) plus one
+    (cell,dim)-keyed aggregate with map-side partial combine; only the
+    k×dim centroid matrix ever reaches the driver."""
+    n = emb.count()
+    k = ivf_cell_count(n)
+    dim = 64
+    init_rows = emb.orderBy("vec_id").limit(k).select("embedding").collect()
+    centroids = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in init_rows]
     )
+
+    assign_schema = StructType(
+        [StructField("vec_id", LongType()), StructField("cell", IntegerType())]
+    )
+
+    def assign_df(cents: np.ndarray) -> DataFrame:
+        bc = spark.sparkContext.broadcast(cents)
+
+        # nested so cloudpickle ships by value (foreign-cwd drivers)
+        def assign(batches):
+            c = bc.value  # (k, dim)
+            c_sq = (c * c).sum(axis=1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+                )
+                # ||x-c||² ranking via ||c||² - 2x·c (||x||² constant
+                # per row); argmin keeps the LOWEST cell id on ties —
+                # the oracle's (d2, cl) row_number order
+                d = -2.0 * (m @ c.T) + c_sq[None, :]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                        "cell": d.argmin(axis=1).astype(np.int32),
+                    }
+                )
+
+        return emb.select("vec_id", "embedding").mapInPandas(assign, assign_schema)
+
+    for _ in range(iters):
+        a = assign_df(centroids)
+        sums = (
+            emb.join(a, "vec_id")
+            .select(
+                "cell", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("v"), 5).alias("cv"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        for r in sums:
+            new_c[r["cell"], r["pos"]] = r["cv"]
+        centroids = new_c  # cells with no members keep their centroid
+    cells = assign_df(centroids)
+    cents_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in centroids[c]]) for c in range(k)],
+        "cell int, ce array<double>",
+    )
+    return cells, cents_df
+
+
+def _kmeans_cte(iters: int = IVF_ITERS) -> str:
+    """CTE chain replaying :func:`ivf_cells` in DuckDB: ``knn`` (n, k),
+    ``kc0`` (init centroids), per round ``ka{i}`` (argmin assignment,
+    lowest-cell ties) and ``kc{i}`` (5dp-rounded per-dim means, empty
+    cells keep the previous centroid), terminating in ``kcells``
+    (vec_id, cl — the FINAL assignment) and ``kcent`` (cl, ce)."""
+    d2 = (
+        "list_sum(list_transform(list_zip(e.embedding, c.ce), "
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+    )
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""
+    {name} AS MATERIALIZED (
+        SELECT vec_id, cl FROM (
+            SELECT e.vec_id, c.cl,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {d2}, c.cl) AS rn
+            FROM embeddings e CROSS JOIN {cents} c
+        ) WHERE rn = 1
+    )"""
+
+    ctes = [
+        """
+    knn AS MATERIALIZED (
+        SELECT COUNT(*) AS n,
+               GREATEST(1, CAST(CEIL(SQRT(COUNT(*))) AS INT)) AS k
+        FROM embeddings
+    ),
+    kc0 AS MATERIALIZED (
+        SELECT CAST(rn - 1 AS INT) AS cl,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        FROM (SELECT vec_id, embedding,
+                     row_number() OVER (ORDER BY vec_id) AS rn
+              FROM embeddings)
+        WHERE rn <= (SELECT k FROM knn)
+    )"""
+    ]
+    prev = "kc0"
+    for i in range(1, iters + 1):
+        ctes.append(assign_cte(f"ka{i}", prev))
+        ctes.append(f"""
+    kc{i} AS MATERIALIZED (
+        SELECT p.cl, COALESCE(m.ce, p.ce) AS ce
+        FROM {prev} p LEFT JOIN (
+            SELECT cl, list(cv ORDER BY dim) AS ce FROM (
+                SELECT a.cl, d.dim,
+                       ROUND(AVG(CAST(e.embedding[d.dim] AS DOUBLE)), 5) AS cv
+                FROM ka{i} a
+                JOIN embeddings e ON e.vec_id = a.vec_id
+                CROSS JOIN (SELECT UNNEST(range(1, 65)) AS dim) d
+                GROUP BY a.cl, d.dim
+            ) GROUP BY cl
+        ) m ON m.cl = p.cl
+    )""")
+        prev = f"kc{i}"
+    ctes.append(assign_cte("kcells", prev))
+    ctes.append(f"""
+    kcent AS MATERIALIZED (SELECT cl, ce FROM {prev})""")
+    return ",".join(ctes)
+
+
+# probe-selection CTEs shared by the IVF oracles: stride queries ranked
+# against the trained centroids by 6dp cosine, top-IVF_PROBES cells
+_KPROBE_CTE = f"""
+    q AS MATERIALIZED (
+        SELECT vec_id AS qid, embedding AS qe
+        FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+    ),
+    pc AS (
+        SELECT q.qid, c.cl,
+               ROUND(
+                 list_sum(list_transform(list_zip(q.qe, c.ce),
+                          p -> CAST(p[1] AS DOUBLE) * p[2]))
+                 / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(c.ce, x -> x * x)))), 6) AS pcos
+        FROM q CROSS JOIN kcent c
+    ),
+    probes AS MATERIALIZED (
+        SELECT qid, cl FROM (
+            SELECT qid, cl,
+                   row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, cl) AS pr
+            FROM pc
+        ) WHERE pr <= {IVF_PROBES}
+    )"""
+
+
+def _ivf_probes_kmeans(
+    emb: DataFrame, cents_df: DataFrame, probes: int = IVF_PROBES
+) -> DataFrame:
+    """(query_id, qe, cell) — the ``probes`` nearest trained cells per
+    stride query, ranked by query-to-centroid cosine. Centroids are k
+    rows broadcast against the query set — metadata-scale work."""
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     pcos = F.round(cosine_expr(F.col("qe"), F.col("ce")), 6)
-    pw = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("label"))
+    pw = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("cell"))
     return (
-        queries.crossJoin(F.broadcast(cents))
+        queries.crossJoin(F.broadcast(cents_df))
         .withColumn("pcos", pcos)
         .withColumn("pr", F.row_number().over(pw))
         .filter(F.col("pr") <= probes)
-        .select("query_id", "qe", "label")
+        .select("query_id", "qe", "cell")
     )
 
 
 @query(
     "ann_ivf_multiprobe",
     oracle=f"""
-    WITH cent AS (
-        SELECT label, dim, AVG(CAST(embedding[dim] AS DOUBLE)) AS cv
-        FROM (SELECT label, UNNEST(range(1, 65)) AS dim, embedding FROM embeddings)
-        GROUP BY label, dim
-    ),
-    centv AS (SELECT label, list(cv ORDER BY dim) AS ce FROM cent GROUP BY label),
-    q AS (
-        SELECT vec_id AS qid, embedding AS qe
-        FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
-    ),
-    pc AS (
-        SELECT q.qid, c.label,
-               ROUND(
-                 list_sum(list_transform(list_zip(q.qe, c.ce),
-                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-                 / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                    * sqrt(list_sum(list_transform(c.ce, x -> x * x)))), 6) AS pcos
-        FROM q CROSS JOIN centv c
-    ),
-    probes AS (
-        SELECT qid, label FROM (
-            SELECT qid, label,
-                   row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, label) AS pr
-            FROM pc
-        ) WHERE pr <= {IVF_PROBES}
-    ),
+    WITH {{KMEANS}},
+    {{KPROBE}},
     pairs AS (
         SELECT q.qid, e.vec_id AS cid, q.qe, e.embedding AS ce
         FROM q
         JOIN probes p ON p.qid = q.qid
-        JOIN embeddings e ON e.label = p.label AND e.vec_id <> q.qid
+        JOIN kcells kc ON kc.cl = p.cl
+        JOIN embeddings e ON e.vec_id = kc.vec_id AND e.vec_id <> q.qid
     ),
     dots AS (
         SELECT qid, cid,
@@ -271,32 +445,36 @@ def _ivf_probes(emb: DataFrame, probes: int = IVF_PROBES) -> DataFrame:
     SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
-    """,
+    """.replace("{KMEANS}", _kmeans_cte()).replace("{KPROBE}", _KPROBE_CTE),
 )
 def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe IVF top-k: rank cells by query-to-centroid cosine,
-    search the IVF_PROBES nearest cells per query.
+    """Multi-probe IVF top-k: rank TRAINED k-means cells by
+    query-to-centroid cosine, search the IVF_PROBES nearest cells per
+    query.
 
-    The coarse quantizer is the per-label mean vector — deterministic,
-    so the whole index build + probe + search replays in SQL (a trained
-    k-means codebook slots in without changing the plan: see
-    kmeans_lloyd / ann_ivf_topk for the single-probe variants).
+    The coarse quantizer is deterministic Lloyd k-means with k ≈ √n
+    cells (:func:`ivf_cells`) — the cell count GROWS with the corpus,
+    so probed mass per query is ~IVF_PROBES·√n instead of the Θ(n) a
+    constant cell count degenerates to (the r4 label-cell version
+    measured 18.4× time at 4× rows). The whole build + probe + search
+    replays in SQL (:func:`_kmeans_cte`).
 
-    Scale shape: centroids are |cells| rows (broadcast); probing is
-    queries × |cells| against the broadcast (embarrassingly parallel);
-    the candidate join is keyed on the probed cell id, so the big side
+    Scale shape: centroids are k ≈ √n rows (broadcast); probing is
+    queries × k against the broadcast (embarrassingly parallel); the
+    candidate join is keyed on the probed cell id, so the big side
     shuffles by cell, never a cross join. Multi-probe is the standard
     recall knob — probes=2 roughly doubles candidates while staying
-    |cells|/probes times below brute force."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = _ivf_probes(emb).select("query_id", "qe", "label")
-    cands = emb.select(
+    k/probes times below brute force."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cells, cents = ivf_cells(spark, emb)
+    probes = _ivf_probes_kmeans(emb, cents).select("query_id", "qe", "cell")
+    cands = emb.join(cells, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("fe"),
-        F.col("label").alias("label"),
+        "cell",
     )
     sims = (
-        probes.join(cands, "label")
+        cands.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -445,33 +623,37 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_weights() -> list[list[float]]:
+def _lsh_weights(n_planes: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes via an LCG over the
     (hyperplane, dim) index — no RNG state, so the oracle can replay the
     exact weights in SQL: w = ((1103515245·i + 12345) mod 2³¹)/2³¹ − ½.
     Both sides compute r/2³¹ on exact integers (power-of-two divide is
-    exact in IEEE double), so the weights agree bitwise."""
+    exact in IEEE double), so the weights agree bitwise. The formula is
+    defined for ANY plane index, so the plane count scales with the
+    corpus (``LSH_BANDS * lsh_bits_per_band(n)``)."""
     return [
         [
             ((1103515245 * (h * 64 + d + 1) + 12345) % 2147483648) / 2147483648.0 - 0.5
             for d in range(64)
         ]
-        for h in range(LSH_HYPERPLANES)
+        for h in range(n_planes)
     ]
 
 
-def lsh_band_df(emb: DataFrame) -> DataFrame:
-    """(vec_id, band, bucket): sign-random-projection signature, banded.
+def lsh_band_df(emb: DataFrame, r: int) -> DataFrame:
+    """(vec_id, band, bucket): sign-random-projection signature with
+    ``r`` bits per band (pass ``lsh_bits_per_band(n)``), banded.
     One vectorized Arrow kernel: each batch computes ALL hyperplane
-    dots as a single (n,64)@(64,H) matmul (32 interpreted HOF
-    aggregates per row measured ~7 s at sf0.1; the kernel is ~0.1 s).
+    dots as a single (n,64)@(64,H) matmul (interpreted HOF aggregates
+    per row measured ~7 s at sf0.1; the kernel is ~0.1 s).
     Sign is taken on the 6dp-ROUNDED dot so cross-engine summation
     order can't flip a bit — the DuckDB oracle replays the same
     weights and rounding."""
     from pyspark.sql.types import IntegerType
 
-    weights = np.array(_lsh_weights(), dtype=np.float64).T  # (64, H)
-    r = LSH_HYPERPLANES // LSH_BANDS
+    n_planes = LSH_BANDS * r
+    weights = np.array(_lsh_weights(n_planes), dtype=np.float64).T  # (64, H)
+    bands_ct = LSH_BANDS
     schema = StructType(
         [
             StructField("vec_id", LongType()),
@@ -488,7 +670,7 @@ def lsh_band_df(emb: DataFrame) -> DataFrame:
             bits = (np.round(x @ weights, 6) >= 0).astype(np.int64)  # (n, H)
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             out_ids, out_band, out_bucket = [], [], []
-            for j in range(LSH_BANDS):
+            for j in range(bands_ct):
                 bucket = np.zeros(len(ids), dtype=np.int64)
                 for i in range(r):
                     bucket += bits[:, j * r + i] << i
@@ -507,30 +689,35 @@ def lsh_band_df(emb: DataFrame) -> DataFrame:
 
 
 def _lsh_oracle() -> str:
-    """DuckDB replay of the full LSH pipeline: LCG hyperplanes → sign
-    bits → band buckets → colliding pairs → exact cosine verify."""
-    bit = (
-        "CASE WHEN ROUND(list_sum(list_transform(range(64), d -> "
-        "CAST(embedding[d + 1] AS DOUBLE) * "
-        "(CAST((1103515245 * ({h} * 64 + d + 1) + 12345) % 2147483648 AS DOUBLE)"
-        " / 2147483648.0 - 0.5))), 6) >= 0 THEN 1 ELSE 0 END AS bit{h}"
-    )
-    bits = ",\n           ".join(bit.format(h=h) for h in range(LSH_HYPERPLANES))
-    r = LSH_HYPERPLANES // LSH_BANDS
-    band_rows = "\n        UNION ALL ".join(
-        f"SELECT vec_id, {j} AS band, "
-        + " + ".join(f"{1 << i} * bit{j * r + i}" for i in range(r))
-        + " AS bucket FROM sig"
-        for j in range(LSH_BANDS)
-    )
+    """DuckDB replay of the full LSH pipeline with CORPUS-SCALED
+    geometry: r derived from COUNT(*) via the same integer bit-shift
+    scan as :func:`lsh_bits_per_band`, LCG hyperplanes for all
+    ``LSH_BANDS * r`` planes → sign bits (list-valued, width dynamic in
+    r) → band buckets → colliding pairs → exact cosine verify."""
     return f"""
-    WITH sig AS (
-        SELECT vec_id,
-           {bits}
-        FROM embeddings
+    WITH geom AS MATERIALIZED (
+        SELECT GREATEST({LSH_MIN_BITS}, LEAST({LSH_MAX_BITS}, (
+            SELECT CAST(MIN(i) AS INT) FROM range(1, 33) t(i)
+            WHERE (1::BIGINT << i)
+                  >= CAST(CEIL(nn.n / {LSH_TARGET_BUCKET}.0) AS BIGINT)
+        ))) AS r
+        FROM (SELECT COUNT(*) AS n FROM embeddings) nn
     ),
-    bands AS (
-        {band_rows}
+    sig AS MATERIALIZED (
+        SELECT e.vec_id,
+               list_transform(range({LSH_BANDS} * g.r), h ->
+                 CASE WHEN ROUND(list_sum(list_transform(range(64), d ->
+                   CAST(e.embedding[d + 1] AS DOUBLE) *
+                   (CAST((1103515245 * (h * 64 + d + 1) + 12345) % 2147483648 AS DOUBLE)
+                    / 2147483648.0 - 0.5))), 6) >= 0 THEN 1 ELSE 0 END) AS bits,
+               g.r AS r
+        FROM embeddings e CROSS JOIN geom g
+    ),
+    bands AS MATERIALIZED (
+        SELECT s.vec_id, CAST(b.band AS INT) AS band,
+               CAST(list_sum(list_transform(range(s.r), i ->
+                 s.bits[b.band * s.r + i + 1] * (1::BIGINT << i))) AS INT) AS bucket
+        FROM sig s CROSS JOIN (SELECT UNNEST(range({LSH_BANDS})) AS band) b
     ),
     cand AS (
         SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -557,20 +744,25 @@ def _lsh_oracle() -> str:
 @query("embedding_lsh_near_dup", oracle=_lsh_oracle())
 def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-quadratic near-dup — the 100 TB path: sign-random-projection
-    LSH (16 deterministic LCG hyperplanes, 4 bands × 4 bits) generates
+    LSH (deterministic LCG hyperplanes, LSH_BANDS bands × r bits with
+    r SCALED TO THE CORPUS via :func:`lsh_bits_per_band`) generates
     candidates from band-bucket collisions, so the shuffle key is
-    (band, bucket) and work scales with Σ|bucket|², not n²; survivors
-    get exact cosine verification at the same 0.4 threshold.
+    (band, bucket) and candidate volume stays ≈ b·n·TARGET_BUCKET —
+    linear in n (a fixed r was measured quadratic: 15.8× at 4× rows);
+    survivors get exact cosine verification at the same 0.4 threshold.
 
-    Deterministic end-to-end: the oracle replays hyperplanes, banding,
-    and verification in DuckDB bit-for-bit. Candidate recall vs the
-    exact ``embedding_near_dup`` follows the standard 1-(1-s^r)^b curve
-    (~50% at s=0.4, →1 as s→1); the graded contract is exact agreement
-    on the LSH-candidate set, pinned by test_lsh_subset_of_exact."""
+    Deterministic end-to-end: the oracle derives the same r from
+    COUNT(*) and replays hyperplanes, banding, and verification in
+    DuckDB bit-for-bit. Candidate recall vs the exact
+    ``embedding_near_dup`` follows the standard 1-(1-s^r)^b curve
+    (→1 as s→1, lower at the 0.4 tail as r grows); the graded contract
+    is exact agreement on the LSH-candidate set, pinned by
+    test_lsh_subset_of_exact."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    r = lsh_bits_per_band(emb.count())
     # persist: the band table feeds both sides of the candidate
     # self-join; without it the signature kernel runs twice
-    bands = lsh_band_df(emb).persist()
+    bands = lsh_band_df(emb, r).persist()
     a = bands.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
     b = bands.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
     cand = (
@@ -677,15 +869,15 @@ PQ_D = 8  # dims per subspace
 
 
 def _pq_index(
-    spark: SparkSession, emb: DataFrame, include_label: bool = False
+    spark: SparkSession, emb: DataFrame, cell_col: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """The PQ index build shared by the full-ADC and IVF+PQ queries:
     returns ``(codes, query_luts)``. Codebook = subvectors of the 16
     lowest vec_ids (deterministic, no RNG); encoding and LUT
     construction run as Arrow-batched ``mapInPandas`` kernels with the
-    tiny (K, M, D) codebook broadcast. ``include_label`` passes the IVF
-    cell id through the encode kernel so the ADC join can be keyed on
-    the probed cell."""
+    tiny (K, M, D) codebook broadcast. ``cell_col`` names an IVF cell
+    column on ``emb`` to pass through the encode kernel so the ADC
+    join can be keyed on the probed cell."""
     from pyspark.sql.types import ArrayType, IntegerType
 
     cb_rows = (
@@ -709,8 +901,8 @@ def _pq_index(
         StructField("vec_id", LongType()),
         StructField("codes", ArrayType(IntegerType())),
     ]
-    if include_label:
-        codes_fields.append(StructField("label", IntegerType()))
+    if cell_col is not None:
+        codes_fields.append(StructField(cell_col, IntegerType()))
     codes_schema = StructType(codes_fields)
 
     def encode(batches):
@@ -722,8 +914,8 @@ def _pq_index(
                 "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
                 "codes": list(d2.argmin(axis=2).astype(np.int32)),
             }
-            if include_label:
-                out["label"] = pdf["label"].to_numpy(dtype=np.int32)
+            if cell_col is not None:
+                out[cell_col] = pdf[cell_col].to_numpy(dtype=np.int32)
             yield pd.DataFrame(out)
 
     lut_schema = StructType(
@@ -853,50 +1045,26 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_pq_oracle(tail: str | None = None) -> str:
     """DuckDB replay of the composed IVF+PQ pipeline: the multiprobe
-    cell selection (per-label mean centroids, top-IVF_PROBES cells per
-    query by centroid cosine) feeding the PQ/ADC ranking — ADC is
-    summed ONLY over codes in the probed cells. ``tail`` replaces the
-    default final ranking (the re-rank query appends its shortlist +
-    exact-cosine CTEs instead). MATERIALIZED CTEs: subdist is
-    referenced by codes and lut, and DuckDB re-inlines per reference
-    otherwise."""
+    cell selection (TRAINED sqrt(n) k-means cells via
+    :func:`_kmeans_cte`, top-IVF_PROBES cells per query by centroid
+    cosine) feeding the PQ/ADC ranking — ADC is summed ONLY over codes
+    in the probed cells. ``tail`` replaces the default final ranking
+    (the re-rank query appends its shortlist + exact-cosine CTEs
+    instead). MATERIALIZED CTEs: subdist is referenced by codes and
+    lut, and DuckDB re-inlines per reference otherwise."""
     sq = (
         "(CAST(e.embedding[m.m * 8 + d + 1] AS DOUBLE)"
         " - CAST(cb.embedding[m.m * 8 + d + 1] AS DOUBLE))"
     )
     return f"""
-    WITH cent AS MATERIALIZED (
-        SELECT label, dim, AVG(CAST(embedding[dim] AS DOUBLE)) AS cv
-        FROM (SELECT label, UNNEST(range(1, 65)) AS dim, embedding FROM embeddings)
-        GROUP BY label, dim
-    ),
-    centv AS (SELECT label, list(cv ORDER BY dim) AS ce FROM cent GROUP BY label),
-    q AS MATERIALIZED (
-        SELECT vec_id AS qid, embedding AS qe
-        FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
-    ),
-    pc AS (
-        SELECT q.qid, c.label,
-               ROUND(
-                 list_sum(list_transform(list_zip(q.qe, c.ce),
-                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-                 / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                    * sqrt(list_sum(list_transform(c.ce, x -> x * x)))), 6) AS pcos
-        FROM q CROSS JOIN centv c
-    ),
-    probes AS MATERIALIZED (
-        SELECT qid, label FROM (
-            SELECT qid, label,
-                   row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, label) AS pr
-            FROM pc
-        ) WHERE pr <= {IVF_PROBES}
-    ),
+    WITH {_kmeans_cte()},
+    {_KPROBE_CTE},
     cb AS MATERIALIZED (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k, embedding
         FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {PQ_K})
     ),
     subdist AS MATERIALIZED (
-        SELECT e.vec_id, e.label, m.m, cb.k,
+        SELECT e.vec_id, m.m, cb.k,
                ROUND(list_sum(list_transform(range({PQ_D}), d ->
                    {sq} * {sq})), 6) AS d2
         FROM embeddings e
@@ -904,11 +1072,12 @@ def _ivf_pq_oracle(tail: str | None = None) -> str:
         CROSS JOIN cb
     ),
     codes AS MATERIALIZED (
-        SELECT vec_id, label, m, k AS code FROM (
-            SELECT vec_id, label, m, k,
+        SELECT s.vec_id, kc.cl, s.m, s.k AS code FROM (
+            SELECT vec_id, m, k,
                    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
             FROM subdist
-        ) WHERE rn = 1
+        ) s JOIN kcells kc ON kc.vec_id = s.vec_id
+        WHERE s.rn = 1
     ),
     lut AS MATERIALIZED (
         SELECT * FROM subdist WHERE vec_id % {QUERY_STRIDE} = 0
@@ -917,7 +1086,7 @@ def _ivf_pq_oracle(tail: str | None = None) -> str:
         SELECT l.vec_id AS query_id, c.vec_id AS neighbor_id,
                ROUND(SUM(l.d2), 6) AS approx_dist
         FROM codes c
-        JOIN probes p ON p.label = c.label
+        JOIN probes p ON p.cl = c.cl
         JOIN lut l ON l.vec_id = p.qid AND l.m = c.m AND l.k = c.code
         WHERE c.vec_id <> l.vec_id
         GROUP BY 1, 2
@@ -935,27 +1104,16 @@ def _ivf_pq_oracle(tail: str | None = None) -> str:
     """)
 
 
-@query("ann_ivf_pq_topk", oracle=_ivf_pq_oracle())
-def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-probed PQ/ADC top-k — the composition that makes PQ work at
-    100 TB: ``ann_pq_topk`` ADC-scans EVERY code row per query (correct
-    but a full scan); here the multiprobe cell selection
-    (:func:`_ivf_probes`) bounds ADC to the IVF_PROBES probed cells, so
-    each query touches ~probes/|cells| of the codes table. The plan is
-    two broadcast hash joins against the big codes side — probes
-    (nq×probes rows) keyed on the CELL id, then the per-query LUTs
-    (nq rows) keyed on query_id — the codes table itself never
-    shuffles and never meets un-probed queries (pinned: no
-    BroadcastNestedLoopJoin/cartesian in tests/test_plans.py). Recall
-    vs the full ADC scan is pinned in tests (the probed scan can only
-    lose neighbors OUTSIDE the probed cells)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", "label"
-    )
-    codes, luts = _pq_index(spark, emb, include_label=True)
-    probes = _ivf_probes(emb).select("query_id", "label")
-    adc = (
-        codes.join(F.broadcast(probes), "label")
+def _ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, approx_dist) — ADC distances restricted
+    to the IVF_PROBES probed TRAINED cells per query, the shared front
+    half of ``ann_ivf_pq_topk`` and ``ann_ivf_pq_rerank``."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cells, cents = ivf_cells(spark, emb)
+    codes, luts = _pq_index(spark, emb.join(cells, "vec_id"), cell_col="cell")
+    probes = _ivf_probes_kmeans(emb, cents).select("query_id", "cell")
+    return (
+        codes.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(luts), "query_id")
         .select(
@@ -975,6 +1133,26 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_dist"),
         )
     )
+
+
+@query("ann_ivf_pq_topk", oracle=_ivf_pq_oracle())
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed PQ/ADC top-k — the composition that makes PQ work at
+    100 TB: ``ann_pq_topk`` ADC-scans EVERY code row per query (correct
+    but a full scan); here the multiprobe selection over TRAINED √n
+    k-means cells (:func:`ivf_cells` + :func:`_ivf_probes_kmeans`)
+    bounds ADC to the IVF_PROBES probed cells, so each query touches
+    ~probes·√n code rows — and the probed mass now SHRINKS relative to
+    the corpus as it grows (constant label-cells measured 18.4× at 4×
+    rows; k ≈ √n is the FAISS sizing rule). The plan is two broadcast
+    hash joins against the big codes side — probes (nq×probes rows)
+    keyed on the CELL id, then the per-query LUTs (nq rows) keyed on
+    query_id — the codes table itself never shuffles and never meets
+    un-probed queries (pinned: no BroadcastNestedLoopJoin/cartesian in
+    tests/test_plans.py). Recall vs the full ADC scan is pinned in
+    tests (the probed scan can only lose neighbors OUTSIDE the probed
+    cells)."""
+    adc = _ivf_pq_adc(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_dist"), F.asc("neighbor_id")
     )
@@ -982,5 +1160,91 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "approx_dist", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+PQ_SHORTLIST = 50  # ADC shortlist size re-ranked with exact cosine
+
+
+_RERANK_TAIL = f""",
+    short AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY approx_dist, neighbor_id
+                   ) AS srn
+            FROM adc
+        ) WHERE srn <= {PQ_SHORTLIST}
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                 (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                  sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                   AS cosine
+        FROM short s
+        JOIN embeddings a ON a.vec_id = s.query_id
+        JOIN embeddings b ON b.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS rnk
+        FROM rer
+    ) WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("ann_ivf_pq_rerank", oracle=_ivf_pq_oracle(tail=_RERANK_TAIL))
+def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with exact re-rank — the production FAISS serving shape:
+    (1) probe the IVF_PROBES nearest trained cells, (2) ADC-rank their
+    codes and keep a PQ_SHORTLIST-deep shortlist per query (compressed
+    domain, ~8 bytes/vector of memory traffic), (3) re-rank ONLY the
+    shortlist against the raw embeddings with exact 6dp cosine and
+    report the top-k. The quantization error of PQ affects WHICH ~50
+    candidates surface, never their final ordering — recall vs exact
+    brute force is pinned in tests above the ADC-only ordering.
+
+    Scale shape: the shortlist is nq×PQ_SHORTLIST rows — broadcast
+    against the embeddings table for the exact pass (the big side
+    never shuffles and is touched only for shortlisted ids); the front
+    half shares :func:`_ivf_pq_adc`'s cell-keyed broadcast joins. The
+    oracle replays the whole composition (k-means cells → probes → PQ
+    → ADC shortlist → exact re-rank) via the ``tail`` hook of
+    :func:`_ivf_pq_oracle`."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    adc = _ivf_pq_adc(spark, sf_dir)
+    sw = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    short = (
+        adc.withColumn("srn", F.row_number().over(sw))
+        .filter(F.col("srn") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    rer = (
+        ne.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qe.join(short.select("query_id").distinct(), "query_id")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qe"), F.col("ne")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )

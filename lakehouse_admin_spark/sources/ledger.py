@@ -960,20 +960,38 @@ class LedgerTable:
         if not pos_paths and not eq_entries:
             return self._read_entries(entries)
         df = self._read_entries(entries, with_meta=True)
-        df = self._apply_position_deletes(df, pos_paths, keep_meta=True)
+        df = self._apply_position_deletes(
+            df,
+            pos_paths,
+            keep_meta=True,
+            only_paths=[e["file_path"] for e in entries],
+        )
         return self._apply_equality_deletes(df, eq_entries, entries)
 
     def _apply_position_deletes(
-        self, df: DataFrame, delete_paths: list[str], keep_meta: bool = False
+        self,
+        df: DataFrame,
+        delete_paths: list[str],
+        keep_meta: bool = False,
+        only_paths: list[str] | None = None,
     ) -> DataFrame:
         """Anti-join content=1 position deletes on the (_mor_fp,
         _mor_pos) columns a with_meta read carries. Broadcast: the
         delete side is proportional to deleted rows, not the table.
         ``keep_meta`` preserves the hidden columns for a downstream
-        equality-delete pass."""
+        equality-delete pass. ``only_paths`` (plain manifest paths)
+        restricts the delete side to pairs addressing THOSE data files
+        before the broadcast — a per-bucket read then broadcasts only
+        the bucket's deleted rows, not the table's (delete files store
+        ``file:``-URI paths, so the filter compares the URI form)."""
         if not delete_paths:
             return df if keep_meta else df.drop("_mor_fp", "_mor_pos")
         dels = self.spark.read.parquet(*delete_paths)
+        if only_paths is not None:
+            # the pushed-down IN filter prunes delete rows at the scan
+            dels = dels.filter(
+                F.col("file_path").isin(["file:" + p for p in only_paths])
+            )
         out = df.join(
             F.broadcast(
                 dels.select(

@@ -25,29 +25,55 @@ Design (Spark-first re-expression):
   positions provably excludes the key. Files appended after the
   sketch pass are simply absent from the sidecar → not prunable,
   never incorrect; rewritten files change paths, same property.
+- Schema binding — Murmur3 is TYPE-sensitive (hash(1::INT) ≠
+  hash(1::BIGINT)), so the descriptor records each sketched column's
+  FIELD ID and declared type (the Iceberg-Puffin field-id reference
+  model). A probe prunes with a column's bits only while the CURRENT
+  schema still carries the same (id, type): widen_column changes the
+  type, rename + re-add changes the id — both silently disable
+  pruning for that column instead of wrong-pruning live rows.
 
 Scale shape: the compute pass is a single map-side explode + per-file
 aggregate (shuffle keyed on file_path — each reducer sees one file's
 positions, ≤ m ints). Probing is driver-side set membership against
-k integers per (file, column) — metadata-only, no data read.
+k integers per (file, column) — metadata-only, no data read: probe
+positions are computed by a driver-side Murmur3 (verified against the
+Spark expression in tests) with a memoized Spark-job fallback for
+exotic types, so planning never launches a job for common key types.
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+import struct
 from urllib.parse import urlparse
 
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+)
 
 # default Bloom geometry: m=4096 bits, k=5 hashes → ~1% false-positive
 # rate at ~420 distinct values/file; callers size m to their file NDV
 BLOOM_M = 4096
 BLOOM_K = 5
 
-# sidecar JSON cache keyed by (path, mtime) — sidecars are immutable
-# once written (a new pass writes a new snapshot-stamped file)
-_SIDECAR_CACHE: dict[tuple[str, float], dict] = {}
+# sidecar JSON cache, bounded to the LATEST sidecar per table (keyed by
+# the table's metadata dir): a new sketch pass writes a new
+# snapshot-stamped file, which REPLACES the table's entry instead of
+# accumulating alongside it
+_SIDECAR_CACHE: dict[str, tuple[str, float, dict]] = {}
+
+# memoized probe positions keyed by (type, value, m, k) — planning for
+# the same key never recomputes, and never re-launches the Spark-job
+# fallback path
+_POSITIONS_CACHE: dict[tuple, list[int]] = {}
 
 
 def _positions_expr(col: str, m: int, k: int):
@@ -57,6 +83,18 @@ def _positions_expr(col: str, m: int, k: int):
     return F.array(
         *[F.pmod(F.hash(F.col(col), F.lit(i)), F.lit(m)) for i in range(k)]
     )
+
+
+def _column_bindings(tbl, columns: list[str]) -> dict[str, dict]:
+    """{name: {"id", "type"}} for the CURRENT schema — the identity a
+    probe must re-verify before trusting the bits."""
+    meta = tbl._load_meta()
+    tbl._schema_versions(meta)  # ensure field ids exist
+    by_name = {c["name"]: c for c in meta["columns"]}
+    return {
+        c: {"id": int(by_name[c]["id"]), "type": by_name[c]["type"]}
+        for c in columns
+    }
 
 
 def compute_file_sketches(
@@ -72,6 +110,7 @@ def compute_file_sketches(
     for c in columns:
         if c not in schema_cols:
             raise ValueError(f"unknown column {c!r}")
+    bindings = _column_bindings(tbl, columns)
     df = tbl._read_entries(entries, with_meta=True)
     sidecar: dict[str, dict] = {}
     for col in columns:
@@ -102,15 +141,27 @@ def compute_file_sketches(
     with open(tmp, "w") as fh:
         json.dump(sidecar, fh)
     os.replace(tmp, path)
-    meta = tbl._load_meta()
-    meta["sketches"] = {
-        "snapshot_id": sid,
-        "file": fname,
-        "m": m,
-        "k": k,
-        "columns": sorted(columns),
-    }
-    tbl._store_meta(meta)
+    # Publish the descriptor under the table's COMMIT LOCK with a
+    # re-load-and-merge of ONLY the 'sketches' key: a snapshot commit
+    # landing between a bare load and store would otherwise be silently
+    # lost (or the sketch descriptor would be, depending on ordering).
+    with open(os.path.join(tbl.meta_dir, "commit.lock"), "w") as lock_fh:
+        fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        try:
+            meta = tbl._load_meta()
+            meta["sketches"] = {
+                "snapshot_id": sid,
+                "file": fname,
+                "m": m,
+                "k": k,
+                "columns": sorted(columns),
+                # schema binding: probes compare (id, type) against the
+                # then-current schema and skip pruning on any mismatch
+                "bindings": bindings,
+            }
+            tbl._store_meta(meta)
+        finally:
+            fcntl.flock(lock_fh, fcntl.LOCK_UN)
     return {
         "files_sketched": len(sidecar),
         "columns": sorted(columns),
@@ -135,36 +186,135 @@ def load_sketches(tbl) -> tuple[dict, dict] | None:
         mtime = os.path.getmtime(path)
     except OSError:
         return None
-    key = (path, mtime)
-    sidecar = _SIDECAR_CACHE.get(key)
-    if sidecar is None:
-        with open(path) as fh:
-            sidecar = json.load(fh)
-        # bits → sets for O(1) membership at probe time
-        for fstats in sidecar.values():
-            for cstats in fstats.values():
-                cstats["bits"] = set(cstats["bits"])
-        _SIDECAR_CACHE[key] = sidecar
+    cached = _SIDECAR_CACHE.get(tbl.meta_dir)
+    if cached is not None and cached[0] == path and cached[1] == mtime:
+        return desc, cached[2]
+    with open(path) as fh:
+        sidecar = json.load(fh)
+    # bits → sets for O(1) membership at probe time
+    for fstats in sidecar.values():
+        for cstats in fstats.values():
+            cstats["bits"] = set(cstats["bits"])
+    _SIDECAR_CACHE[tbl.meta_dir] = (path, mtime, sidecar)
     return desc, sidecar
 
 
+# ---------------------------------------------------------------------------
+# Driver-side Murmur3_x86_32 — the exact arithmetic Spark's
+# ``F.hash(col, seed)`` runs JVM-side (Murmur3Hash over
+# Murmur3_x86_32.hashInt/hashLong/hashUnsafeBytes), so probe positions
+# come from plain Python instead of a Spark job on the planning path.
+# Parity with the expression is pinned in tests/test_sketches.py.
+# ---------------------------------------------------------------------------
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+
+
+def _i32(x: int) -> int:
+    """Wrap to signed 32-bit (Java int overflow semantics)."""
+    x &= 0xFFFFFFFF
+    return x - 0x100000000 if x >= 0x80000000 else x
+
+
+def _rotl(x: int, n: int) -> int:
+    x &= 0xFFFFFFFF
+    return ((x << n) | (x >> (32 - n))) & 0xFFFFFFFF
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * _C1) & 0xFFFFFFFF
+    k1 = _rotl(k1, 15)
+    return (k1 * _C2) & 0xFFFFFFFF
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 = (h1 ^ k1) & 0xFFFFFFFF
+    h1 = _rotl(h1, 13)
+    return (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+
+def _fmix(h1: int, length: int) -> int:
+    h1 = (h1 ^ length) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return _i32(h1)
+
+
+def _hash_int(value: int, seed: int) -> int:
+    return _fmix(_mix_h1(seed & 0xFFFFFFFF, _mix_k1(value & 0xFFFFFFFF)), 4)
+
+
+def _hash_long(value: int, seed: int) -> int:
+    v = value & 0xFFFFFFFFFFFFFFFF
+    h1 = _mix_h1(seed & 0xFFFFFFFF, _mix_k1(v & 0xFFFFFFFF))
+    h1 = _mix_h1(h1, _mix_k1((v >> 32) & 0xFFFFFFFF))
+    return _fmix(h1, 8)
+
+
+def _hash_bytes(data: bytes, seed: int) -> int:
+    """Spark's hashUnsafeBytes: 4-byte little-endian words, then tail
+    bytes one at a time as SIGNED ints through the same mix."""
+    h1 = seed & 0xFFFFFFFF
+    aligned = len(data) - len(data) % 4
+    for i in range(0, aligned, 4):
+        (word,) = struct.unpack_from("<i", data, i)
+        h1 = _mix_h1(h1, _mix_k1(word & 0xFFFFFFFF))
+    for i in range(aligned, len(data)):
+        b = data[i]
+        b = b - 256 if b >= 128 else b  # signed byte
+        h1 = _mix_h1(h1, _mix_k1(b & 0xFFFFFFFF))
+    return _fmix(h1, len(data))
+
+
+def _driver_positions(key_type, value, m: int, k: int) -> list[int] | None:
+    """Probe positions computed driver-side for the common key types;
+    None for types the pure-Python path doesn't cover (fallback: one
+    memoized Spark job). ``F.hash(col, lit(i))`` is Spark's MULTI-column
+    Murmur3: fold over the children with initial seed 42, each child's
+    fmix'd result seeding the next — so position i is
+    hashInt(i, hash<type>(value, 42))."""
+    if isinstance(key_type, (IntegerType, ShortType, ByteType)):
+        hv = _hash_int(int(value), 42)
+    elif isinstance(key_type, LongType):
+        hv = _hash_long(int(value), 42)
+    elif isinstance(key_type, StringType):
+        hv = _hash_bytes(str(value).encode("utf-8"), 42)
+    else:
+        return None
+    # pmod: Spark's pmod(a, m) is ((a % m) + m) % m; Python % is
+    # already non-negative for positive m
+    return [_hash_int(i, hv) % m for i in range(k)]
+
+
 def key_positions(tbl, col: str, value, m: int, k: int) -> list[int]:
-    """The probe key's k Bloom positions, computed through the SAME
-    Spark expression the sketch pass used (one 1-row driver-local job,
-    the bucket_of pattern) with the literal cast to the column's
-    declared type — Murmur3 hashes INT and BIGINT differently."""
+    """The probe key's k Bloom positions under the column's DECLARED
+    type (Murmur3 hashes INT and BIGINT differently). Driver-side
+    Murmur3 for int/bigint/string keys — the planning hot path stays
+    metadata-only; other types fall back to one 1-row Spark job per
+    DISTINCT (type, value, m, k), memoized."""
     key_type = {f.name: f.dataType for f in tbl.unified_schema().fields}[col]
-    lit = F.lit(value).cast(key_type)
-    row = (
-        tbl.spark.range(1)
-        .select(
-            F.array(
-                *[F.pmod(F.hash(lit, F.lit(i)), F.lit(m)) for i in range(k)]
-            ).alias("p")
+    ck = (key_type.simpleString(), value, m, k)
+    pos = _POSITIONS_CACHE.get(ck)
+    if pos is not None:
+        return pos
+    pos = _driver_positions(key_type, value, m, k)
+    if pos is None:
+        lit = F.lit(value).cast(key_type)
+        row = (
+            tbl.spark.range(1)
+            .select(
+                F.array(
+                    *[F.pmod(F.hash(lit, F.lit(i)), F.lit(m)) for i in range(k)]
+                ).alias("p")
+            )
+            .collect()
         )
-        .collect()
-    )
-    return [int(x) for x in row[0]["p"]]
+        pos = [int(x) for x in row[0]["p"]]
+    _POSITIONS_CACHE[ck] = pos
+    return pos
 
 
 def prunable_by_sketch(
@@ -173,7 +323,10 @@ def prunable_by_sketch(
     """File paths among ``entries`` that the Bloom sidecar PROVES
     cannot contain some ``col = value`` predicate's key. Files without
     a sidecar entry (appended/rewritten after the sketch pass) are
-    never pruned."""
+    never pruned, and a column whose CURRENT (field id, type) no longer
+    matches the sketch-time binding (widened, or renamed away and the
+    name reused) never prunes — its bits were hashed under a different
+    identity, so they prove nothing about today's reads."""
     loaded = load_sketches(tbl)
     if not loaded:
         return set()
@@ -182,6 +335,28 @@ def prunable_by_sketch(
         (c, v)
         for c, op, v in predicates
         if op == "=" and c in desc["columns"]
+    ]
+    if not eq_preds:
+        return set()
+    # re-verify schema binding against the CURRENT schema (a dropped
+    # column simply has no current binding → never prunes)
+    bindings = desc.get("bindings")
+    if bindings is None:
+        # legacy descriptor without bindings: unverifiable → never prune
+        return set()
+    meta = tbl._load_meta()
+    tbl._schema_versions(meta)  # ensure field ids exist
+    current = {
+        c["name"]: {"id": int(c["id"]), "type": c["type"]}
+        for c in meta["columns"]
+    }
+    eq_preds = [
+        (c, v)
+        for c, v in eq_preds
+        if c in bindings
+        and c in current
+        and bindings[c]["id"] == current[c]["id"]
+        and bindings[c]["type"] == current[c]["type"]
     ]
     if not eq_preds:
         return set()

@@ -182,3 +182,69 @@ def test_hnsw_search_shape_recall_determinism(spark):
     assert len(ex & ap) / len(ex) > 0.0
     # the hierarchical descent must cover every query the flat walk does
     assert set(res["query_id"]) == set(brute["query_id"])
+
+
+def test_eviction_frees_checkpoint_blocks(spark):
+    """LRU eviction / invalidation must unpersist the checkpointed
+    blocks promptly, not wait for JVM GC (the 'bounded' cache otherwise
+    does not bound storage)."""
+    from lakehouse_admin_spark.operators import graph_ann as ga
+
+    def persistent_count():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    ga.invalidate_graph_caches()
+    before = persistent_count()
+    df = spark.range(100).localCheckpoint()
+    assert df.count() == 100
+    assert persistent_count() > before
+    ga._GRAPH_CACHE[("edges", 0, "/free/test", "nn_descent")] = df
+    ga.invalidate_graph_caches("/free/test")
+    assert persistent_count() == before, (
+        "invalidation must unpersist the checkpointed RDD immediately"
+    )
+
+
+def test_subset_nnd_layer_build_no_crossjoin_and_recall(spark):
+    """HNSW upper-layer graphs are built with SUBSET NN-descent (md5-
+    bucket init, NoN refinement) — no all-pairs crossJoin anywhere in
+    the build (the r4 layer build was a broadcast crossJoin self-join,
+    not viable at layer 1 ≈ n/M of the corpus). Pin: the init plan is
+    keyed on (seed, bucket); edge quality ≥ 0.5 recall vs the exact
+    top-M graph on the layer subset (tiny layers converge fast)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_admin_spark.operators import graph_ann as ga
+    from lakehouse_admin_spark.operators.similarity import cosine_expr
+    from lakehouse_admin_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    sub = emb.filter(ga._hnsw_level_col() >= 1)
+    nl = sub.count()
+    assert nl > 10, "layer 1 should hold ~n/6 of the fixture"
+    got = ga._subset_nnd_edges(spark, sub, ga.LAYER_POOL, ga.LAYER_ROUNDS, ga.HNSW_M)
+    pdf = got.toPandas()
+    # every edge stays inside the subset; per-src degree <= M
+    ids = {r["vec_id"] for r in sub.select("vec_id").collect()}
+    assert set(pdf["src"]) <= ids and set(pdf["dst"]) <= ids
+    assert pdf.groupby("src").size().max() <= ga.HNSW_M
+    # exact top-M ground truth on the subset (test-only brute force)
+    a = sub.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ae"))
+    b = sub.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("be"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst",
+                F.round(cosine_expr(F.col("ae"), F.col("be")), 6).alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ga.HNSW_M)
+        .select("src", "dst")
+        .toPandas()
+    )
+    got_set = _edge_set(pdf)
+    exact_set = _edge_set(exact)
+    recall = len(got_set & exact_set) / len(exact_set)
+    assert recall >= 0.5, f"subset-NND layer recall {recall}"

@@ -217,3 +217,30 @@ def test_histogram_constant_column(spark, tmp_path):
     finally:
         con.close()
     assert [tuple(r) for r in rows] == [(0, 100)]
+
+
+def test_bucket_read_broadcasts_only_bucket_delete_pairs(spark, catalog):
+    """ADVICE: a per-bucket read must filter the position-delete pairs
+    to the scanned entries' files BEFORE the broadcast anti-join — the
+    In(file_path, ...) filter must reach the delete-file scan, so
+    bucket lookup cost tracks the bucket's deleted rows, not the
+    table's."""
+    from lakehouse_admin_spark.plans.inspect import explain_str
+    from lakehouse_admin_spark.sources.ledger import PartitionField
+    from lakehouse_admin_spark.sources.ledger_bucketing import bucket_point_lookup
+
+    schema = spark.range(1).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").schema
+    spec = [PartitionField(name="k_bucket", source="k", transform="bucket[4]")]
+    tbl = catalog.create_table("main", "bkt_del_filter", schema, spec)
+    tbl.append(spark.range(0, 40).selectExpr("id AS k", "CAST(1 AS DOUBLE) AS v"))
+    tbl.delete_where(F.col("k") % 2 == 0)  # deletes in every bucket
+    df = bucket_point_lookup(tbl, "k", 15)
+    assert [r["k"] for r in df.collect()] == [15]
+    plan = explain_str(df, "formatted")
+    # a single-path bucket optimizes isin → EqualTo; either way the
+    # filter must be PUSHED into the delete-file scan
+    assert (
+        "In(file_path" in plan
+        or "EqualTo(file_path" in plan
+        or "file_path IN" in plan
+    ), "delete-pair scan must carry a pushed file_path filter"

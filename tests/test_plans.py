@@ -165,21 +165,27 @@ def test_ivf_pq_cell_keyed_plan_and_recall(spark):
     # same ADC metric wherever both found the pair
     for key in probed.keys() & full.keys():
         assert probed[key] == full[key]
-    # every query covered; recall vs full ADC bounded below by the
-    # probed-cell mass (2 probes of the synthetic random cells)
+    # every query covered; recall vs full ADC must beat the RANDOM
+    # probed-cell mass floor (IVF_PROBES/√n ≈ 0.087 at n=500): trained
+    # probing targets the nearest cells, measured 0.20 on this
+    # deterministic pipeline — pinned at 0.10
     assert {qid for qid, _ in probed} == {qid for qid, _ in full}
     recall = len(probed.keys() & full.keys()) / len(full)
-    assert recall > 0, "probed ADC found none of the full-scan top-k"
+    assert recall >= 0.10, f"probed ADC recall {recall} below trained-cell floor"
 
 
 # -- skew utilities ---------------------------------------------------------
 
 
 def test_multiprobe_ivf_recall_and_plan(spark):
-    """Multi-probe IVF: candidate join keyed on the probed cell (no
-    cartesian against the corpus — the only cross join is the broadcast
-    centroid probe), and recall@k vs brute force at least matches the
-    single-probe cell restriction (more probes → more candidates)."""
+    """Multi-probe IVF over TRAINED √n k-means cells: candidate join
+    keyed on the probed cell (no cartesian against the corpus — the
+    only cross join is the broadcast centroid probe), full query
+    coverage, and recall@k vs brute force well above the random
+    probed-mass floor (IVF_PROBES/√n ≈ 0.087 at n=500; trained probing
+    measured 0.32 on this deterministic pipeline — pinned at 0.15).
+    The label-restricted single-probe (`ann_ivf_topk`, random cells by
+    construction) is the untrained baseline it must beat."""
     brute = {
         (r.query_id, r.neighbor_id)
         for r in q("ann_topk_cosine")(spark, SF_SMOKE).collect()
@@ -188,17 +194,43 @@ def test_multiprobe_ivf_recall_and_plan(spark):
         (r.query_id, r.neighbor_id)
         for r in q("ann_ivf_topk")(spark, SF_SMOKE).collect()
     }
-    multi = {
-        (r.query_id, r.neighbor_id)
-        for r in q("ann_ivf_multiprobe")(spark, SF_SMOKE).collect()
-    }
+    mdf = q("ann_ivf_multiprobe")(spark, SF_SMOKE)
+    assert not has_cartesian(mdf)
+    multi = {(r.query_id, r.neighbor_id) for r in mdf.collect()}
     recall_single = len(single & brute) / len(brute)
     recall_multi = len(multi & brute) / len(brute)
-    # synthetic labels are random cells, so absolute recall is ~probes/
-    # |cells| by construction; the invariants are monotonicity (more
-    # probes never hurt) and full query coverage
-    assert recall_multi >= recall_single > 0
+    assert recall_multi >= 0.15, recall_multi
+    assert recall_multi > recall_single, (
+        "trained cells must beat the random-label single probe"
+    )
     assert {qid for qid, _ in multi} == {qid for qid, _ in brute}
+
+
+def test_ivf_pq_rerank_dominates_adc_and_plan(spark):
+    """IVFADC re-rank: (1) the exact pass must touch only the
+    broadcast shortlist — no full-cosine scan (the corpus side joins
+    the shortlist by key, never a cartesian); (2) THEOREM pin: any
+    brute-force top-k member inside the ADC top-k is necessarily
+    re-ranked back into the final top-k (shortlist ⊇ ADC top-k, and a
+    globally-best-5 member of the shortlist cannot be displaced by 5
+    better shortlist members), so rerank recall vs brute force
+    dominates the ADC-only ordering's."""
+    df = q("ann_ivf_pq_rerank")(spark, SF_SMOKE)
+    assert not has_cartesian(df)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in q("ann_topk_cosine")(spark, SF_SMOKE).collect()
+    }
+    adc_only = {
+        (r.query_id, r.neighbor_id)
+        for r in q("ann_ivf_pq_topk")(spark, SF_SMOKE).collect()
+    }
+    rer = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    assert (adc_only & brute) <= rer, (
+        "rerank dropped a true neighbor the ADC ordering had found"
+    )
+    assert len(rer & brute) >= len(adc_only & brute)
+    assert {qid for qid, _ in rer} == {qid for qid, _ in brute}
 
 
 def test_rangejoin_bucketed_not_nested_loop(spark):

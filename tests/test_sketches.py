@@ -80,6 +80,8 @@ def test_sketch_descriptor_and_type_sensitivity(spark, striped_tbl):
     desc, sidecar = load_sketches(striped_tbl)
     assert desc["columns"] == ["k"]
     assert desc["m"] == 4096 and desc["k"] == 5
+    # descriptor binds each column to its field id + declared type
+    assert desc["bindings"]["k"]["type"] == "bigint"
     # probing an int literal against the BIGINT column must hash as
     # BIGINT (the bucket_of lesson): a present key is never pruned
     for key in (0, 1, 99):
@@ -87,3 +89,125 @@ def test_sketch_descriptor_and_type_sensitivity(spark, striped_tbl):
         rows = striped_tbl.read(predicates=[("k", "=", key)]).collect()
         assert len(rows) == 1, f"key {key} lost by sketch pruning"
         assert len(survivors) >= 1
+
+
+def test_driver_murmur3_matches_spark_expression(spark, catalog):
+    """The pure-Python Murmur3 used on the planning hot path must agree
+    bit-for-bit with Spark's F.hash(col, seed) for every covered type —
+    otherwise probes would wrong-prune."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+    )
+
+    from lakehouse_admin_spark.sources.sketches import _driver_positions
+
+    cases = [
+        (IntegerType(), [0, 1, -1, 42, 2**31 - 1, -(2**31)]),
+        (LongType(), [0, 1, -1, 42, 2**63 - 1, -(2**63), 2**40 + 7]),
+        (StringType(), ["", "a", "hello", "naïve-ütf8", "x" * 17, "1234"]),
+    ]
+    m, k = 4096, 5
+    for typ, values in cases:
+        for v in values:
+            expected = [
+                int(x)
+                for x in spark.range(1)
+                .select(
+                    F.array(
+                        *[
+                            F.pmod(F.hash(F.lit(v).cast(typ), F.lit(i)), F.lit(m))
+                            for i in range(k)
+                        ]
+                    ).alias("p")
+                )
+                .collect()[0]["p"]
+            ]
+            got = _driver_positions(typ, v, m, k)
+            assert got == expected, (typ.simpleString(), v, got, expected)
+
+
+def test_key_positions_memoized_no_spark_job(spark, striped_tbl):
+    from lakehouse_admin_spark.sources import sketches
+
+    p1 = sketches.key_positions(striped_tbl, "k", 42, 4096, 5)
+    assert ("bigint", 42, 4096, 5) in sketches._POSITIONS_CACHE
+    p2 = sketches.key_positions(striped_tbl, "k", 42, 4096, 5)
+    assert p1 == p2 and len(p1) == 5
+
+
+def test_sidecar_cache_bounded_per_table(spark, striped_tbl):
+    """A re-sketch replaces the table's cache entry rather than
+    accumulating one entry per sketch pass."""
+    from lakehouse_admin_spark.sources import sketches
+
+    desc1, _ = load_sketches(striped_tbl)
+    first_path = sketches._SIDECAR_CACHE[striped_tbl.meta_dir][0]
+    assert desc1["file"] in first_path
+    compute_file_sketches(striped_tbl, ["k"])
+    desc2, _ = load_sketches(striped_tbl)
+    # one entry per table (dict keyed by meta_dir), now the LATEST file
+    latest_path = sketches._SIDECAR_CACHE[striped_tbl.meta_dir][0]
+    assert desc2["file"] in latest_path
+
+
+def test_widen_column_disables_stale_sketch_pruning(spark, catalog):
+    """ADVICE high repro: sketch an int column, widen to bigint, then a
+    point read — Murmur3 is type-sensitive, so the stale int-typed bits
+    must NOT prune (previously every file was pruned and the row became
+    unreadable)."""
+    tbl = catalog.create_table(
+        "main",
+        "widen_sketch",
+        spark.createDataFrame([(1, 1.0)], "k int, v double").schema,
+        [],
+    )
+    for i in range(3):
+        # file i holds {i, 100+i}: every file's [min,max] range contains
+        # every small key, so only the Bloom bits can prune
+        tbl.append(
+            spark.createDataFrame(
+                [(i, float(i)), (i + 100, float(i + 100))], "k int, v double"
+            ).coalesce(1)
+        )
+    compute_file_sketches(tbl, ["k"])
+    # key 2 is inside every file's [min,max] range, so only the Bloom
+    # bits can prune while the schema matches
+    assert len(tbl.plan_files([("k", "=", 2)])) < 3
+    tbl.widen_column("k", "bigint")
+    # stale bits must not prune: every row stays reachable
+    rows = tbl.read(predicates=[("k", "=", 2)]).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(2, 2.0)]
+    assert len(tbl.plan_files([("k", "=", 2)])) == 3, (
+        "widened column must disable sketch pruning entirely"
+    )
+
+
+def test_rename_and_readd_disables_stale_sketch_pruning(spark, catalog):
+    """ADVICE high repro (second half): rename the sketched column away
+    and re-add the old name — the new column has a different field id,
+    so the old bits must not prune its reads."""
+    tbl = catalog.create_table(
+        "main",
+        "rename_sketch",
+        spark.createDataFrame([(1, 1.0)], "k int, v double").schema,
+        [],
+    )
+    tbl.append(
+        spark.createDataFrame([(7, 7.0)], "k int, v double").coalesce(1)
+    )
+    compute_file_sketches(tbl, ["k"])
+    tbl.rename_column("k", "k_old")
+    tbl.add_column("k", "int")
+    # reads of the re-added 'k' (all nulls) must not be pruned by the
+    # old column's bits; predicate k = 7 matches nothing but must not
+    # be satisfied by WRONG pruning either
+    planned = tbl.plan_files([("k", "=", 7)])
+    assert len(planned) == 1, "re-added name must not inherit stale bits"
+    assert tbl.read(predicates=[("k", "=", 7)]).count() == 0
+    # the renamed column (same field id, same type) keeps its binding
+    # only under its recorded NAME — the descriptor names 'k', which now
+    # resolves to the new field → no pruning; correctness preserved
+    rows = tbl.read(predicates=[("k_old", "=", 7)]).collect()
+    assert [r["k_old"] for r in rows] == [7]

@@ -41,8 +41,25 @@ STRESS_QUERIES = [
     "ann_ivf_multiprobe",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
+    "ann_ivf_pq_rerank",
     "nn_descent_graph",
 ]
+
+# Serving-tier queries take a QUERY WORKLOAD as input; the graded form
+# derives it as vec_id % QUERY_STRIDE == 0, so nq GROWS with the corpus
+# and every serving query measures as quadratic even when per-query
+# cost is right (r4 verdict). For scaling measurement the workload must
+# be FIXED: these queries run with QUERY_STRIDE patched per tier so
+# nq == STRESS_NQ at every tier (the oracle-graded stride form is
+# untouched — this is a bench-only workload shape).
+SERVING_QUERIES = {
+    "ann_topk_cosine",
+    "ann_ivf_multiprobe",
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "ann_ivf_pq_rerank",
+}
+STRESS_NQ = 100
 
 
 def _spark():
@@ -55,17 +72,24 @@ def _spark():
 
 
 def run_scaling(root: str) -> None:
+    import lakehouse_admin_spark.operators.similarity as sim
     from lakehouse_admin_spark import registry
 
     registry.load_all_operators()
     spark = _spark()
     names = [n for n in STRESS_QUERIES if n in registry.QUERIES]
+    base_stride = sim.QUERY_STRIDE
     results: dict[str, dict[str, float]] = {}
     for tier, (nd, nv) in TIERS.items():
         sf_dir = build_tier(root, tier, nd, nv)
         timings: dict[str, float] = {}
         for name in names:
             fn = registry.QUERIES[name].fn
+            # fixed workload for serving queries: nq == STRESS_NQ at
+            # every tier (stride read at call time by the operators)
+            sim.QUERY_STRIDE = (
+                max(1, nv // STRESS_NQ) if name in SERVING_QUERIES else base_stride
+            )
             try:
                 fn(spark, sf_dir).collect()  # warm (codegen, caches)
                 t0 = time.perf_counter()
@@ -75,6 +99,8 @@ def run_scaling(root: str) -> None:
                 timings[name] = -1.0
                 print(f"# {tier}/{name}: {type(exc).__name__}: {exc}"[:300],
                       file=sys.stderr)
+            finally:
+                sim.QUERY_STRIDE = base_stride
         results[tier] = timings
     tiers = list(TIERS)
     lo, hi = tiers[0], tiers[-1]
@@ -90,6 +116,8 @@ def run_scaling(root: str) -> None:
         "timings": results,
         "data_ratio": data_ratio,
         "time_ratio_hi_over_lo": ratios,
+        "serving_nq_fixed": STRESS_NQ,
+        "serving_queries": sorted(SERVING_QUERIES),
     }))
 
 
