@@ -70,6 +70,7 @@ HEADLINE = [
     "hnsw_search",  # r5: hierarchical descent + NND layer builds
     "nn_descent_graph",  # r5: the serving-tier edge index build cost
     "ledger_sketch_lookup",  # r5: Bloom-sidecar-pruned point lookup
+    "ann_incremental_assign",  # r5: delta ingest vs persisted IVF index
 ]
 
 

@@ -46,8 +46,9 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 from lakehouse_admin_spark.operators.similarity import (
-    BLOCK_SIZE,
     _as_double,
+    _free_checkpoint,
+    block_size_for,
     pair_dot,
 )
 from lakehouse_admin_spark.registry import query
@@ -96,7 +97,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (B, B) tile at once, so executor memory is flat in n."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = emb.count()
-    m = max(1, math.ceil(n / BLOCK_SIZE))
+    m = max(1, math.ceil(n / block_size_for(n)))
     blocks = emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(m)))
     tile_pairs = spark.range(m).select(
         F.col("id").alias("ba"),
@@ -389,22 +390,6 @@ def _gs_oracle() -> str:
 # results.
 _GRAPH_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
 GRAPH_CACHE_MAX = 16
-
-
-def _free_checkpoint(df: DataFrame | None) -> None:
-    """Promptly release a localCheckpoint'd DataFrame's storage blocks.
-    Dropping the Python reference alone leaves the checkpointed RDD in
-    executor storage until the JVM GC + ContextCleaner get to it; a
-    bounded cache must free on EVICTION, not eventually. The analyzed
-    plan of a checkpointed Dataset is a LogicalRDD whose backing RDD we
-    unpersist directly (best-effort: a non-checkpointed df just
-    no-ops)."""
-    if df is None:
-        return
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
 
 
 def _cached(key: tuple, build) -> DataFrame:

@@ -365,3 +365,19 @@ def test_sequence_packing_one_shuffle(spark):
     third exchange may appear."""
     df = q("sequence_packing")(spark, SF_SMOKE)
     assert exchange_count(df) <= 2
+
+
+def test_ivf_index_cached_and_invalidatable(spark):
+    """The trained IVF index is built once per (session, tier) — an
+    index is trained once and served many times — and explicitly
+    invalidatable after an embeddings rewrite."""
+    import lakehouse_admin_spark.operators.similarity as sim
+
+    sim.invalidate_ivf_cache()
+    assert len(sim._IVF_CACHE) == 0
+    c1, _ = sim.ivf_index(spark, SF_SMOKE)
+    assert len(sim._IVF_CACHE) == 1
+    c2, _ = sim.ivf_index(spark, SF_SMOKE)
+    assert c1 is c2, "second call must hit the cache"
+    assert sim.invalidate_ivf_cache(SF_SMOKE) == 1
+    assert len(sim._IVF_CACHE) == 0

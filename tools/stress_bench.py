@@ -132,13 +132,10 @@ def run_block_sweep(root: str) -> None:
     out: dict[str, float] = {}
     fn = registry.QUERIES["knn_graph"].fn
     for bs in (128, 256, 512, 1024):
+        # block_size_for() reads the sim.BLOCK_SIZE cap at call time;
+        # at the s50 tier (20k vectors > 8*1024) the cap binds, so the
+        # sweep exercises exactly bs-sized tiles
         sim.BLOCK_SIZE = bs
-        # knn_graph reads BLOCK_SIZE via the similarity import at call
-        # time (graph_ann imports the module attribute by name, so
-        # patch both)
-        import lakehouse_admin_spark.operators.graph_ann as ga
-
-        ga.BLOCK_SIZE = bs
         fn(spark, sf_dir).count()  # warm
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
