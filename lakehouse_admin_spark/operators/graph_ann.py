@@ -49,6 +49,7 @@ from lakehouse_admin_spark.operators.similarity import (
     _as_double,
     _free_checkpoint,
     block_size_for,
+    norm_expr,
     pair_dot,
 )
 from lakehouse_admin_spark.registry import query
@@ -204,11 +205,26 @@ def nn_descent_edges(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("se"))
-    eb = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("de"))
-    da, db = _as_double(F.col("se")), _as_double(F.col("de"))
+    # Norms are a PER-VERTEX quantity: compute them once on each join
+    # side (JVM expression, evaluated n times when the side
+    # materializes) instead of a per-EDGE pair_dot — the old 3-call
+    # form shipped every candidate pair through Arrow three times
+    # (dot + both norms), tripling the build's Python traffic. The
+    # sequential-HOF norm also matches the oracle's list_sum order
+    # exactly (the einsum norm differed in last-ulp).
+    nrm = norm_expr(F.col("embedding"))
+    ea = emb.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("se"),
+        nrm.alias("sn"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("de"),
+        nrm.alias("dn"),
+    )
     cos = F.round(
-        pair_dot(da, db) / (F.sqrt(pair_dot(da, da)) * F.sqrt(pair_dot(db, db))), 6
+        pair_dot(_as_double(F.col("se")), _as_double(F.col("de")))
+        / (F.col("sn") * F.col("dn")),
+        6,
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
 
@@ -628,11 +644,20 @@ def _subset_nnd_edges(
         .select("src", "dst")
         .distinct()
     )
-    ea = emb_sub.select(F.col("vec_id").alias("src"), F.col("embedding").alias("se"))
-    eb = emb_sub.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("de"))
-    da, db = _as_double(F.col("se")), _as_double(F.col("de"))
+    # per-vertex norms on the join sides (see nn_descent_edges)
+    nrm = norm_expr(F.col("embedding"))
+    ea = emb_sub.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("se"),
+        nrm.alias("sn"),
+    )
+    eb = emb_sub.select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("de"),
+        nrm.alias("dn"),
+    )
     cos = F.round(
-        pair_dot(da, db) / (F.sqrt(pair_dot(da, da)) * F.sqrt(pair_dot(db, db))), 6
+        pair_dot(_as_double(F.col("se")), _as_double(F.col("de")))
+        / (F.col("sn") * F.col("dn")),
+        6,
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
 

@@ -839,14 +839,24 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    nrm = norm_expr(F.col("embedding"))
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        nrm.alias("norm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        nrm.alias("norm_b"),
+    )
     # verification via the vectorized Arrow dot kernel (pair_dot): the
     # candidate set is ~Σ|bucket|² pairs and interpreted HOF cosines
-    # were the bench bottleneck (~3 s at sf0.1 → ~0.3 s vectorized)
-    da = _as_double(F.col("emb_a"))
-    db = _as_double(F.col("emb_b"))
-    cos = pair_dot(da, db) / (F.sqrt(pair_dot(da, da)) * F.sqrt(pair_dot(db, db)))
+    # were the bench bottleneck (~3 s at sf0.1 → ~0.3 s vectorized).
+    # Norms ride the per-VECTOR join sides (JVM expression, n evals)
+    # instead of two more per-PAIR pair_dot calls — the old form
+    # tripled the Arrow traffic over the candidate set.
+    cos = pair_dot(_as_double(F.col("emb_a")), _as_double(F.col("emb_b"))) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
