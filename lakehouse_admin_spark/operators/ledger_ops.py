@@ -620,3 +620,124 @@ def ledger_live_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ts_day")
     )
+
+
+def _cell_lookup_oracle() -> str:
+    from lakehouse_admin_spark.operators.similarity import (
+        IVF_PROBES,
+        TOP_K,
+        _kmeans_cte,
+    )
+
+    return f"""
+    WITH {_kmeans_cte()},
+    q AS MATERIALIZED (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    pc AS (
+        SELECT q.qid, c.cl,
+               ROUND(
+                 list_sum(list_transform(list_zip(q.qe, c.ce),
+                          p -> CAST(p[1] AS DOUBLE) * p[2]))
+                 / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(c.ce, x -> x * x)))), 6) AS pcos
+        FROM q CROSS JOIN kcent c
+    ),
+    probes AS MATERIALIZED (
+        SELECT qid, cl FROM (
+            SELECT qid, cl,
+                   row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, cl) AS pr
+            FROM pc
+        ) WHERE pr <= {IVF_PROBES}
+    ),
+    pairs AS (
+        SELECT q.qid, e.vec_id AS cid, q.qe, e.embedding AS ce
+        FROM q
+        JOIN probes p ON p.qid = q.qid
+        JOIN kcells kc ON kc.cl = p.cl
+        JOIN embeddings e ON e.vec_id = kc.vec_id AND e.vec_id <> q.qid
+    ),
+    sims AS (
+        SELECT qid, cid,
+               ROUND(list_sum(list_transform(list_zip(qe, ce),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                 (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                  sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                   AS cosine
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT qid AS query_id, cid AS neighbor_id, cosine,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, cid) AS rnk
+        FROM sims
+    ) WHERE rnk <= {TOP_K}
+    ORDER BY rank
+    """
+
+
+@query("ledger_cell_lookup", oracle=_cell_lookup_oracle())
+def ledger_cell_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point ANN lookup against the IVF INDEX AS A LEDGER TABLE: the
+    trained assignment lives in a cell-identity-partitioned table
+    (sources/fixtures.py:build_vector_cells_ledger), so probing the
+    query's IVF_PROBES nearest cells is PARTITION PRUNING — plan_files
+    keeps only the probed cells' fanout files (~probes/k of the table,
+    pinned in tests) and the in-cell candidates get exact 6dp cosine
+    ranking. The oracle retrains the same k-means in SQL and replays
+    probe + in-cell search from the raw embeddings — a match proves
+    the index table's CONTENT (assignment + partition routing), not
+    just the final ranking. The centroid companion table is k rows —
+    index metadata, collected like any manifest stat."""
+    from lakehouse_admin_spark.operators.similarity import (
+        IVF_PROBES,
+        TOP_K,
+        cosine_expr,
+    )
+    from lakehouse_admin_spark.sources.fixtures import build_vector_cells_ledger
+    from pyspark.sql.window import Window
+
+    catalog = get_catalog(spark)
+    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    tbl, ctbl = build_vector_cells_ledger(
+        spark, sf_dir, catalog, name=f"vector_cells_{tag}"
+    )
+    queries = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    )
+    cents = ctbl.read()
+    pcos = F.round(cosine_expr(F.col("qe"), F.col("ce")), 6)
+    pw = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("cell"))
+    probed = [
+        int(r["cell"])
+        for r in queries.crossJoin(F.broadcast(cents))
+        .withColumn("pcos", pcos)
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= IVF_PROBES)
+        .select("cell")
+        .collect()
+    ]  # IVF_PROBES ints — index metadata, not data
+    part = None
+    for c in probed:
+        # each read prunes to ONE cell partition's fanout files
+        p = tbl.read(predicates=[("cell", "=", c)])
+        part = p if part is None else part.unionByName(p)
+    sims = (
+        part.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_expr(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("rank")
+    )

@@ -55,7 +55,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # regardless (tests/test_oracle_parity.py runs all oracles).
 _DRIVER_PRIORITY = (
     "ann_ivf_pq_topk", "ann_ivf_pq_rerank", "ann_incremental_assign",
-    "knn_graph", "graph_ann_search",
+    "ledger_cell_lookup", "knn_graph", "graph_ann_search",
     "nn_descent_graph", "hnsw_search", "ledger_bucketed_join_revenue",
     "ledger_bucket_lookup", "ledger_sketch_lookup", "ledger_incremental_scan",
     "ledger_changelog_counts", "ledger_merge_upsert", "ledger_metadata_count",

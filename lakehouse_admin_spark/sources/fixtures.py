@@ -356,3 +356,45 @@ def build_nested_ledger(
     )
     tbl.append(df)
     return tbl
+
+
+def build_vector_cells_ledger(
+    spark: SparkSession,
+    sf_dir: str,
+    catalog: LedgerCatalog,
+    database: str = "main",
+    name: str = "vector_cells",
+) -> tuple[LedgerTable, LedgerTable]:
+    """The ANN index as GOVERNED TABLES: the trained IVF assignment
+    lands in a cell-identity-partitioned ledger table (one fanout file
+    per cell — a probe reads 1/k of the files via partition pruning)
+    and the centroids in a small companion table. Snapshot lineage,
+    time travel, compaction and the sketch/stat machinery all apply to
+    the index like any other table — the production shape for keeping
+    a vector index consistent with its corpus (vs loose index files).
+    Deterministic: `ivf_cells` (k = ⌈√n⌉ Lloyd) over the tier's
+    embeddings."""
+    with _BUILD_LOCK:
+        if name in catalog.list_tables(database):
+            return (
+                catalog.table(database, name),
+                catalog.table(database, name + "_centroids"),
+            )
+        from lakehouse_admin_spark.operators.similarity import ivf_cells
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        cells, cents = ivf_cells(spark, emb)
+        df = emb.join(cells, "vec_id").select(
+            "vec_id", "embedding", F.col("cell").cast("int").alias("cell")
+        )
+        tbl = catalog.create_table(
+            database,
+            name,
+            df.schema,
+            [PartitionField(source="cell", transform="identity", name="cell_p")],
+        )
+        tbl.append(df)
+        tbl.write_manifest()
+        ctbl = catalog.create_table(database, name + "_centroids", cents.schema, [])
+        ctbl.append(cents)
+        return tbl, ctbl

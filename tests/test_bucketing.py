@@ -151,3 +151,34 @@ def test_bucketed_join_matches_plain(spark, bucketed):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, bucked.collect()))
+
+
+def test_vector_cells_ledger_partition_pruning(spark, tmp_path_factory):
+    """The IVF-index-as-ledger-table routes each cell to its own
+    identity partition: a single-cell predicate plans ~1/k of the
+    files (pure manifest pruning, no data read), and the fanout
+    writer emits at least one file per non-empty cell."""
+    from lakehouse_admin_spark.sources.fixtures import (
+        build_vector_cells_ledger,
+        get_catalog,
+    )
+    from tests.conftest import SF_SMOKE
+
+    catalog = get_catalog(spark)
+    tbl, ctbl = build_vector_cells_ledger(
+        spark, SF_SMOKE, catalog, name="vector_cells_prune_test"
+    )
+    all_files = tbl.plan_files()
+    cells = sorted(int(r["cell"]) for r in ctbl.read().select("cell").collect())
+    assert len(all_files) >= len(cells) // 2, "fanout should split by cell"
+    one = tbl.plan_files([("cell", "=", cells[0])])
+    assert 0 < len(one) < len(all_files) / 3, (
+        f"single-cell probe planned {len(one)}/{len(all_files)} files"
+    )
+    # content equals the embeddings restricted to that cell's members
+    got = {r["vec_id"] for r in tbl.read(predicates=[("cell", "=", cells[0])]).collect()}
+    direct = {
+        r["vec_id"]
+        for r in tbl.read().filter(f"cell = {cells[0]}").collect()
+    }
+    assert got == direct and got

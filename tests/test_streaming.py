@@ -332,3 +332,75 @@ def test_dup_rate_stream_horizon_bounds_state(spark, tmp_path_factory):
             f"user {uid}: {row['total_dups']} != {exp_dups[uid]}"
         )
         assert row["total_dups"] < expected_n[uid]
+
+
+def test_vector_ingest_stream_matches_batch_and_is_idempotent(
+    spark, tmp_path_factory
+):
+    """Streaming vector ingest: drops are assigned to the FROZEN
+    trained centroids and land as idempotent ledger appends. The
+    streaming assignment must equal the batch ann_incremental_assign
+    arithmetic (same kernel), and restarting the stream over the same
+    source + checkpoint must append nothing new."""
+    import numpy as np
+    from pyspark.sql.types import StructType
+
+    from lakehouse_admin_spark.operators.similarity import ivf_cells
+    from lakehouse_admin_spark.sources.tables import load_table as lt
+    from lakehouse_admin_spark.streaming.vectors import (
+        read_vector_stream,
+        vector_ingest_stream,
+    )
+
+    emb = lt(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    exist = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    _cells, cents_df = ivf_cells(spark, exist)
+    cent_rows = cents_df.collect()
+    centroids = np.zeros((len(cent_rows), 64))
+    for r in cent_rows:
+        centroids[r["cell"]] = np.asarray(r["ce"], dtype=np.float64)
+
+    # three parquet drops of the delta
+    src = str(tmp_path_factory.mktemp("vec_drops"))
+    for i in range(3):
+        part_dir = os.path.join(src, f"d{i}_tmp")
+        delta.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(part_dir)
+        pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(part_dir, pf), os.path.join(src, f"drop_{i}.parquet"))
+        shutil.rmtree(part_dir)
+
+    cat = LedgerCatalog(spark, str(tmp_path_factory.mktemp("vec_wh")))
+    schema = StructType.fromDDL("vec_id bigint, embedding array<float>, cell int")
+    tbl = cat.create_table("main", "vec_ingest", schema, [])
+    ckpt = str(tmp_path_factory.mktemp("vec_ckpt"))
+
+    stream = read_vector_stream(spark, src, delta.schema)
+    q = vector_ingest_stream(stream, spark, centroids, tbl, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r["vec_id"], r["cell"]) for r in tbl.read().select("vec_id", "cell").collect()
+    }
+    assert len(got) == delta.count()
+    # batch twin: the same frozen-centroid assignment
+    from lakehouse_admin_spark import registry
+
+    registry.load_all_operators()
+    batch = {
+        (r["vec_id"], r["cell"])
+        for r in registry.QUERIES["ann_incremental_assign"]
+        .fn(spark, SF_SMOKE)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert got == batch, "streaming and batch ingest must agree on cells"
+    n_snaps = len(tbl.snapshots())
+
+    # replay: same source + checkpoint → nothing new
+    q2 = vector_ingest_stream(
+        read_vector_stream(spark, src, delta.schema), spark, centroids, tbl, ckpt
+    )
+    q2.awaitTermination(120)
+    assert tbl.read().count() == len(got)
+    assert len(tbl.snapshots()) == n_snaps
