@@ -48,6 +48,7 @@ import fcntl
 import json
 import os
 import struct
+from collections import OrderedDict
 from urllib.parse import urlparse
 
 from pyspark.sql import functions as F
@@ -65,15 +66,19 @@ BLOOM_M = 4096
 BLOOM_K = 5
 
 # sidecar JSON cache, bounded to the LATEST sidecar per table (keyed by
-# the table's metadata dir): a new sketch pass writes a new
-# snapshot-stamped file, which REPLACES the table's entry instead of
-# accumulating alongside it
-_SIDECAR_CACHE: dict[str, tuple[str, float, dict]] = {}
+# the table's metadata dir; a new sketch pass REPLACES the table's
+# entry) AND to _CACHE_MAX tables total (LRU) — a long-lived server
+# planning over many tables must not accumulate one sidecar per table
+# forever
+_SIDECAR_CACHE: OrderedDict[str, tuple[str, float, dict]] = OrderedDict()
+_CACHE_MAX = 64
 
 # memoized probe positions keyed by (type, value, m, k) — planning for
 # the same key never recomputes, and never re-launches the Spark-job
-# fallback path
-_POSITIONS_CACHE: dict[tuple, list[int]] = {}
+# fallback path. LRU-bounded: a scan workload probing millions of
+# distinct keys must not grow driver memory without bound.
+_POSITIONS_CACHE: OrderedDict[tuple, list[int]] = OrderedDict()
+_POSITIONS_MAX = 4096
 
 
 def _positions_expr(col: str, m: int, k: int):
@@ -196,6 +201,9 @@ def load_sketches(tbl) -> tuple[dict, dict] | None:
         for cstats in fstats.values():
             cstats["bits"] = set(cstats["bits"])
     _SIDECAR_CACHE[tbl.meta_dir] = (path, mtime, sidecar)
+    _SIDECAR_CACHE.move_to_end(tbl.meta_dir)
+    while len(_SIDECAR_CACHE) > _CACHE_MAX:
+        _SIDECAR_CACHE.popitem(last=False)
     return desc, sidecar
 
 
@@ -299,6 +307,7 @@ def key_positions(tbl, col: str, value, m: int, k: int) -> list[int]:
     ck = (key_type.simpleString(), value, m, k)
     pos = _POSITIONS_CACHE.get(ck)
     if pos is not None:
+        _POSITIONS_CACHE.move_to_end(ck)
         return pos
     pos = _driver_positions(key_type, value, m, k)
     if pos is None:
@@ -314,6 +323,8 @@ def key_positions(tbl, col: str, value, m: int, k: int) -> list[int]:
         )
         pos = [int(x) for x in row[0]["p"]]
     _POSITIONS_CACHE[ck] = pos
+    while len(_POSITIONS_CACHE) > _POSITIONS_MAX:
+        _POSITIONS_CACHE.popitem(last=False)
     return pos
 
 
