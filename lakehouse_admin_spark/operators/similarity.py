@@ -1306,13 +1306,18 @@ def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("srn") <= PQ_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
-    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    # the query side is the stride set by construction — restrict it
+    # directly (re-deriving it FROM `short` would execute the whole
+    # ADC subtree twice: Spark does not dedupe common subplans)
+    qe = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
     ne = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
     )
     rer = (
         ne.join(F.broadcast(short), "neighbor_id")
-        .join(F.broadcast(qe.join(short.select("query_id").distinct(), "query_id")), "query_id")
+        .join(F.broadcast(qe), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -1348,12 +1353,15 @@ def _persisted_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import tempfile
     import threading
 
+    # key by the FULL dir (two tiers may share a basename); the tag is
+    # only a human-readable filename suffix
     tag = sf_dir.rstrip("/").split("/")[-1]
+    cache_key = os.path.abspath(sf_dir.rstrip("/"))
     lock = getattr(_persisted_ivf_index, "_lock", None)
     if lock is None:
         lock = _persisted_ivf_index._lock = threading.Lock()
     with lock:
-        hit = _IVF_PERSIST_PATHS.get(tag)
+        hit = _IVF_PERSIST_PATHS.get(cache_key)
         if hit is None:
             emb = (
                 load_table(spark, sf_dir, "embeddings")
@@ -1367,7 +1375,7 @@ def _persisted_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             cells.write.parquet(cells_path)
             cents.write.parquet(cents_path)
             hit = (cells_path, cents_path)
-            _IVF_PERSIST_PATHS[tag] = hit
+            _IVF_PERSIST_PATHS[cache_key] = hit
     return hit
 
 
