@@ -46,34 +46,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Queries the external correctness driver has never sampled in rounds
-# 1-4 (union of the CORRECTNESS_r*.json keys — the sample froze on the
-# same 50 names for two rounds). Registered FIRST for one round to
-# probe whether the driver's sample follows registration order; if the
-# r5 sample rotates, keep rotating coverage this way, else drop the
-# list. Every query here is covered by the local oracle-parity suite
-# regardless (tests/test_oracle_parity.py runs all oracles).
-_DRIVER_PRIORITY = (
-    "ann_ivf_pq_topk", "ann_ivf_pq_rerank", "ann_incremental_assign",
-    "ledger_cell_lookup", "knn_graph", "graph_ann_search",
-    "nn_descent_graph", "hnsw_search", "ledger_bucketed_join_revenue",
-    "ledger_bucket_lookup", "ledger_sketch_lookup", "ledger_incremental_scan",
-    "ledger_changelog_counts", "ledger_merge_upsert", "ledger_metadata_count",
-    "ledger_eq_upsert", "ledger_update_where", "ledger_ivm_rollup",
-    "doc_embed_stub", "sql_in_subquery", "sql_case_pivot",
-    "sql_lateral_tokens", "sql_range_frame_trailing", "sql_grouping_sets",
-    "text_stats", "text_quality", "lang_stopword_scores", "doc_fingerprints",
-    "lang_id_ngram", "winnow_fingerprints", "winnow_overlap_pairs",
-    "token_frequencies", "bpe_token_counts", "tf_idf", "lang_id_argmax",
-    "cm_token_counts", "bigram_lm_xent", "event_props_extract",
-    "events_running_stats", "drilldown_rollup", "windowed_event_counts",
-    "user_sessions", "session_window_counts", "purchase_last_click_asof",
-    "attribution_counts_rangejoin", "event_type_pivot",
-)
-
-
 def load_all_operators() -> None:
-    """Import every operator module so its @query decorators run."""
+    """Import every operator module so its @query decorators run.
+
+    Queries register in natural module-import order; no reordering is
+    applied. Every registered query is covered by the local oracle-parity
+    suite (tests/test_oracle_parity.py runs all oracles).
+    """
     # Imports are here (not module top) to avoid circular imports: operator
     # modules import `query` from this module.
     from lakehouse_admin_spark.operators import (  # noqa: F401
@@ -91,15 +70,6 @@ def load_all_operators() -> None:
         textual,
         windowed,
     )
-
-    # stable reorder: never-driver-sampled queries first, rest in
-    # registration order (names absent after a rename are skipped)
-    ordered = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
-    for n, s in QUERIES.items():
-        if n not in ordered:
-            ordered[n] = s
-    QUERIES.clear()
-    QUERIES.update(ordered)
 
 
 def all_queries() -> dict[str, QueryFn]:
