@@ -299,8 +299,10 @@ def rewrite_position_delete_files(table: LedgerTable) -> dict[str, int]:
     if not delete_entries:
         return {"rewritten_delete_files_count": 0, "removed_dangling_deletes": 0}
     spark = table.spark
+    from lakehouse_admin_spark.sources.ledger import path_to_file_uri
+
     data_uris = [
-        ("file:" + e["file_path"],)
+        (path_to_file_uri(e["file_path"]),)
         for e in files
         if e.get("content", 0) == 0
     ]

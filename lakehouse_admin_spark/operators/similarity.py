@@ -285,10 +285,16 @@ def ivf_cells(
                 m = np.stack(
                     [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
                 )
-                # ||x-c||² ranking via ||c||² - 2x·c (||x||² constant
-                # per row); argmin keeps the LOWEST cell id on ties —
-                # the oracle's (d2, cl) row_number order
-                d = -2.0 * (m @ c.T) + c_sq[None, :]
+                # full ||x-c||² = ||x||² - 2x·c + ||c||² (BLAS matmul
+                # carries the n·k term), 6dp-rounded BEFORE argmin so a
+                # last-ulp difference vs the oracle's term-by-term
+                # list_sum((x-c)²) cannot flip a near-tied top-2 order;
+                # argmin keeps the LOWEST cell id on exact ties — the
+                # oracle's (d2, cl) row_number order
+                x_sq = (m * m).sum(axis=1)
+                d = np.round(
+                    x_sq[:, None] - 2.0 * (m @ c.T) + c_sq[None, :], 6
+                )
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
@@ -353,7 +359,11 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(cells, centroids) for the tier's embeddings — trained on first
     use, then served from the session cache (cells localCheckpoint'd so
     repeated queries never re-run the assignment kernel)."""
-    key = (id(spark), sf_dir)
+    # applicationId is unique per SparkContext (a restarted session
+    # gets a new one — unlike id(spark), which CPython can reuse after
+    # GC and would serve checkpoints bound to a dead context);
+    # abspath-normalized dir matches _persisted_ivf_index's keying
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir.rstrip("/")))
     hit = _IVF_CACHE.get(key)
     if hit is not None:
         _IVF_CACHE.move_to_end(key)
@@ -371,7 +381,8 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 def invalidate_ivf_cache(sf_dir: str | None = None) -> int:
     """Drop cached IVF indexes — all, or one tier's (call after
     rewriting its embeddings). Returns the number evicted."""
-    keys = [k for k in _IVF_CACHE if sf_dir is None or k[1] == sf_dir]
+    norm = None if sf_dir is None else os.path.abspath(sf_dir.rstrip("/"))
+    keys = [k for k in _IVF_CACHE if norm is None or k[1] == norm]
     for k in keys:
         _free_checkpoint(_IVF_CACHE[k][0])
         del _IVF_CACHE[k]
@@ -396,7 +407,7 @@ def _kmeans_cte(iters: int = IVF_ITERS, rel: str = "embeddings") -> str:
         SELECT vec_id, cl FROM (
             SELECT e.vec_id, c.cl,
                    row_number() OVER (PARTITION BY e.vec_id
-                                      ORDER BY {d2}, c.cl) AS rn
+                                      ORDER BY ROUND({d2}, 6), c.cl) AS rn
             FROM {rel} e CROSS JOIN {cents} c
         ) WHERE rn = 1
     )"""
@@ -1398,7 +1409,7 @@ def _incr_assign_oracle() -> str:
         SELECT vec_id, cl FROM (
             SELECT e.vec_id, c.cl,
                    row_number() OVER (PARTITION BY e.vec_id
-                                      ORDER BY {d2}, c.cl) AS rn
+                                      ORDER BY ROUND({d2}, 6), c.cl) AS rn
             FROM delta e CROSS JOIN kcent c
         ) WHERE rn = 1
     ),
@@ -1467,7 +1478,10 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(pdf) == 0:
                 continue
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            d = -2.0 * (m @ c.T) + c_sq[None, :]
+            # full d², 6dp-rounded before argmin (same quantization as
+            # ivf_cells / the oracle's ROUND(d2, 6))
+            x_sq = (m * m).sum(axis=1)
+            d = np.round(x_sq[:, None] - 2.0 * (m @ c.T) + c_sq[None, :], 6)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),

@@ -14,6 +14,7 @@ file metadata and the maintenance procedures are exercised genuinely.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import threading
 
@@ -373,13 +374,26 @@ def build_vector_cells_ledger(
     the index like any other table — the production shape for keeping
     a vector index consistent with its corpus (vs loose index files).
     Deterministic: `ivf_cells` (k = ⌈√n⌉ Lloyd) over the tier's
-    embeddings."""
+    embeddings.
+
+    The index table records its source dataset as the `source_dir`
+    table property (absolute path); a cache hit VERIFIES it, so two
+    tiers whose directories share a basename can never serve each
+    other's assignments — a mismatch raises instead of silently
+    aliasing. After rewriting a tier's embeddings call
+    :func:`invalidate_vector_cells_ledger` to force a rebuild."""
+    src = os.path.abspath(sf_dir.rstrip("/"))
     with _BUILD_LOCK:
         if name in catalog.list_tables(database):
-            return (
-                catalog.table(database, name),
-                catalog.table(database, name + "_centroids"),
-            )
+            tbl = catalog.table(database, name)
+            recorded = tbl.properties().get("source_dir")
+            if recorded != src:
+                raise ValueError(
+                    f"index table {database}.{name} was built from "
+                    f"{recorded!r}, not {src!r} — pass a distinct name "
+                    "or invalidate_vector_cells_ledger() first"
+                )
+            return tbl, catalog.table(database, name + "_centroids")
         from lakehouse_admin_spark.operators.similarity import ivf_cells
 
         emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -392,9 +406,30 @@ def build_vector_cells_ledger(
             name,
             df.schema,
             [PartitionField(source="cell", transform="identity", name="cell_p")],
+            properties={"source_dir": src},
         )
         tbl.append(df)
         tbl.write_manifest()
-        ctbl = catalog.create_table(database, name + "_centroids", cents.schema, [])
+        ctbl = catalog.create_table(
+            database,
+            name + "_centroids",
+            cents.schema,
+            [],
+            properties={"source_dir": src},
+        )
         ctbl.append(cents)
         return tbl, ctbl
+
+
+def invalidate_vector_cells_ledger(
+    catalog: LedgerCatalog, database: str = "main", name: str = "vector_cells"
+) -> bool:
+    """Drop the persisted IVF index tables (call after rewriting the
+    source embeddings). Returns True if an index existed."""
+    with _BUILD_LOCK:
+        existed = False
+        for t in (name, name + "_centroids"):
+            if t in catalog.list_tables(database):
+                catalog.drop_table(database, t)
+                existed = True
+        return existed

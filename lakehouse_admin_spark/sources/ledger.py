@@ -42,6 +42,41 @@ from pyspark.sql import functions as F
 
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
+# Spark's `_metadata.file_path` is the Hadoop Path URI (java.net.URI
+# .toString()): ASCII chars outside unreserved/sub-delims/":@/" are
+# percent-encoded; non-ASCII stays RAW (toString, not toASCIIString).
+# Manifests store plain filesystem paths, so every comparison between
+# the two sides funnels through this pair (pinned by an end-to-end
+# test against a real `_metadata.file_path` read).
+_URI_PATH_SAFE = frozenset(
+    "/!$&'()*+,;=:@-._~"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+)
+
+
+def path_to_file_uri(p: str) -> str:
+    """Plain absolute path -> the exact `file:` URI Spark reports in
+    `_metadata.file_path` (and therefore stores in delete files)."""
+    if p.startswith("file:"):
+        return p
+    from urllib.parse import quote
+
+    enc = "".join(
+        c if (ord(c) > 127 or c in _URI_PATH_SAFE) else quote(c) for c in p
+    )
+    return "file:" + enc
+
+
+def file_uri_to_path(u: str) -> str:
+    """`file:` URI (as stored by Spark delete scans) -> plain path.
+    Percent-decoding is unambiguous regardless of which characters the
+    encoder chose to escape."""
+    if not u.startswith("file:"):
+        return u
+    from urllib.parse import unquote, urlparse
+
+    return unquote(urlparse(u).path)
+
 
 class CommitConflictError(RuntimeError):
     """Optimistic-concurrency failure: the table's current snapshot
@@ -254,6 +289,12 @@ class LedgerTable:
 
     def exists(self) -> bool:
         return os.path.exists(self._table_json)
+
+    def properties(self) -> dict[str, str]:
+        """Free-form table properties set at create time (Iceberg's
+        table-properties map) — e.g. a derived index table records its
+        source dataset here so cache hits can verify provenance."""
+        return dict(self._load_meta().get("properties", {}))
 
     def partition_spec(self) -> list[PartitionField]:
         """The current (default) partition spec."""
@@ -990,7 +1031,7 @@ class LedgerTable:
         if only_paths is not None:
             # the pushed-down IN filter prunes delete rows at the scan
             dels = dels.filter(
-                F.col("file_path").isin(["file:" + p for p in only_paths])
+                F.col("file_path").isin([path_to_file_uri(p) for p in only_paths])
             )
         out = df.join(
             F.broadcast(
@@ -1489,7 +1530,7 @@ class LedgerTable:
         # _metadata.file_path is a file: URI; manifests store plain paths
         seq_map = self.spark.createDataFrame(
             [
-                ("file:" + e["file_path"], int(e.get("sequence_number", 0)))
+                (path_to_file_uri(e["file_path"]), int(e.get("sequence_number", 0)))
                 for e in data_entries
             ],
             "_mor_fp string, _row_seq bigint",
@@ -1828,12 +1869,10 @@ class LedgerTable:
                 dels = self.spark.read.parquet(
                     *[e["file_path"] for e in pos_delete_added]
                 )
-                from urllib.parse import urlparse
-
                 # delete files reference data files as file: URIs;
                 # manifests store plain paths — normalize to paths
                 ref_paths = {
-                    urlparse(r[0]).path if r[0].startswith("file:") else r[0]
+                    file_uri_to_path(r[0])
                     for r in dels.select("file_path").distinct().collect()
                 }
                 parent_map = {
@@ -1961,8 +2000,6 @@ class LedgerTable:
         # per-file position-delete counts (delete files are tiny)
         del_by_file: dict[str, int] = {}
         if delete_paths:
-            from urllib.parse import urlparse
-
             for row in (
                 self.spark.read.parquet(*delete_paths)
                 # a (file_path, pos) pair may appear in more than one
@@ -1973,8 +2010,7 @@ class LedgerTable:
                 .count()
                 .collect()
             ):
-                p = row["file_path"]
-                p = urlparse(p).path if p.startswith("file:") else p
+                p = file_uri_to_path(row["file_path"])
                 del_by_file[p] = row["count"]
 
         def proves_all(entry: dict) -> bool:
@@ -2150,6 +2186,7 @@ class LedgerCatalog:
         df_schema,
         partition_spec: list[PartitionField] | None = None,
         sort_order: list[str] | None = None,
+        properties: dict[str, str] | None = None,
     ) -> LedgerTable:
         _validate_ident(database)
         _validate_ident(name)
@@ -2174,6 +2211,7 @@ class LedgerCatalog:
                 "sort_order": list(sort_order or []),
                 "current_snapshot_id": None,
                 "created_ms": int(time.time() * 1000),
+                "properties": {str(k): str(v) for k, v in (properties or {}).items()},
             }
         )
         return tbl

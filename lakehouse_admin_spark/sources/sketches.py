@@ -49,7 +49,6 @@ import json
 import os
 import struct
 from collections import OrderedDict
-from urllib.parse import urlparse
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -59,6 +58,8 @@ from pyspark.sql.types import (
     ShortType,
     StringType,
 )
+
+from lakehouse_admin_spark.sources.ledger import file_uri_to_path
 
 # default Bloom geometry: m=4096 bits, k=5 hashes → ~1% false-positive
 # rate at ~420 distinct values/file; callers size m to their file NDV
@@ -134,7 +135,7 @@ def compute_file_sketches(
         )
         for row in agg:
             p = row["_mor_fp"]
-            p = urlparse(p).path if p.startswith("file:") else p
+            p = file_uri_to_path(p)
             sidecar.setdefault(p, {})[col] = {
                 "bits": [int(b) for b in row["bits"]],
                 "ndv": int(row["ndv"]),

@@ -83,7 +83,10 @@ def assign_cells_stream(
             if len(pdf) == 0:
                 continue
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            d = -2.0 * (m @ c.T) + c_sq[None, :]
+            # full d², 6dp-rounded before argmin (same quantization as
+            # the batch kernels — keeps stream==batch bit-identical)
+            x_sq = (m * m).sum(axis=1)
+            d = np.round(x_sq[:, None] - 2.0 * (m @ c.T) + c_sq[None, :], 6)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),

@@ -182,3 +182,36 @@ def test_vector_cells_ledger_partition_pruning(spark, tmp_path_factory):
         for r in tbl.read().filter(f"cell = {cells[0]}").collect()
     }
     assert got == direct and got
+
+
+def test_vector_cells_ledger_provenance_guard(spark, tmp_path_factory):
+    """ADVICE: a cache hit on the persisted index table must VERIFY
+    the recorded source_dir — two datasets sharing a basename must not
+    silently serve each other's cell assignments; the invalidation
+    hook drops both tables for a rebuild."""
+    import pytest as _pytest
+
+    from lakehouse_admin_spark.sources.fixtures import (
+        build_vector_cells_ledger,
+        get_catalog,
+        invalidate_vector_cells_ledger,
+    )
+    from tests.conftest import SF_SMOKE
+
+    catalog = get_catalog(spark)
+    name = "vector_cells_prov_test"
+    tbl, _ = build_vector_cells_ledger(spark, SF_SMOKE, catalog, name=name)
+    assert tbl.properties()["source_dir"] == __import__("os").path.abspath(
+        SF_SMOKE.rstrip("/")
+    )
+    # same name + same dir → cache hit
+    tbl2, _ = build_vector_cells_ledger(spark, SF_SMOKE, catalog, name=name)
+    assert tbl2.root == tbl.root
+    # same name + DIFFERENT dir (aliasing) → hard error, not a stale hit
+    other = str(tmp_path_factory.mktemp("other_tier"))
+    with _pytest.raises(ValueError, match="was built from"):
+        build_vector_cells_ledger(spark, other, catalog, name=name)
+    # invalidation drops both tables
+    assert invalidate_vector_cells_ledger(catalog, name=name) is True
+    assert name not in catalog.list_tables("main")
+    assert name + "_centroids" not in catalog.list_tables("main")

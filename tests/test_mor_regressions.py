@@ -244,3 +244,53 @@ def test_bucket_read_broadcasts_only_bucket_delete_pairs(spark, catalog):
         or "EqualTo(file_path" in plan
         or "file_path IN" in plan
     ), "delete-pair scan must carry a pushed file_path filter"
+
+
+def test_file_uri_codec_matches_spark_metadata(spark, tmp_path):
+    """Pin path_to_file_uri against the real `_metadata.file_path`
+    encoding (java.net.URI.toString): space/%/[/]/# percent-encode,
+    sub-delims and non-ASCII stay raw. The codec underpins every
+    delete-file <-> manifest path comparison."""
+    import os
+
+    from lakehouse_admin_spark.sources.ledger import (
+        file_uri_to_path,
+        path_to_file_uri,
+    )
+
+    d = str(tmp_path / "uridir")
+    os.makedirs(d)
+    # special chars live in the FILE name (the read targets the plain
+    # parent dir — Hadoop globs the input path string, so glob chars
+    # like *[] can't appear in the path handed to spark.read)
+    p = os.path.join(d, "p %+!$&'()*,;=@[]#~ä b.parquet")
+    spark.range(3).toPandas().to_parquet(p)
+    fp = spark.read.parquet(d).select("_metadata.file_path").first()[0]
+    assert fp == path_to_file_uri(p)
+    assert file_uri_to_path(fp) == p
+
+
+def test_mor_delete_survives_special_char_warehouse(spark, tmp_path):
+    """ADVICE: position deletes must keep applying when the warehouse
+    path needs URI encoding — the bucket-scoped only_paths filter
+    compares delete-file URIs against manifest plain paths, so an
+    encoding mismatch silently resurfaces deleted rows."""
+    from lakehouse_admin_spark.sources.ledger import LedgerCatalog, PartitionField
+    from lakehouse_admin_spark.sources.ledger_bucketing import bucket_point_lookup
+
+    cat = LedgerCatalog(spark, str(tmp_path / "wh with space %25"))
+    schema = spark.range(1).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").schema
+    spec = [PartitionField(name="k_bucket", source="k", transform="bucket[4]")]
+    tbl = cat.create_table("main", "enc_tbl", schema, spec)
+    tbl.append(spark.range(0, 40).selectExpr("id AS k", "CAST(1 AS DOUBLE) AS v"))
+    tbl.delete_where(F.col("k") % 2 == 0)
+    # full read applies deletes (join on encoded URIs both sides)
+    assert sorted(r["k"] for r in tbl.read().collect()) == list(range(1, 40, 2))
+    # per-bucket read: only_paths filter must match the encoded form
+    assert [r["k"] for r in bucket_point_lookup(tbl, "k", 15).collect()] == [15]
+    assert bucket_point_lookup(tbl, "k", 16).count() == 0, (
+        "deleted row resurfaced through the bucket read"
+    )
+    # metadata-only count path decodes delete-file URIs
+    n, _cls = tbl.count_rows()
+    assert n == 20
