@@ -377,15 +377,24 @@ def expire_snapshots(
             expired.remove(s)
             keep.append(s)
 
-    # kept snapshots may be DELTA commits whose materialization walks
-    # through soon-to-be-deleted ancestors: fold them (full list inline)
-    # BEFORE the ancestry is destroyed
+    # kept LEGACY delta commits materialize by walking soon-to-be-
+    # deleted ancestors: fold them (full list inline) BEFORE the
+    # ancestry is destroyed. Segmented snapshots are self-contained —
+    # their segments are protected below instead.
     expired_ids = {s.snapshot_id for s in expired}
     if expired_ids:
         for s in keep:
-            if not s.is_fold:
+            if not s.is_fold and not s.is_segmented:
                 table._write_snapshot(s.fold())
     live_paths = {e["file_path"] for s in keep for e in s.files}
+    # manifest segments still referenced by any KEPT snapshot survive;
+    # the rest (only expired snapshots pointed at them) are reclaimed
+    kept_segments: set[str] = set()
+    for s in keep:
+        for d in s.manifest_list or []:
+            kept_segments.add(d["path"])
+        if s.own_segment is not None:
+            kept_segments.add(s.own_segment["path"])
     # materialize every expired snapshot's file list BEFORE deleting any
     # snapshot JSON — a delta snapshot's materialization walks ancestors
     # that may themselves be expired
@@ -400,9 +409,20 @@ def expire_snapshots(
         os.remove(os.path.join(table.meta_dir, f"snap-{s.snapshot_id}.json"))
         if os.path.exists(table.manifest_path(s.snapshot_id)):
             os.remove(table.manifest_path(s.snapshot_id))
+    deleted_segments = 0
+    if expired_ids:
+        for fn in os.listdir(table.meta_dir):
+            if (
+                fn.startswith("mseg-")
+                and fn.endswith(".json")
+                and fn not in kept_segments
+            ):
+                os.remove(os.path.join(table.meta_dir, fn))
+                deleted_segments += 1
     return {
         "deleted_snapshots_count": len(expired),
         "deleted_data_files_count": deleted_files,
+        "deleted_manifest_segments_count": deleted_segments,
         "retained_snapshots_count": len(keep),
     }
 
@@ -418,7 +438,8 @@ def remove_orphan_files(
     same rationale as Iceberg's older_than default."""
     if older_than_ms is None:
         older_than_ms = int(time.time() * 1000) - MIN_RETENTION_DAYS * MS_PER_DAY
-    referenced = {e["file_path"] for s in table.snapshots() for e in s.files}
+    snaps = table.snapshots()
+    referenced = {e["file_path"] for s in snaps for e in s.files}
     orphans: list[str] = []
     for dirpath, _d, filenames in os.walk(table.data_dir):
         for fn in filenames:
@@ -428,6 +449,23 @@ def remove_orphan_files(
             if os.path.getmtime(p) * 1000 >= older_than_ms:
                 continue
             orphans.append(p)
+    # manifest segments from aborted/raced commits (written before the
+    # commit lock, never referenced by a snapshot) are metadata orphans
+    ref_segments: set[str] = set()
+    for s in snaps:
+        for d in s.manifest_list or []:
+            ref_segments.add(d["path"])
+        if s.own_segment is not None:
+            ref_segments.add(s.own_segment["path"])
+    for fn in os.listdir(table.meta_dir):
+        if not (fn.startswith("mseg-") and fn.endswith(".json")):
+            continue
+        if fn in ref_segments:
+            continue
+        p = os.path.join(table.meta_dir, fn)
+        if os.path.getmtime(p) * 1000 >= older_than_ms:
+            continue
+        orphans.append(p)
     if not dry_run:
         for p in orphans:
             os.remove(p)

@@ -35,7 +35,27 @@ NUM_HASHES = 16          # minhash signature length
 LSH_BANDS = 4            # bands × rows_per_band == NUM_HASHES
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 48
-SIMHASH_BANDS = 4
+
+# Manku-style block-permutation candidate generation (Manku, Jain &
+# Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07): the
+# 48-bit signature splits into 6 blocks of 8 bits; candidates key on
+# every C(6,3)=20 combination of 3 blocks (24-bit keys). A pair within
+# Hamming distance 3 dirties at most 3 blocks, so at least 3 blocks
+# are clean and SOME 3-block combination matches exactly (pigeonhole —
+# candidate generation stays COMPLETE for Hamming <= 3). Versus
+# contiguous 12-bit bands, the key space grows 2^12 -> 2^24, so
+# random-pair collisions per table shrink by 4096x: candidate mass
+# tracks true-duplicate mass instead of n^2/4096 at corpus scale.
+SIMHASH_BLOCKS = 6
+SIMHASH_COMBO_K = 3      # clean blocks required = pigeonhole for d<=3
+_SIMHASH_BLOCK_WIDTH = SIMHASH_BITS // SIMHASH_BLOCKS  # 8
+_SIMHASH_BLOCK_MASK = (1 << _SIMHASH_BLOCK_WIDTH) - 1
+
+from itertools import combinations as _combinations  # noqa: E402
+
+SIMHASH_COMBOS: list[tuple[int, int, int]] = list(
+    _combinations(range(SIMHASH_BLOCKS), SIMHASH_COMBO_K)
+)
 
 
 def tokens_expr(text: Column) -> Column:
@@ -567,27 +587,30 @@ def simhash_signatures_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(spark, sf_dir).orderBy("doc_id")
 
 
-_SIMHASH_BAND_WIDTH = SIMHASH_BITS // SIMHASH_BANDS
-_SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_WIDTH) - 1
+def _simhash_combo_values() -> str:
+    return ", ".join(
+        f"({t}, {c[0]}, {c[1]}, {c[2]})" for t, c in enumerate(SIMHASH_COMBOS)
+    )
 
 
 @query(
     "simhash_near_dup",
     oracle=_simhash_oracle()
     + f"""
-    , bands AS (
-        SELECT doc_id, simhash, UNNEST(range(0, {SIMHASH_BANDS})) AS band FROM sigs
-    ),
+    , combos(tbl, i0, i1, i2) AS (VALUES {_simhash_combo_values()}),
     keyed AS (
-        SELECT doc_id, simhash, band,
-               (simhash >> (band * {_SIMHASH_BAND_WIDTH})) & {_SIMHASH_BAND_MASK} AS band_key
-        FROM bands
+        SELECT s.doc_id, s.simhash, c.tbl,
+               ((s.simhash >> (c.i0 * {_SIMHASH_BLOCK_WIDTH})) & {_SIMHASH_BLOCK_MASK})
+               + (((s.simhash >> (c.i1 * {_SIMHASH_BLOCK_WIDTH})) & {_SIMHASH_BLOCK_MASK}) * 256)
+               + (((s.simhash >> (c.i2 * {_SIMHASH_BLOCK_WIDTH})) & {_SIMHASH_BLOCK_MASK}) * 65536)
+                   AS band_key
+        FROM sigs s CROSS JOIN combos c
     ),
     pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.simhash AS sa, b.simhash AS sb
         FROM keyed a JOIN keyed b
-          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          ON a.tbl = b.tbl AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
     FROM pairs
@@ -596,36 +619,49 @@ _SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_WIDTH) - 1
     """,
 )
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: banded candidate generation (4 bands of
-    12 bits — a pair within Hamming distance 3 shares ≥1 exact band by
-    pigeonhole... for distance ≤ 3 over 4 bands) then exact Hamming ≤ 3
+    """SimHash near-dup pairs: Manku block-permutation candidate
+    generation (6 blocks of 8 bits, keys = every C(6,3)=20 3-block
+    combination — see SIMHASH_COMBOS) then the exact Hamming <= 3
     filter via bit_count(xor).
 
-    Scale: band join keys are 8-bit slices + band id; no n² compare.
-    (Rows-only check: the banded pair set is Spark-specific plumbing; the
-    signature math itself is oracle-pinned by `simhash_signatures`.)
+    Completeness: <= 3 differing bits dirty <= 3 of the 6 blocks, so 3
+    clean blocks always exist and their combination collides — the
+    final pair set is exactly all pairs at Hamming <= 3, identical to
+    any complete banding, and the oracle replays the same block keys.
+
+    Scale: join keys are 24-bit block combinations + table id, so
+    random-pair collisions per table are n^2/2^24 — candidate mass
+    tracks TRUE duplicate mass, not a constant-bucket-count quadratic
+    (the failure mode of contiguous 12-bit bands at corpus scale). The
+    20-way key explode is map-side; the join shuffles on (tbl, key).
     """
     sig = simhash_signatures(spark, sf_dir)
-    bands = []
-    for b in range(SIMHASH_BANDS):
-        width = SIMHASH_BITS // SIMHASH_BANDS
-        slice_expr = F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
-            F.lit((1 << width) - 1)
-        )
-        bands.append(
-            sig.select(
-                F.lit(b).alias("band"), slice_expr.alias("band_key"), "doc_id", "simhash"
-            )
-        )
-    allb = bands[0]
-    for df in bands[1:]:
-        allb = allb.unionByName(df)
-    a = allb.alias("a")
-    b = allb.alias("b")
+
+    def combo_key(c: tuple[int, int, int]) -> Column:
+        b0 = F.shiftrightunsigned(
+            F.col("simhash"), c[0] * _SIMHASH_BLOCK_WIDTH
+        ).bitwiseAND(F.lit(_SIMHASH_BLOCK_MASK))
+        b1 = F.shiftrightunsigned(
+            F.col("simhash"), c[1] * _SIMHASH_BLOCK_WIDTH
+        ).bitwiseAND(F.lit(_SIMHASH_BLOCK_MASK))
+        b2 = F.shiftrightunsigned(
+            F.col("simhash"), c[2] * _SIMHASH_BLOCK_WIDTH
+        ).bitwiseAND(F.lit(_SIMHASH_BLOCK_MASK))
+        return b0 + b1 * 256 + b2 * 65536
+
+    keyed = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*[combo_key(c) for c in SIMHASH_COMBOS])).alias(
+            "tbl", "band_key"
+        ),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
+            (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )

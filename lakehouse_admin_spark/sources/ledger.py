@@ -127,22 +127,47 @@ def transform_expr(f: PartitionField) -> Column:
     raise ValueError(f"unknown transform {t!r}")
 
 
-FOLD_EVERY = 32  # delta-chain length bound: every Nth commit folds
+FOLD_EVERY = 32  # LEGACY delta-chain length bound (reading old tables)
+
+# Segmented commit log: merge the two TRAILING manifest segments while
+# the earlier one is at most MERGE_FACTOR x the later one's weight —
+# the size-tiered (LSM-style) policy that keeps the manifest list at
+# O(log files) segments with O(log files) amortized rewrites per entry.
+MERGE_FACTOR = 2
+
+# process-wide LRU over immutable segment files (abs path -> parsed
+# JSON); bounded so a long-lived server planning many tables can't
+# accumulate one inventory per table in driver memory
+from collections import OrderedDict as _OrderedDict  # noqa: E402
+
+_SEGMENT_CACHE: "_OrderedDict[str, dict]" = _OrderedDict()
+_SEGMENT_CACHE_MAX = 32
 
 
 class Snapshot:
-    """One commit. Two storage forms (Iceberg manifest-reuse analog):
+    """One commit. Three storage forms (newest first):
 
-    - FOLD: ``files`` holds the complete live-file list. Written for
-      the first commit, every :data:`FOLD_EVERY`-th commit, on
-      overwrite/rollback, and by expire_snapshots for kept snapshots
-      about to lose ancestors.
-    - DELTA: ``added`` (new manifest entries) + ``removed`` (file
-      paths dropped) relative to the parent — the commit writes
-      O(delta) JSON, not O(files); the live set materializes lazily by
-      walking ancestry to the nearest fold and replaying deltas
-      (bounded by FOLD_EVERY). This is what keeps the commit hot path
-      (streaming appends!) independent of table size.
+    - SEGMENTED (the Iceberg ``manifest_list`` design,
+      reference: backend/internal/types.go:27 ``Snapshot.ManifestList``):
+      the snapshot JSON holds ``manifest_list`` — an ordered list of
+      descriptors pointing at IMMUTABLE segment files
+      (``mseg-*.json``, each ``{"added": [entries], "removed":
+      [paths]}``) shared across snapshots — plus ``own_segment``, the
+      commit's own delta record (the CDC/incremental-scan source).
+      A commit writes one O(delta) segment and an
+      O(log files) manifest list; it NEVER serializes the table's
+      file inventory. Size-tiered merging (factor
+      :data:`MERGE_FACTOR`) bounds the list at O(log files) segments
+      with O(log files) amortized entry rewrites.
+    - FOLD (legacy): ``files`` holds the complete live-file list
+      inline.
+    - DELTA (legacy): ``added``/``removed`` relative to the parent,
+      chains bounded by :data:`FOLD_EVERY`.
+
+    Legacy forms are still read (and folded by expire_snapshots when
+    their ancestry is about to be destroyed); all new commits write
+    the segmented form. A legacy parent's inventory is folded into a
+    single base segment ONCE at the first segmented commit.
     """
 
     def __init__(
@@ -157,6 +182,8 @@ class Snapshot:
         added: list[dict] | None = None,
         removed: list[str] | None = None,
         delta_depth: int = 0,
+        manifest_list: list[dict] | None = None,
+        own_segment: dict | None = None,
     ):
         self.snapshot_id = snapshot_id
         self.parent_id = parent_id
@@ -164,9 +191,11 @@ class Snapshot:
         self.operation = operation
         self.summary = summary
         self._files = files
-        self.added = added or []
-        self.removed = removed or []
+        self._added = added
+        self._removed = removed
         self.delta_depth = delta_depth
+        self.manifest_list = manifest_list
+        self.own_segment = own_segment
         self._table: "LedgerTable | None" = None
         self._materialized: list[dict] | None = None
 
@@ -175,27 +204,79 @@ class Snapshot:
         return self._files is not None
 
     @property
+    def is_segmented(self) -> bool:
+        return self.manifest_list is not None
+
+    @property
     def depth(self) -> int:
-        return 0 if self.is_fold else self.delta_depth
+        return 0 if (self.is_fold or self.is_segmented) else self.delta_depth
+
+    @property
+    def added(self) -> list[dict]:
+        """This commit's added manifest entries (O(delta), lazy-loaded
+        from the own segment for segmented snapshots)."""
+        if self._added is None:
+            self._load_own_delta()
+        return self._added
+
+    @property
+    def removed(self) -> list[str]:
+        """This commit's removed file paths (O(delta), lazy)."""
+        if self._removed is None:
+            self._load_own_delta()
+        return self._removed
+
+    def _load_own_delta(self) -> None:
+        if self.is_segmented and self.own_segment is not None:
+            if self._table is None:
+                raise ValueError(
+                    f"segmented snapshot {self.snapshot_id} requires table context"
+                )
+            seg = self._table._read_segment(self.own_segment["path"])
+            self._added = list(seg.get("added", []))
+            self._removed = list(seg.get("removed", []))
+        else:
+            self._added = self._added or []
+            self._removed = self._removed or []
 
     @property
     def files(self) -> list[dict]:
         """The complete live-file list AT this snapshot (materialized
-        on demand for delta snapshots; cached per instance)."""
+        on demand; cached per instance). Segmented form streams the
+        manifest list's segments in order; legacy delta form replays
+        ancestry to the nearest fold."""
         if self._files is not None:
             return self._files
         if self._materialized is None:
             if self._table is None:
                 raise ValueError(
-                    f"delta snapshot {self.snapshot_id} requires table context"
+                    f"snapshot {self.snapshot_id} requires table context"
                 )
+            if self.is_segmented:
+                entries: dict[str, dict] = {}
+                for desc in self.manifest_list:
+                    seg = self._table._read_segment(desc["path"])
+                    for p in seg.get("removed", []):
+                        entries.pop(p, None)
+                    for e in seg.get("added", []):
+                        entries[e["file_path"]] = e
+                self._materialized = list(entries.values())
+                return self._materialized
             chain: list[Snapshot] = [self]
             cur: Snapshot = self
-            while not cur.is_fold and cur.parent_id is not None:
+            while (
+                not cur.is_fold
+                and not cur.is_segmented
+                and cur.parent_id is not None
+            ):
                 cur = self._table.snapshot(cur.parent_id)
                 chain.append(cur)
-            if chain[-1].is_fold:
-                entries = {e["file_path"]: e for e in chain[-1]._files}
+            base = chain[-1]
+            if base.is_fold:
+                entries = {e["file_path"]: e for e in base._files}
+                deltas = chain[:-1]
+            elif base.is_segmented:
+                entries = {e["file_path"]: e for e in base.files}
                 deltas = chain[:-1]
             else:  # parentless delta: empty base
                 entries = {}
@@ -229,11 +310,15 @@ class Snapshot:
             "operation": self.operation,
             "summary": self.summary,
         }
-        if self._files is not None:
+        if self.manifest_list is not None:
+            d["manifest_list"] = self.manifest_list
+            if self.own_segment is not None:
+                d["own_segment"] = self.own_segment
+        elif self._files is not None:
             d["files"] = self._files
         else:
-            d["added"] = self.added
-            d["removed"] = self.removed
+            d["added"] = self._added or []
+            d["removed"] = self._removed or []
             d["delta_depth"] = self.delta_depth
         return d
 
@@ -249,6 +334,8 @@ class Snapshot:
             added=d.get("added"),
             removed=d.get("removed"),
             delta_depth=int(d.get("delta_depth", 0)),
+            manifest_list=d.get("manifest_list"),
+            own_segment=d.get("own_segment"),
         )
 
 
@@ -622,6 +709,107 @@ class LedgerTable:
         with open(os.path.join(self.meta_dir, f"snap-{snap.snapshot_id}.json"), "w") as fh:
             json.dump(snap.to_json(), fh, indent=1)
 
+    # ------------------------------------------------------------------
+    # manifest segments (immutable, shared across snapshots)
+    # ------------------------------------------------------------------
+    def _segment_path(self, name: str) -> str:
+        return os.path.join(self.meta_dir, name)
+
+    def _read_segment(self, name: str) -> dict:
+        """Load one immutable manifest segment ({"added": [...],
+        "removed": [...]}) through a small process-wide LRU —
+        immutability makes the cache trivially correct, and a planner
+        re-materializing the same snapshot's live set touches each
+        segment file once per process, not once per plan."""
+        path = os.path.abspath(self._segment_path(name))
+        hit = _SEGMENT_CACHE.get(path)
+        if hit is not None:
+            _SEGMENT_CACHE.move_to_end(path)
+            return hit
+        with open(path) as fh:
+            seg = json.load(fh)
+        _SEGMENT_CACHE[path] = seg
+        while len(_SEGMENT_CACHE) > _SEGMENT_CACHE_MAX:
+            _SEGMENT_CACHE.popitem(last=False)
+        return seg
+
+    def _write_segment(
+        self, name: str, added: list[dict], removed: list[str]
+    ) -> dict:
+        """Write one immutable segment file; returns its manifest-list
+        descriptor. Atomic (tmp + rename) so a concurrent reader never
+        sees a torn segment."""
+        path = self._segment_path(name)
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump({"added": added, "removed": removed}, fh)
+        os.replace(tmp, path)
+        return {"path": name, "added": len(added), "removed": len(removed)}
+
+    def _base_segment_for(self, parent: "Snapshot") -> list[dict]:
+        """Manifest list for a LEGACY (fold/delta) parent: fold its
+        full inventory into one base segment, written once and reused
+        by every later commit (the one-time O(files) migration cost of
+        moving an old table onto the segmented log)."""
+        name = f"mseg-{parent.snapshot_id}-base.json"
+        if not os.path.exists(self._segment_path(name)):
+            files = list(parent.files)
+            desc = self._write_segment(name, files, [])
+        else:
+            seg = self._read_segment(name)
+            desc = {
+                "path": name,
+                "added": len(seg.get("added", [])),
+                "removed": len(seg.get("removed", [])),
+            }
+        return [desc]
+
+    def _parent_manifest_list(self, parent: "Snapshot | None") -> list[dict]:
+        if parent is None:
+            return []
+        if parent.is_segmented:
+            return list(parent.manifest_list)
+        return self._base_segment_for(parent)
+
+    def _merge_segments(self, mlist: list[dict], new_id: int) -> list[dict]:
+        """Size-tiered manifest merging: while the second-to-last
+        segment's weight is within MERGE_FACTOR x the last one's, merge
+        the two into a new immutable segment. A merge that reaches the
+        HEAD of the list drops its removed-path list entirely (nothing
+        precedes it to remove from), so tombstones never accumulate
+        forever. Old segments stay on disk — earlier snapshots still
+        reference them; expire/orphan GC reclaims unreferenced ones."""
+
+        def weight(d: dict) -> int:
+            return int(d.get("added", 0)) + int(d.get("removed", 0))
+
+        mlist = list(mlist)
+        while len(mlist) >= 2 and weight(mlist[-2]) <= MERGE_FACTOR * max(
+            1, weight(mlist[-1])
+        ):
+            a = self._read_segment(mlist[-2]["path"])  # earlier
+            b = self._read_segment(mlist[-1]["path"])  # later
+            rem_b = set(b.get("removed", []))
+            merged_entries: dict[str, dict] = {
+                e["file_path"]: e
+                for e in a.get("added", [])
+                if e["file_path"] not in rem_b
+            }
+            for e in b.get("added", []):
+                merged_entries[e["file_path"]] = e
+            at_head = len(mlist) == 2
+            merged_removed = (
+                []
+                if at_head
+                else sorted(set(a.get("removed", [])) | rem_b)
+            )
+            name = f"mseg-{new_id}-m{uuid.uuid4().hex[:8]}.json"
+            desc = self._write_segment(
+                name, list(merged_entries.values()), merged_removed
+            )
+            mlist[-2:] = [desc]
+        return mlist
+
     def _commit(self, snap: Snapshot, expected_parent: object = "__FROM_SNAP__") -> None:
         """Atomic commit with optimistic concurrency: under an OS file
         lock, verify the current snapshot still equals the parent this
@@ -658,8 +846,16 @@ class LedgerTable:
         self._store_meta(meta)
 
     def _next_snapshot_id(self) -> int:
-        snaps = self.snapshots()
-        return (snaps[-1].snapshot_id + 1) if snaps else 1
+        # filename scan only — computing the next id must not parse
+        # every snapshot's JSON on the commit hot path
+        best = 0
+        for fn in os.listdir(self.meta_dir):
+            if fn.startswith("snap-") and fn.endswith(".json"):
+                try:
+                    best = max(best, int(fn[5:-5]))
+                except ValueError:
+                    continue
+        return best + 1
 
     def _commit_delta(
         self,
@@ -669,15 +865,19 @@ class LedgerTable:
         removed: list[str],
         parent: "Snapshot | None",
         prepare: bool = False,
+        base_reset: bool = False,
     ) -> Snapshot:
-        """Commit as an O(delta) snapshot, folding to a full list every
-        FOLD_EVERY commits (and for the first commit) so delta chains —
-        and thus materialization cost — stay bounded.
+        """Commit as a SEGMENTED snapshot (manifest list + own
+        segment): writes one immutable O(delta) segment plus an
+        O(log files) snapshot JSON — commit bytes and lock-hold time
+        never scale with the table's file count (the Iceberg
+        manifest-list design; reference: types.go:27).
 
+        ``base_reset=True`` (overwrite) starts the manifest list from
+        this commit's segment alone instead of extending the parent's.
         ``prepare=True`` stages the snapshot (file written, pointer NOT
         moved) for a WarehouseTransaction — the ledger analog of an
         Iceberg stage-only (WAP) commit."""
-        depth = (parent.depth + 1) if parent is not None else 0
         next_id = self._next_snapshot_id()
         # Iceberg data-sequence-number analog: equality deletes apply
         # only to files with a STRICTLY SMALLER sequence, so rows
@@ -686,6 +886,13 @@ class LedgerTable:
         # the id it actually commits under.
         for e in added:
             e["sequence_number"] = next_id
+        # the uuid suffix keeps concurrent writers racing for the same
+        # id from clobbering each other's segment (the loser's file
+        # becomes an orphan; remove_orphan_files reclaims it)
+        own_name = f"mseg-{next_id}-d{uuid.uuid4().hex[:8]}.json"
+        own = self._write_segment(own_name, added, removed)
+        plist = [] if base_reset else self._parent_manifest_list(parent)
+        mlist = self._merge_segments(plist + [own], next_id)
         snap = Snapshot(
             snapshot_id=next_id,
             parent_id=parent.snapshot_id if parent else None,
@@ -694,11 +901,10 @@ class LedgerTable:
             summary=summary,
             added=added,
             removed=removed,
-            delta_depth=depth,
+            manifest_list=mlist,
+            own_segment=own,
         )
         snap._table = self
-        if parent is None or depth >= FOLD_EVERY:
-            snap = snap.fold()
         if prepare:
             self._write_snapshot(snap)
             return snap
@@ -1190,24 +1396,26 @@ class LedgerTable:
         self._validate_constraints(df)
         new_files = self._stage_write(df)
         cur = self.current_snapshot_id()
-        snap = Snapshot(
-            snapshot_id=self._next_snapshot_id(),
-            parent_id=cur,
-            committed_at_ms=int(time.time() * 1000),
+        parent = self.snapshot(cur) if cur else None
+        # the operation itself replaces the whole table, so the O(F)
+        # removed list is inherent to it (it lands in the own segment
+        # for CDC); the manifest list starts fresh from the new files
+        removed = [e["file_path"] for e in parent.files] if parent else []
+        return self._commit_delta(
             operation="overwrite",
             summary={
                 "added-data-files": str(len(new_files)),
-                "total-data-files": str(len(new_files)),
-                "total-records": str(sum(e["record_count"] for e in new_files)),
+                "total-data-files": str(len(_data_files(new_files))),
+                "total-records": str(
+                    sum(e["record_count"] for e in _data_files(new_files))
+                ),
             },
-            files=new_files,  # full replacement IS the fold
+            added=new_files,
+            removed=removed,
+            parent=parent,
+            prepare=prepare,
+            base_reset=True,
         )
-        if prepare:
-            snap._table = self
-            self._write_snapshot(snap)
-            return snap
-        self._commit(snap)
-        return snap
 
     def delete_partitions(self, predicate, prepare: bool = False) -> Snapshot:
         """File-level delete: drop every data file whose partition tuple
@@ -1681,13 +1889,23 @@ class LedgerTable:
             operation="rollback",
             summary={
                 "rolled-back-to": str(snapshot_id),
-                "total-data-files": str(len(_data_files(target.files))),
-                "total-records": str(
-                    sum(e["record_count"] for e in _data_files(target.files))
-                ),
+                # running totals from the target's summary when present
+                # (O(1)); legacy snapshots without them recount once
+                "total-data-files": target.summary.get("total-data-files")
+                or str(len(_data_files(target.files))),
+                "total-records": target.summary.get("total-records")
+                or str(sum(e["record_count"] for e in _data_files(target.files))),
             },
-            files=list(target.files),
+            # manifest REUSE (the whole point of immutable segments): a
+            # rollback shares the target's segment files — O(segments)
+            # commit, zero entry rewrites. own_segment=None: its delta
+            # vs its lineage parent (the target) is empty by definition.
+            added=[],
+            removed=[],
+            manifest_list=self._parent_manifest_list(target),
+            own_segment=None,
         )
+        snap._table = self
         self._commit(snap, expected_parent=cur_head)
         return snap
 

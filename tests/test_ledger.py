@@ -682,32 +682,47 @@ def test_sorted_write_enables_file_skipping(spark, catalog):
     assert sorted_tbl.read(predicates=pred).count() == expect
 
 
-def test_delta_commits_are_o_delta_and_fold_periodically(spark, catalog):
-    """Commit JSON is O(delta): append snapshots store only the added
-    entries; every FOLD_EVERY-th commit folds to a full list; reads and
-    time travel stay exact across the chain."""
+def test_segmented_commits_write_o_delta_bytes(spark, catalog):
+    """The manifest-list commit log: every snapshot JSON holds only an
+    O(log files) manifest list + the own-segment pointer (never the
+    file inventory); N appends to an F-file table write O(N * delta)
+    commit bytes, NOT O(N * F); reads and time travel stay exact
+    across the chain; the manifest list stays logarithmic under
+    size-tiered merging."""
     import json as _json
-
-    from lakehouse_admin_spark.sources.ledger import FOLD_EVERY
+    import math
+    import os as _os
 
     df = spark.range(10).selectExpr("id", "id * 2 AS v")
     tbl = catalog.create_table("main", "delta_chain", df.schema, [])
-    n_commits = FOLD_EVERY + 3
+    n_commits = 35
+    own_bytes = []
+    snap_bytes = []
     for _ in range(n_commits):
-        tbl.append(df)
+        s = tbl.append(df)
+        own_bytes.append(
+            _os.path.getsize(tbl._segment_path(s.own_segment["path"]))
+        )
+        snap_bytes.append(
+            _os.path.getsize(f"{tbl.meta_dir}/snap-{s.snapshot_id}.json")
+        )
     snaps = tbl.snapshots()
     assert len(snaps) == n_commits
-    forms = []
     for s in snaps:
         with open(f"{tbl.meta_dir}/snap-{s.snapshot_id}.json") as fh:
             d = _json.load(fh)
-        forms.append("fold" if "files" in d else "delta")
-        if "files" not in d:
-            assert len(d["added"]) >= 1  # only the delta is stored
-            assert d["removed"] == []
-    assert forms[0] == "fold"  # first commit
-    assert "fold" in forms[1:]  # periodic fold happened
-    assert forms.count("delta") >= FOLD_EVERY - 1
+        assert "files" not in d and "added" not in d, (
+            "snapshot JSON must never inline file entries"
+        )
+        assert len(d["manifest_list"]) <= 2 * int(
+            math.log2(s.snapshot_id) + 2
+        ), "manifest list must stay logarithmic in commit count"
+    # commit bytes: own segments are delta-sized (1 file entry each),
+    # so the LAST append's own segment is no bigger than the FIRST's
+    # even though the table grew 35x — O(delta), not O(F)
+    assert own_bytes[-1] <= own_bytes[0] * 2
+    # snapshot JSON grows at most logarithmically (manifest list)
+    assert snap_bytes[-1] <= snap_bytes[0] + 4096
     # exactness across the whole chain
     assert tbl.read().count() == 10 * n_commits
     mid = snaps[n_commits // 2].snapshot_id
@@ -1489,21 +1504,21 @@ def test_randomized_mutations_match_model(spark, catalog):
     assert n == len(model)
 
 
-def test_incremental_scan_across_fold_boundary(spark, catalog):
-    """Every FOLD_EVERY-th commit stores a full file list instead of a
-    delta; incremental/changelog ranges crossing a fold must diff the
-    fold against its parent instead of reading a stored delta."""
-    from lakehouse_admin_spark.sources.ledger import FOLD_EVERY
-
+def test_incremental_scan_across_merge_boundary(spark, catalog):
+    """Size-tiered merging rewrites manifest segments behind older
+    commits; incremental/changelog ranges crossing merge boundaries
+    must read each snapshot's OWN segment (the CDC record), which
+    merging never touches."""
     df = spark.range(0, 1).selectExpr("id")
     tbl = catalog.create_table("main", "fold_scan_tbl", df.schema, [])
-    n_commits = FOLD_EVERY + 3
+    n_commits = 35
     for i in range(n_commits):
         tbl.append(spark.range(i * 10, i * 10 + 10).selectExpr("id"))
     snaps = tbl.snapshots()
+    # merging happened: some snapshot's list is shorter than its id
     assert any(
-        s.is_fold for s in snaps[1:]
-    ), "expected a periodic fold inside the chain"
+        len(s.manifest_list) < s.snapshot_id for s in snaps[3:]
+    ), "expected size-tiered segment merging inside the chain"
     first, last = snaps[0].snapshot_id, snaps[-1].snapshot_id
     inc = tbl.incremental_scan(first, last)
     # commits 2..n: ids 10..(n_commits*10)
@@ -1868,3 +1883,64 @@ def test_consumer_changelog_across_replace_is_silent(spark, catalog, tmp_path_fa
     rows = batch3.collect()
     assert sorted(r["id"] for r in rows) == list(range(40, 50))
     assert {r["_change_type"] for r in rows} == {"insert"}
+
+
+def test_rollback_reuses_manifest_segments(spark, catalog):
+    """Rollback commits by POINTING at the target's immutable segments
+    (manifest reuse): no file entries are rewritten, the new snapshot's
+    manifest list equals the target's, and the read is exact."""
+    df = spark.range(10).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "rb_reuse_tbl", df.schema, [])
+    tbl.append(df)
+    target = tbl.current_snapshot_id()
+    tbl.append(spark.range(10, 30).selectExpr("id", "id AS v"))
+    snap = tbl.rollback_to(target)
+    assert snap.manifest_list == tbl.snapshot(target).manifest_list
+    assert snap.own_segment is None
+    assert tbl.read().count() == 10
+    # CDC record of a rollback vs its lineage parent is empty
+    added, removed = tbl._snapshot_delta(snap)
+    assert added == [] and removed == []
+
+
+def test_expire_reclaims_unreferenced_segments(spark, catalog):
+    """Segment GC: expiring snapshots deletes manifest segments no
+    KEPT snapshot references, while segments shared with the surviving
+    head stay on disk and the head remains fully readable."""
+    df = spark.range(5).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "seg_gc_tbl", df.schema, [])
+    for i in range(12):
+        tbl.append(spark.range(i * 5, i * 5 + 5).selectExpr("id", "id AS v"))
+    segs_before = {
+        fn for fn in os.listdir(tbl.meta_dir) if fn.startswith("mseg-")
+    }
+    head = tbl.snapshot(tbl.current_snapshot_id())
+    kept = {d["path"] for d in head.manifest_list}
+    if head.own_segment:
+        kept.add(head.own_segment["path"])
+    assert kept < segs_before, "history should reference extra segments"
+    metrics = maintenance.expire_snapshots(tbl, older_than_ms=int(2e15))
+    assert metrics["deleted_manifest_segments_count"] > 0
+    segs_after = {
+        fn for fn in os.listdir(tbl.meta_dir) if fn.startswith("mseg-")
+    }
+    assert segs_after == kept, "exactly the kept snapshot's segments survive"
+    assert tbl.read().count() == 60
+    assert not missing_files(tbl)
+
+
+def test_orphan_gc_reclaims_aborted_segments(spark, catalog):
+    """A segment written by an aborted commit (never referenced by any
+    snapshot) is a metadata orphan: remove_orphan_files reclaims it
+    after the age guard, never touching referenced segments."""
+    df = spark.range(5).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "seg_orphan_tbl", df.schema, [])
+    tbl.append(df)
+    stray = os.path.join(tbl.meta_dir, "mseg-99-dabandoned.json")
+    with open(stray, "w") as fh:
+        fh.write('{"added": [], "removed": []}')
+    os.utime(stray, (1, 1))
+    metrics = maintenance.remove_orphan_files(tbl)
+    assert stray in metrics["deleted_files"]
+    assert not os.path.exists(stray)
+    assert tbl.read().count() == 5

@@ -151,3 +151,37 @@ def test_shingle_df_cap_is_conservative(spark):
         for r in jaccard_pairs(spark, SF_SMOKE, max_shingle_df=10**9).collect()
     }
     assert loose == exact
+
+
+def test_simhash_block_permutation_complete(spark):
+    """Manku block-permutation candidate generation is COMPLETE for
+    Hamming <= 3: the banded pair set equals brute-force all-pairs
+    Hamming <= 3 over the signatures (pigeonhole: <= 3 dirty blocks of
+    6 leave a clean 3-block combination that collides)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_admin_spark.operators.dedup import (
+        simhash_near_dup,
+        simhash_signatures,
+    )
+
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dup(spark, SF_SMOKE).collect()
+    }
+    sig = simhash_signatures(spark, SF_SMOKE)
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
