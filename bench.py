@@ -59,7 +59,11 @@ HEADLINE = [
     "purchase_last_click_asof",  # r3: as-of join
     "attribution_counts_rangejoin",  # r3: bucketed range join
     "ledger_bucketed_join_revenue",  # r3: in-ledger bucket-map join
-    "graph_ann_search",  # r3: beam walk over the exact k-NN graph
+    "nn_descent_graph",  # r5: NND index build runs HERE (first in the
+    # warm pass), so its `_build` row owns the one-time edge-index cost
+    # and the downstream consumers (graph_ann_search, hnsw layer 0)
+    # measure serving against the session-cached index
+    "graph_ann_search",  # r3: beam walk over the NND k-NN graph
     "ledger_incremental_scan",  # r3: manifest-delta incremental read
     "ledger_merge_upsert",  # r3: MERGE INTO (MOR upsert) round-trip
     "ledger_ivm_rollup",  # r3: incrementally-maintained rollup
@@ -68,7 +72,6 @@ HEADLINE = [
     "ann_ivf_pq_topk",  # r5: IVF(√n kmeans cells)+PQ/ADC composition
     "ann_ivf_pq_rerank",  # r5: IVFADC + exact re-rank (FAISS serving shape)
     "hnsw_search",  # r5: hierarchical descent + NND layer builds
-    "nn_descent_graph",  # r5: the serving-tier edge index build cost
     "ledger_sketch_lookup",  # r5: Bloom-sidecar-pruned point lookup
     "ann_incremental_assign",  # r5: delta ingest vs persisted IVF index
 ]
@@ -90,15 +93,33 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     # Untimed warm pass: one-time fixture builds (ledger fixtures,
-    # bucketed fact materialization) happen HERE, so the timed pass
-    # below measures the queries, not their setup. A query that crashes
-    # costs its own data point, never the whole artifact — record the
-    # error and keep going (r2 lost its entire bench to one broken
-    # query aborting the warm pass).
+    # bucketed fact materialization, ANN index training) happen HERE,
+    # so the timed pass below measures the queries, not their setup. A
+    # query that crashes costs its own data point, never the whole
+    # artifact — record the error and keep going (r2 lost its entire
+    # bench to one broken query aborting the warm pass).
+    #
+    # For the index-backed families the FIRST run is build-inclusive
+    # (k-means train, NN-descent rounds, HNSW layer builds); its wall
+    # is reported separately as `<name>_build` so one-time index cost
+    # is visible and never conflated with warm serving latency.
+    BUILD_HEAVY = {
+        "nn_descent_graph",
+        "hnsw_search",
+        "graph_ann_search",
+        "ann_ivf_multiprobe",
+        "ann_ivf_pq_topk",
+        "ann_ivf_pq_rerank",
+        "ann_incremental_assign",
+    }
     errors: dict[str, str] = {}
+    builds: dict[str, float] = {}
     for name in HEADLINE:
         try:
+            t0 = time.perf_counter()
             registry.QUERIES[name].fn(spark, sf_dir).collect()
+            if name in BUILD_HEAVY:
+                builds[f"{name}_build"] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — must not lose the artifact
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -121,6 +142,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "builds": builds,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

