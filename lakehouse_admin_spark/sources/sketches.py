@@ -80,6 +80,7 @@ _CACHE_MAX = 64
 # distinct keys must not grow driver memory without bound.
 _POSITIONS_CACHE: OrderedDict[tuple, list[int]] = OrderedDict()
 _POSITIONS_MAX = 4096
+_FALLBACK_LOGGED: set[str] = set()  # key types logged once on fallback
 
 
 def _positions_expr(col: str, m: int, k: int):
@@ -278,19 +279,99 @@ def _hash_bytes(data: bytes, seed: int) -> int:
     return _fmix(h1, len(data))
 
 
-def _driver_positions(key_type, value, m: int, k: int) -> list[int] | None:
+_EPOCH_DATE = None  # lazy datetime imports (cold-start cost)
+
+
+def _date_days(value) -> int:
+    """Days since 1970-01-01 — Spark stores DateType as this int."""
+    import datetime as _dt
+
+    d = value
+    if isinstance(d, str):
+        d = _dt.date.fromisoformat(d)
+    if isinstance(d, _dt.datetime):
+        d = d.date()
+    return (d - _dt.date(1970, 1, 1)).days
+
+
+def _timestamp_micros(value, tz_name: str | None) -> int | None:
+    """Microseconds since the epoch — Spark stores TimestampType (LTZ)
+    as this long. A NAIVE value/string is interpreted in the SESSION
+    time zone (exactly what Spark's cast does); if the zone can't be
+    resolved return None and let the Spark-job fallback answer."""
+    import datetime as _dt
+
+    t = value
+    if isinstance(t, str):
+        t = _dt.datetime.fromisoformat(t)
+    elif isinstance(t, _dt.date) and not isinstance(t, _dt.datetime):
+        t = _dt.datetime(t.year, t.month, t.day)
+    if t.tzinfo is None:
+        try:
+            from zoneinfo import ZoneInfo
+
+            t = t.replace(tzinfo=ZoneInfo(tz_name or "UTC"))
+        except Exception:
+            return None
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    return (t - epoch) // _dt.timedelta(microseconds=1)
+
+
+def _decimal_unscaled(value, precision: int, scale: int) -> int:
+    """The unscaled long/BigInteger of ``value`` at the column's scale
+    (Spark casts literals with HALF_UP)."""
+    import decimal as _d
+
+    dv = value if isinstance(value, _d.Decimal) else _d.Decimal(str(value))
+    with _d.localcontext() as ctx:
+        ctx.prec = max(precision + scale + 4, 40)
+        q = dv.quantize(_d.Decimal(1).scaleb(-scale), rounding=_d.ROUND_HALF_UP)
+        return int(q.scaleb(scale))
+
+
+def _big_integer_bytes(v: int) -> bytes:
+    """java.math.BigInteger.toByteArray: minimal big-endian two's
+    complement (bitLength // 8 + 1 bytes, Java's bitLength)."""
+    jbits = v.bit_length() if v >= 0 else (-v - 1).bit_length()
+    return v.to_bytes(jbits // 8 + 1, "big", signed=True)
+
+
+def _driver_positions(
+    key_type, value, m: int, k: int, tz_name: str | None = None
+) -> list[int] | None:
     """Probe positions computed driver-side for the common key types;
     None for types the pure-Python path doesn't cover (fallback: one
     memoized Spark job). ``F.hash(col, lit(i))`` is Spark's MULTI-column
     Murmur3: fold over the children with initial seed 42, each child's
     fmix'd result seeding the next — so position i is
-    hashInt(i, hash<type>(value, 42))."""
+    hashInt(i, hash<type>(value, 42)).
+
+    Covered: int/bigint/string plus the partition-math types the admin
+    plane filters on — DATE (hashInt of epoch days), TIMESTAMP
+    (hashLong of epoch micros, naive values resolved in the session
+    zone) and DECIMAL (hashLong of the unscaled value for precision
+    <= 18, else hashUnsafeBytes of BigInteger.toByteArray)."""
+    from pyspark.sql.types import DateType, DecimalType, TimestampType
+
     if isinstance(key_type, (IntegerType, ShortType, ByteType)):
         hv = _hash_int(int(value), 42)
     elif isinstance(key_type, LongType):
         hv = _hash_long(int(value), 42)
     elif isinstance(key_type, StringType):
         hv = _hash_bytes(str(value).encode("utf-8"), 42)
+    elif isinstance(key_type, DateType):
+        hv = _hash_int(_date_days(value), 42)
+    elif isinstance(key_type, TimestampType):
+        micros = _timestamp_micros(value, tz_name)
+        if micros is None:
+            return None
+        hv = _hash_long(micros, 42)
+    elif isinstance(key_type, DecimalType):
+        unscaled = _decimal_unscaled(value, key_type.precision, key_type.scale)
+        if key_type.precision <= 18:
+            hv = _hash_long(unscaled, 42)
+        else:
+            hv = _hash_bytes(_big_integer_bytes(unscaled), 42)
     else:
         return None
     # pmod: Spark's pmod(a, m) is ((a % m) + m) % m; Python % is
@@ -310,8 +391,24 @@ def key_positions(tbl, col: str, value, m: int, k: int) -> list[int]:
     if pos is not None:
         _POSITIONS_CACHE.move_to_end(ck)
         return pos
-    pos = _driver_positions(key_type, value, m, k)
+    try:
+        tz_name = tbl.spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz_name = None
+    pos = _driver_positions(key_type, value, m, k, tz_name)
     if pos is None:
+        ts = key_type.simpleString()
+        if ts not in _FALLBACK_LOGGED:  # log ONCE per type: the probe
+            # leaves the metadata-only planning path (1-row Spark job)
+            _FALLBACK_LOGGED.add(ts)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "sketch probe for %s key type %s has no driver-side "
+                "Murmur3 — falling back to a memoized 1-row Spark job",
+                col,
+                ts,
+            )
         lit = F.lit(value).cast(key_type)
         row = (
             tbl.spark.range(1)

@@ -103,10 +103,47 @@ def test_driver_murmur3_matches_spark_expression(spark, catalog):
 
     from lakehouse_admin_spark.sources.sketches import _driver_positions
 
+    import datetime as _dt
+    from decimal import Decimal
+
+    from pyspark.sql.types import DateType, DecimalType, TimestampType
+
+    tz_name = spark.conf.get("spark.sql.session.timeZone")
     cases = [
         (IntegerType(), [0, 1, -1, 42, 2**31 - 1, -(2**31)]),
         (LongType(), [0, 1, -1, 42, 2**63 - 1, -(2**63), 2**40 + 7]),
         (StringType(), ["", "a", "hello", "naïve-ütf8", "x" * 17, "1234"]),
+        (
+            DateType(),
+            [
+                _dt.date(1970, 1, 1),
+                _dt.date(2026, 2, 28),
+                _dt.date(1969, 12, 31),
+                "2026-08-14",
+            ],
+        ),
+        (
+            TimestampType(),
+            [
+                _dt.datetime(1970, 1, 1),
+                _dt.datetime(2026, 8, 14, 12, 34, 56, 789012),
+                _dt.datetime(1969, 6, 1, 23, 59, 59),
+                "2026-08-14 12:34:56.789012",
+            ],
+        ),
+        (
+            DecimalType(10, 2),
+            [Decimal("0.00"), Decimal("123.45"), Decimal("-99.99"), "7.5"],
+        ),
+        (
+            DecimalType(38, 4),
+            [
+                Decimal("0.0000"),
+                Decimal("12345678901234567890.1234"),
+                Decimal("-128"),  # BigInteger minimal two's-complement edge
+                Decimal("-12345678901234567890123456789.0001"),
+            ],
+        ),
     ]
     m, k = 4096, 5
     for typ, values in cases:
@@ -124,7 +161,7 @@ def test_driver_murmur3_matches_spark_expression(spark, catalog):
                 )
                 .collect()[0]["p"]
             ]
-            got = _driver_positions(typ, v, m, k)
+            got = _driver_positions(typ, v, m, k, tz_name)
             assert got == expected, (typ.simpleString(), v, got, expected)
 
 
@@ -211,3 +248,36 @@ def test_rename_and_readd_disables_stale_sketch_pruning(spark, catalog):
     # resolves to the new field → no pruning; correctness preserved
     rows = tbl.read(predicates=[("k_old", "=", 7)]).collect()
     assert [r["k_old"] for r in rows] == [7]
+
+
+def test_date_column_bloom_pruning_metadata_only(spark, catalog):
+    """Bloom pruning on a DATE key (the partition-math type the admin
+    plane filters on) runs fully driver-side: correct file skipping,
+    zero Spark jobs on the probe path."""
+    import datetime as _dt
+
+    schema = spark.range(1).selectExpr(
+        "CAST(date_add('2026-01-01', CAST(id AS INT)) AS DATE) AS d",
+        "id AS v",
+    ).schema
+    tbl = catalog.create_table("main", "date_bloom_tbl", schema, [])
+    # 4 files with interleaved dates: min/max straddles, Bloom doesn't
+    for i in range(4):
+        tbl.append(
+            spark.range(0, 100)
+            .filter(F.col("id") % 4 == i)
+            .selectExpr(
+                "CAST(date_add('2026-01-01', CAST(id AS INT)) AS DATE) AS d",
+                "id AS v",
+            )
+            .coalesce(1)
+        )
+    compute_file_sketches(tbl, ["d"])
+    probe = _dt.date(2026, 1, 1) + _dt.timedelta(days=17)
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    planned = tbl.plan_files([("d", "=", probe)])
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(planned) == 1, "Bloom must prune to the one file holding the key"
+    assert list(before) == list(after), "date probe must not launch Spark jobs"
+    # the kept file really holds the key
+    assert tbl.scan_entries(planned).filter(F.col("d") == F.lit(probe)).count() == 1
