@@ -243,7 +243,10 @@ def ivf_cell_count(n: int) -> int:
 
 
 def ivf_cells(
-    spark: SparkSession, emb: DataFrame, iters: int = IVF_ITERS
+    spark: SparkSession,
+    emb: DataFrame,
+    iters: int = IVF_ITERS,
+    init: str = "lowest",
 ) -> tuple[DataFrame, DataFrame]:
     """Train the IVF coarse quantizer: deterministic Lloyd k-means with
     k = :func:`ivf_cell_count`, init = the k lowest vec_ids, ``iters``
@@ -263,7 +266,18 @@ def ivf_cells(
     n = emb.count()
     k = ivf_cell_count(n)
     dim = 64
-    init_rows = emb.orderBy("vec_id").limit(k).select("embedding").collect()
+    # init="lowest" (default): the k lowest vec_ids — oracle-replayable
+    # (_kmeans_cte). init="hash": the k lowest md5(vec_id) — a
+    # deterministic pseudo-random SAMPLE spread across the corpus
+    # (distributed TakeOrdered, no global window), the RETRAIN path's
+    # init: after drifted ingest the id order correlates with arrival
+    # time, so id-ordered init would seed every centroid in the oldest
+    # distribution and leave the drifted mass under-quantized.
+    if init == "hash":
+        ordered = emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    else:
+        ordered = emb.orderBy("vec_id")
+    init_rows = ordered.limit(k).select("embedding").collect()
     centroids = np.stack(
         [np.asarray(r["embedding"], dtype=np.float64) for r in init_rows]
     )

@@ -418,6 +418,14 @@ def build_vector_cells_ledger(
             properties={"source_dir": src},
         )
         ctbl.append(cents)
+        # record train-time stats so drift checks stay O(delta) and
+        # the scheduled maintenance cycle picks this index up
+        from lakehouse_admin_spark.vector_maintenance import (
+            _centroid_matrix,
+            record_train_stats,
+        )
+
+        record_train_stats(tbl, _centroid_matrix(ctbl))
         return tbl, ctbl
 
 

@@ -378,10 +378,20 @@ class LedgerTable:
         return os.path.exists(self._table_json)
 
     def properties(self) -> dict[str, str]:
-        """Free-form table properties set at create time (Iceberg's
-        table-properties map) — e.g. a derived index table records its
-        source dataset here so cache hits can verify provenance."""
+        """Free-form table properties (Iceberg's table-properties map)
+        — e.g. a derived index table records its source dataset here so
+        cache hits can verify provenance, and its training statistics
+        so drift checks stay O(delta)."""
         return dict(self._load_meta().get("properties", {}))
+
+    def set_property(self, key: str, value: str) -> None:
+        """Set/replace one table property (Iceberg ALTER TABLE SET
+        TBLPROPERTIES analog)."""
+        meta = self._load_meta()
+        props = meta.get("properties") or {}
+        props[str(key)] = str(value)
+        meta["properties"] = props
+        self._store_meta(meta)
 
     def partition_spec(self) -> list[PartitionField]:
         """The current (default) partition spec."""

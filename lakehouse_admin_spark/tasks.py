@@ -32,11 +32,13 @@ RUNNING = "running"
 SUCCESS = "success"
 ERROR = "error"
 
-# task kinds (reference: interfaces.go:10-23)
+# task kinds (reference: interfaces.go:10-23; retrain_vector_index is
+# the engine-extension kind for the governed IVF index lifecycle)
 KIND_OPTIMIZE = "optimize"
 KIND_EXPIRE = "expire_snapshots"
 KIND_ORPHANS = "remove_orphan_files"
-KINDS = (KIND_OPTIMIZE, KIND_EXPIRE, KIND_ORPHANS)
+KIND_RETRAIN_VECTOR = "retrain_vector_index"
+KINDS = (KIND_OPTIMIZE, KIND_EXPIRE, KIND_ORPHANS, KIND_RETRAIN_VECTOR)
 
 MIN_RETENTION_DAYS = 7  # reference: service_tasks.go:15
 
@@ -604,6 +606,17 @@ def execute_task(
             metrics = _run(lambda: maintenance.remove_orphan_files(tbl))
             metrics.pop("deleted_files", None)
             queue.complete(task.id, result={"procedure": metrics})
+        elif task.kind == KIND_RETRAIN_VECTOR:
+            from lakehouse_admin_spark.vector_maintenance import (
+                retrain_vector_index,
+            )
+
+            cents = catalog.table(
+                task.database,
+                task.input.get("centroids_table", task.table + "_centroids"),
+            )
+            metrics = _run(lambda: retrain_vector_index(catalog, tbl, cents))
+            queue.complete(task.id, result={"procedure": metrics})
         else:
             queue.complete(task.id, error=f"unknown kind {task.kind}")
     except Exception as ex:  # noqa: BLE001 — task errors are recorded, not raised
@@ -641,6 +654,17 @@ def run_maintenance_cycle(
     planned: list[Task] = []
     for db in catalog.list_databases():
         for tname in catalog.list_tables(db):
+            # governed vector indexes get drift-triggered retraining in
+            # the same cycle (an engine-extension maintenance kind)
+            if (
+                catalog.table(db, tname).properties().get("index_kind")
+                == "ivf"
+            ):
+                from lakehouse_admin_spark.vector_maintenance import (
+                    plan_vector_index_tasks,
+                )
+
+                planned += plan_vector_index_tasks(queue, catalog, db, tname)
             planned += plan_optimize_tasks(
                 queue,
                 catalog,

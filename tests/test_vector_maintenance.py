@@ -1,0 +1,160 @@
+"""IVF index lifecycle: drift measurement, threshold-triggered retrain
+through the task queue, atomic two-table swap, time-travelable history.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_admin_spark import tasks as task_mod
+from lakehouse_admin_spark.sources.fixtures import build_vector_cells_ledger
+from lakehouse_admin_spark.sources.ledger import LedgerCatalog
+from lakehouse_admin_spark.sources.tables import load_table
+from lakehouse_admin_spark.vector_maintenance import (
+    _centroid_matrix,
+    plan_vector_index_tasks,
+    vector_index_drift,
+)
+from tests.conftest import SF_SMOKE
+
+SHIFT = 3.0  # distribution shift applied to the ingested delta
+
+
+@pytest.fixture(scope="module")
+def catalog(spark, tmp_path_factory):
+    return LedgerCatalog(spark, str(tmp_path_factory.mktemp("vecmaint_wh")))
+
+
+def _shifted_delta(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    return emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x + F.lit(SHIFT)).cast("float")
+        ).alias("embedding"),
+    )
+
+
+def _top1_in_cell(tbl, ctbl, queries):
+    """(query vec_id -> in-cell top-1 neighbor) via nearest-centroid
+    routing + exact in-cell cosine — the serving path over the
+    governed index."""
+    from lakehouse_admin_spark.operators.similarity import cosine_expr
+
+    cents = _centroid_matrix(ctbl)
+    out = {}
+    rows = tbl.read().select("vec_id", "embedding", "cell").collect()
+    by_cell: dict[int, list] = {}
+    vecs = {}
+    for r in rows:
+        by_cell.setdefault(int(r["cell"]), []).append(int(r["vec_id"]))
+        vecs[int(r["vec_id"])] = np.asarray(r["embedding"], dtype=np.float64)
+    for qid, q in queries.items():
+        d2 = ((cents - q) ** 2).sum(axis=1)
+        probed = np.argsort(d2)[:3]  # multiprobe, the serving shape
+        best, best_cos = None, -2.0
+        for cell in probed:
+            for vid in by_cell.get(int(cell), []):
+                if vid == qid:
+                    continue
+                v = vecs[vid]
+                cos = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+                if cos > best_cos or (cos == best_cos and vid < best):
+                    best, best_cos = vid, cos
+        out[qid] = best
+    return out, vecs
+
+
+def test_drift_trips_retrain_and_recovers(spark, catalog):
+    queue = task_mod.TaskQueue()
+    tbl, ctbl = build_vector_cells_ledger(
+        spark, SF_SMOKE, catalog, name="vc_drift"
+    )
+    n_base = tbl.read().count()
+    props = tbl.properties()
+    assert props["index_kind"] == "ivf"
+    assert float(props["train_mean_dist"]) > 0
+
+    # fresh index: no drift, the planner enqueues nothing
+    d0 = vector_index_drift(tbl, ctbl)
+    assert d0["drift_ratio"] == 1.0 and d0["n_delta"] == 0
+    assert plan_vector_index_tasks(queue, catalog, "main", "vc_drift") == []
+
+    # ingest a SHIFTED delta against the frozen centroids (the batch
+    # twin of the streaming ingest kernel)
+    from lakehouse_admin_spark.streaming.vectors import assign_cells_stream
+
+    assigned = assign_cells_stream(
+        _shifted_delta(spark), spark, _centroid_matrix(ctbl)
+    )
+    tbl.append(assigned)
+    n_total = tbl.read().count()
+    assert n_total == 2 * n_base
+
+    # drift trips on both metrics: shifted rows sit far from their
+    # centroids, and they pile into few cells
+    d1 = vector_index_drift(tbl, ctbl)
+    assert d1["n_delta"] == n_base
+    from lakehouse_admin_spark.vector_maintenance import (
+        CELL_SKEW_MAX,
+        DRIFT_RATIO_MAX,
+    )
+
+    assert d1["drift_ratio"] > DRIFT_RATIO_MAX
+    assert d1["cell_skew"] > CELL_SKEW_MAX
+
+    # the planner enqueues exactly one retrain; a second plan is a noop
+    planned = plan_vector_index_tasks(queue, catalog, "main", "vc_drift")
+    assert [t.kind for t in planned] == [task_mod.KIND_RETRAIN_VECTOR]
+    assert plan_vector_index_tasks(queue, catalog, "main", "vc_drift") == []
+
+    old_cells_sid = tbl.current_snapshot_id()
+    old_cents_sid = ctbl.current_snapshot_id()
+    old_k = ctbl.read().count()
+
+    # worker executes the retrain through the normal task machinery
+    t = queue.claim()
+    assert t is not None and t.kind == task_mod.KIND_RETRAIN_VECTOR
+    done = task_mod.execute_task(queue, catalog, t)
+    assert done.status == task_mod.SUCCESS, done.error
+    metrics = done.result["procedure"]
+    assert metrics["retrained_rows"] == n_total
+    # k grows with the corpus (ceil(sqrt(2n)) > ceil(sqrt(n)))
+    assert metrics["cells_after"] > metrics["cells_before"] == old_k
+
+    # swap was atomic: both tables advanced, index re-reads fresh
+    tbl2 = catalog.table("main", "vc_drift")
+    ctbl2 = catalog.table("main", "vc_drift_centroids")
+    assert tbl2.current_snapshot_id() != old_cells_sid
+    assert ctbl2.current_snapshot_id() != old_cents_sid
+    d2 = vector_index_drift(tbl2, ctbl2)
+    assert d2["drift_ratio"] == 1.0 and d2["n_delta"] == 0
+    assert d2["cell_skew"] <= CELL_SKEW_MAX
+    assert d2["cells"] == metrics["cells_after"]
+
+    # recall vs brute force recovers: in-cell top-1 matches the
+    # brute-force top-1 for most shifted queries
+    sample = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+              for r in tbl2.read()
+              .filter(F.col("vec_id") % 40 == 0)
+              .limit(10)
+              .collect()}
+    top1, vecs = _top1_in_cell(tbl2, ctbl2, sample)
+    hits = 0
+    for qid, q in sample.items():
+        best, best_cos = None, -2.0
+        for vid, v in vecs.items():
+            if vid == qid:
+                continue
+            cos = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            if cos > best_cos or (cos == best_cos and vid < best):
+                best, best_cos = vid, cos
+        hits += top1[qid] == best
+    assert hits >= 7, f"post-retrain in-cell recall {hits}/10"
+
+    # the OLD index is still time-travelable (snapshot lineage intact)
+    assert tbl2.read(old_cells_sid).count() == n_total
+    old_cents = ctbl2.read(old_cents_sid)
+    assert old_cents.count() == old_k
