@@ -794,14 +794,14 @@ def lsh_band_df(emb: DataFrame, r: int) -> DataFrame:
     return emb.mapInPandas(kernel, schema)
 
 
-def _lsh_oracle() -> str:
-    """DuckDB replay of the full LSH pipeline with CORPUS-SCALED
-    geometry: r derived from COUNT(*) via the same integer bit-shift
-    scan as :func:`lsh_bits_per_band`, LCG hyperplanes for all
-    ``LSH_BANDS * r`` planes → sign bits (list-valued, width dynamic in
-    r) → band buckets → colliding pairs → exact cosine verify."""
-    return f"""
-    WITH geom AS MATERIALIZED (
+def _lsh_cte() -> str:
+    """The shared CTE chain replaying the LSH pipeline with
+    CORPUS-SCALED geometry: r derived from COUNT(*) via the same
+    integer bit-shift scan as :func:`lsh_bits_per_band`, LCG
+    hyperplanes for all ``LSH_BANDS * r`` planes → sign bits
+    (list-valued, width dynamic in r) → band buckets → colliding
+    pairs → exact cosine verify (terminal relation ``ver``)."""
+    return f"""geom AS MATERIALIZED (
         SELECT GREATEST({LSH_MIN_BITS}, LEAST({LSH_MAX_BITS}, (
             SELECT CAST(MIN(i) AS INT) FROM range(1, 33) t(i)
             WHERE (1::BIGINT << i)
@@ -840,10 +840,40 @@ def _lsh_oracle() -> str:
         FROM cand c
         JOIN embeddings a ON a.vec_id = c.vec_a
         JOIN embeddings b ON b.vec_id = c.vec_b
-    )
+    )"""
+
+
+def _lsh_oracle() -> str:
+    return f"""
+    WITH {_lsh_cte()}
     SELECT vec_a, vec_b, cosine FROM ver
     WHERE cosine >= {NEAR_DUP_THRESHOLD}
     ORDER BY vec_a, vec_b
+    """
+
+
+def _lsh_clusters_oracle() -> str:
+    """LSH pairs → recursive transitive closure → min-id cluster
+    labels (the dedup_clusters closure pattern over the vector tier)."""
+    return f"""
+    WITH RECURSIVE {_lsh_cte()},
+    vpairs AS (
+        SELECT vec_a, vec_b FROM ver WHERE cosine >= {NEAR_DUP_THRESHOLD}
+    ),
+    edges AS (
+        SELECT vec_a AS a, vec_b AS b FROM vpairs
+        UNION
+        SELECT vec_b, vec_a FROM vpairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach
+    GROUP BY a
+    ORDER BY vec_id
     """
 
 
@@ -901,6 +931,29 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
         .orderBy("vec_a", "vec_b")
+    )
+
+
+@query("embedding_lsh_clusters", oracle=_lsh_clusters_oracle())
+def embedding_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS over the vector tier — the SCALE-SAFE output
+    shape: ``embedding_lsh_near_dup``'s PAIR output is inherently
+    Θ(Σ cluster²) (measured 12.6x output growth at 4x data on a
+    constant-cluster fixture — output-bound, not plan-bound), so a
+    dedup consumer should take (vec_id, cluster_id = component min)
+    instead: O(n) rows regardless of cluster sizes. Pairs-mode remains
+    the diagnostic/verification surface. Routed through the hybrid
+    union-find / pointer-jumping ``connected_components`` (dedup.py);
+    the oracle replays LSH pairs + a recursive transitive closure."""
+    from lakehouse_admin_spark.operators.dedup import connected_components
+
+    pairs = embedding_lsh_near_dup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return (
+        connected_components(pairs)
+        .select(F.col("doc_id").alias("vec_id"), "cluster_id")
+        .orderBy("vec_id")
     )
 
 
