@@ -458,6 +458,27 @@ def invalidate_graph_caches(sf_dir: str | None = None) -> int:
     return len(keys)
 
 
+def _vectors_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, nrm) — the tier's vectors with their L2 norm
+    precomputed ONCE and localCheckpoint'd. Every beam-walk hop joins
+    broadcast candidates against this side and broadcasts the query set
+    built from it; without it each hop re-read the parquet and
+    re-evaluated the norm HOF per CANDIDATE row (norms are per-vector,
+    not per-candidate). The norm is the identical sqrt(sequential-sum)
+    expression the oracles replay, so cached values match
+    bit-for-bit."""
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        return emb.withColumn(
+            "nrm", norm_expr(F.col("embedding"))
+        ).localCheckpoint()
+
+    return _cached(("vecs", id(spark), sf_dir), build)
+
+
 def _undirected_edges(
     spark: SparkSession, sf_dir: str, source: str = "nn_descent"
 ) -> DataFrame:
@@ -502,26 +523,30 @@ def graph_ann_search(
     rounds reuse it without re-running the build. The driver-graded
     oracle replays BOTH the NN-descent build and the identical walk in
     SQL (:func:`_nnd_cte` + the unrolled hops)."""
-    from lakehouse_admin_spark.operators.similarity import QUERY_STRIDE, cosine_expr
+    from lakehouse_admin_spark.operators.similarity import QUERY_STRIDE, dot_expr
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vecs = _vectors_with_norm(spark, sf_dir)
     edges = _undirected_edges(spark, sf_dir, edge_source)
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    queries = vecs.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
     )
 
     def with_cos(cand: DataFrame) -> DataFrame:
         # candidates are tiny (≤ nq·beam·(k+1)) → broadcast them against
-        # the embedding table; the big side never shuffles
-        ne = emb.select(F.col("vec_id").alias("node"), F.col("embedding").alias("ne"))
+        # the cached (vector, norm) side; the big side never shuffles
+        # and per-vector norms never recompute per candidate row
+        ne = vecs.select(
+            F.col("vec_id").alias("node"),
+            F.col("embedding").alias("ne"),
+            F.col("nrm").alias("nn"),
+        )
+        cos = dot_expr(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
         return (
             ne.join(F.broadcast(cand), "node")
             .join(F.broadcast(queries), "query_id")
-            .select(
-                "query_id",
-                "node",
-                F.round(cosine_expr(F.col("qe"), F.col("ne")), 6).alias("cos"),
-            )
+            .select("query_id", "node", F.round(cos, 6).alias("cos"))
         )
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("node"))
@@ -923,23 +948,27 @@ def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosines, id tie-breaks); the oracle unrolls levels + descent +
     walk per layer (:func:`_hnsw_oracle`), and recall vs the exact
     top-k is pinned in tests/test_graph_ann.py."""
-    from lakehouse_admin_spark.operators.similarity import QUERY_STRIDE, cosine_expr
+    from lakehouse_admin_spark.operators.similarity import QUERY_STRIDE, dot_expr
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    vecs = _vectors_with_norm(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
     )
 
     def with_cos(cand: DataFrame) -> DataFrame:
-        ne = emb.select(F.col("vec_id").alias("node"), F.col("embedding").alias("ne"))
+        # cached per-vector norms (see graph_ann_search's with_cos)
+        ne = vecs.select(
+            F.col("vec_id").alias("node"),
+            F.col("embedding").alias("ne"),
+            F.col("nrm").alias("nn"),
+        )
+        cos = dot_expr(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
         return (
             ne.join(F.broadcast(cand), "node")
             .join(F.broadcast(queries), "query_id")
-            .select(
-                "query_id",
-                "node",
-                F.round(cosine_expr(F.col("qe"), F.col("ne")), 6).alias("cos"),
-            )
+            .select("query_id", "node", F.round(cos, 6).alias("cos"))
         )
 
     levels = hnsw_levels(spark, sf_dir)
