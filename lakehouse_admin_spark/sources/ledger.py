@@ -143,6 +143,20 @@ from collections import OrderedDict as _OrderedDict  # noqa: E402
 _SEGMENT_CACHE: "_OrderedDict[str, dict]" = _OrderedDict()
 _SEGMENT_CACHE_MAX = 32
 
+# (table meta_dir, snapshot_id) -> materialized live-file list; a
+# committed snapshot's live set is immutable, so the planner replays
+# the segment merge once per snapshot, not once per plan_files call
+_LIVE_FILES_CACHE: "_OrderedDict[tuple, list]" = _OrderedDict()
+_LIVE_FILES_CACHE_MAX = 8
+
+
+def invalidate_live_files_cache(meta_dir: str, snapshot_id: int) -> None:
+    """Drop one cached live-file list. Required when a snapshot JSON
+    is DELETED and its id may be re-assigned — an aborted transaction's
+    staged snapshot is the one such path (expired snapshots keep the
+    current head, so their ids never recycle)."""
+    _LIVE_FILES_CACHE.pop((os.path.abspath(meta_dir), snapshot_id), None)
+
 
 class Snapshot:
     """One commit. Three storage forms (newest first):
@@ -1923,10 +1937,24 @@ class LedgerTable:
     # reads
     # ------------------------------------------------------------------
     def live_files(self, snapshot_id: int | None = None) -> list[dict]:
+        """The snapshot's live manifest entries, served from a small
+        process-wide LRU keyed by (table, snapshot id): a snapshot's
+        live set is immutable once committed, so repeated planning
+        against the same snapshot replays the segment merge once, not
+        per query. Treat the returned list as READ-ONLY."""
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if sid is None:
             return []
-        return self.snapshot(sid).files
+        key = (os.path.abspath(self.meta_dir), sid)
+        hit = _LIVE_FILES_CACHE.get(key)
+        if hit is not None:
+            _LIVE_FILES_CACHE.move_to_end(key)
+            return hit
+        files = self.snapshot(sid).files
+        _LIVE_FILES_CACHE[key] = files
+        while len(_LIVE_FILES_CACHE) > _LIVE_FILES_CACHE_MAX:
+            _LIVE_FILES_CACHE.popitem(last=False)
+        return files
 
     def plan_files(
         self,

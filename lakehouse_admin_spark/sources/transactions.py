@@ -188,6 +188,13 @@ class WarehouseTransaction:
                 os.remove(os.path.join(t.meta_dir, f"snap-{snap.snapshot_id}.json"))
             except OSError:
                 pass
+            # the deleted snapshot's id may be re-assigned by the next
+            # commit — a cached live-file list for it would be stale
+            from lakehouse_admin_spark.sources.ledger import (
+                invalidate_live_files_cache,
+            )
+
+            invalidate_live_files_cache(t.meta_dir, snap.snapshot_id)
         self._staged.clear()
 
 
