@@ -593,10 +593,10 @@ def _simhash_combo_values() -> str:
     )
 
 
-@query(
-    "simhash_near_dup",
-    oracle=_simhash_oracle()
-    + f"""
+def _simhash_pairs_cte() -> str:
+    """Block-permutation candidate CTEs (through ``pairs``) shared by
+    the pair and cluster oracles."""
+    return f"""
     , combos(tbl, i0, i1, i2) AS (VALUES {_simhash_combo_values()}),
     keyed AS (
         SELECT s.doc_id, s.simhash, c.tbl,
@@ -611,7 +611,14 @@ def _simhash_combo_values() -> str:
                a.simhash AS sa, b.simhash AS sb
         FROM keyed a JOIN keyed b
           ON a.tbl = b.tbl AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+@query(
+    "simhash_near_dup",
+    oracle=_simhash_oracle()
+    + _simhash_pairs_cte()
+    + """
     SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
     FROM pairs
     WHERE bit_count(xor(sa, sb)) <= 3
@@ -675,6 +682,46 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= 3).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "simhash_clusters",
+    oracle=_simhash_oracle().replace("WITH tok", "WITH RECURSIVE tok")
+    + _simhash_pairs_cte()
+    + """
+    , spairs AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE bit_count(xor(sa, sb)) <= 3
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM spairs
+        UNION
+        SELECT doc_b, doc_a FROM spairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach
+    GROUP BY a
+    ORDER BY doc_id
+    """,
+)
+def simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup CLUSTERS — the scale-safe output shape (the
+    `embedding_lsh_clusters` / `dedup_clusters` pattern applied to the
+    SimHash tier): Hamming<=3 pairs route through connected components
+    to O(n) (doc_id, cluster_id = component min) labels; pairs-mode
+    output is inherently quadratic in cluster size and remains the
+    diagnostic surface."""
+    pairs = simhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        connected_components(pairs)
+        .select("doc_id", "cluster_id")
+        .orderBy("doc_id")
+    )
 
 
 # Driver union-find cutover: ~100 B/edge collected ⇒ 1M edges ≈ 100 MB

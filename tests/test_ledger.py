@@ -1944,3 +1944,37 @@ def test_orphan_gc_reclaims_aborted_segments(spark, catalog):
     assert stray in metrics["deleted_files"]
     assert not os.path.exists(stray)
     assert tbl.read().count() == 5
+
+
+def test_append_commit_never_reads_large_segments(spark, catalog, monkeypatch):
+    """The commit hot path is O(delta) in WORK, not just bytes: an
+    append that triggers no merge touching the table's big base
+    segment must not READ it (merge decisions use descriptor weights;
+    the segment bodies are only opened when actually merged) — so
+    commit latency and lock-hold stay flat in table size."""
+    from lakehouse_admin_spark.sources import ledger as ledger_mod
+
+    df = spark.range(64).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "seg_read_tbl", df.schema, [])
+    # a "big" head segment: one append with many files
+    tbl.append(df.repartition(64))
+    head = tbl.snapshot(tbl.current_snapshot_id())
+    n_big = head.manifest_list[0]["added"]
+    assert n_big >= 20, "head segment should hold many files"
+    big_seg = head.manifest_list[0]["path"]
+
+    reads: list[str] = []
+    orig = ledger_mod.LedgerTable._read_segment
+
+    def spying(self, name):
+        reads.append(name)
+        return orig(self, name)
+
+    monkeypatch.setattr(ledger_mod.LedgerTable, "_read_segment", spying)
+    # two tiny appends: the second may merge the two TINY segments,
+    # but neither may open the 64-entry head segment
+    tbl.append(spark.range(1).selectExpr("id", "id AS v"))
+    tbl.append(spark.range(1).selectExpr("id", "id AS v"))
+    assert big_seg not in reads, (
+        f"append commit read the {n_big}-entry base segment: {reads}"
+    )
