@@ -741,3 +741,110 @@ def ledger_cell_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("rank")
     )
+
+
+def _pq_cell_lookup_oracle() -> str:
+    from lakehouse_admin_spark.operators.similarity import TOP_K, _ivf_pq_oracle
+
+    return _ivf_pq_oracle(
+        tail=f""",
+    ranked AS (
+        SELECT query_id, neighbor_id, approx_dist,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY approx_dist, neighbor_id
+               ) AS INT) AS rank
+        FROM adc WHERE query_id = 0
+    )
+    SELECT query_id, neighbor_id, approx_dist, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY rank
+    """
+    )
+
+
+@query("ledger_pq_cell_lookup", oracle=_pq_cell_lookup_oracle())
+def ledger_pq_cell_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC point lookup against the GOVERNED PQ codes table
+    (sources/fixtures.py:build_vector_codes_ledger — the FAISS IVFADC
+    storage layout as cell-partitioned ledger tables): probe the
+    query's IVF_PROBES nearest cells from the centroid companion
+    (index metadata), PLAN only those cells' code files via partition
+    pruning (~probes/k of an ~8 B/vector table — the raw vectors are
+    never touched), and rank by ADC against the query's broadcast LUT.
+    The oracle recomputes k-means, codebook, encoding, and probed ADC
+    from the RAW embeddings, so a hash match proves the governed
+    codes' content AND their cell routing end to end."""
+    from lakehouse_admin_spark.operators.similarity import (
+        IVF_PROBES,
+        TOP_K,
+        _pq_index,
+        cosine_expr,
+    )
+    from lakehouse_admin_spark.sources.fixtures import (
+        build_vector_codes_ledger,
+        get_catalog,
+    )
+    from pyspark.sql.window import Window
+
+    catalog = get_catalog(spark)
+    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    cells_name = f"vector_cells_{tag}"
+    codes_tbl = build_vector_codes_ledger(
+        spark, sf_dir, catalog, cells_name=cells_name
+    )
+    ctbl = catalog.table("main", cells_name + "_centroids")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    # probe selection from the k-row centroid table (index metadata)
+    cents = ctbl.read()
+    pcos = F.round(cosine_expr(F.col("qe"), F.col("ce")), 6)
+    pw = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("cell"))
+    probed = [
+        int(r["cell"])
+        for r in queries.crossJoin(F.broadcast(cents))
+        .withColumn("pcos", pcos)
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= IVF_PROBES)
+        .select("cell")
+        .collect()
+    ]
+    part = None
+    for c in probed:
+        # each read prunes to ONE cell partition's code files
+        p = codes_tbl.read(predicates=[("cell", "=", c)])
+        part = p if part is None else part.unionByName(p)
+    # the query's LUT comes from the raw query vector only (the codes
+    # df returned here is never executed)
+    _codes, luts = _pq_index(spark, emb)
+    lut = luts.filter(F.col("query_id") == 0)
+    adc = (
+        part.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(lut))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("lut"),
+                        F.col("codes"),
+                        lambda l, c: F.element_at(l, c + F.lit(1)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+        .orderBy("rank")
+    )

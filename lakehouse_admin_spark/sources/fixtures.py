@@ -429,6 +429,54 @@ def build_vector_cells_ledger(
         return tbl, ctbl
 
 
+def build_vector_codes_ledger(
+    spark: SparkSession,
+    sf_dir: str,
+    catalog: LedgerCatalog,
+    cells_name: str = "vector_cells",
+    database: str = "main",
+) -> LedgerTable:
+    """The PQ CODES as a governed, cell-partitioned companion of the
+    IVF index tables: (vec_id, codes array<int>, cell) under the same
+    cell-identity spec, so an ADC lookup partition-prunes to the probed
+    cells' code files — ~8 B/vector of scannable state instead of the
+    raw vectors (the FAISS IVFADC storage layout, as ledger tables with
+    snapshots/time-travel/compaction). Codes are deterministic
+    (codebook = subvectors of the 16 lowest vec_ids), so the DuckDB
+    oracle re-derives them from raw embeddings and a hash match proves
+    the governed table's CONTENT and routing. Named
+    ``<cells_name>_codes``; provenance-guarded like the cells table."""
+    name = cells_name + "_codes"
+    src = os.path.abspath(sf_dir.rstrip("/"))
+    tbl_cells, _ctbl = build_vector_cells_ledger(
+        spark, sf_dir, catalog, database=database, name=cells_name
+    )
+    with _BUILD_LOCK:
+        if name in catalog.list_tables(database):
+            tbl = catalog.table(database, name)
+            recorded = tbl.properties().get("source_dir")
+            if recorded != src:
+                raise ValueError(
+                    f"codes table {database}.{name} was built from "
+                    f"{recorded!r}, not {src!r}"
+                )
+            return tbl
+        from lakehouse_admin_spark.operators.similarity import _pq_index
+
+        emb_cells = tbl_cells.read().select("vec_id", "embedding", "cell")
+        codes, _luts = _pq_index(spark, emb_cells, cell_col="cell")
+        tbl = catalog.create_table(
+            database,
+            name,
+            codes.schema,
+            [PartitionField(source="cell", transform="identity", name="cell_p")],
+            properties={"source_dir": src, "pq": "m8k16-lowest16"},
+        )
+        tbl.append(codes)
+        tbl.write_manifest()
+        return tbl
+
+
 def invalidate_vector_cells_ledger(
     catalog: LedgerCatalog, database: str = "main", name: str = "vector_cells"
 ) -> bool:
@@ -436,7 +484,7 @@ def invalidate_vector_cells_ledger(
     source embeddings). Returns True if an index existed."""
     with _BUILD_LOCK:
         existed = False
-        for t in (name, name + "_centroids"):
+        for t in (name, name + "_centroids", name + "_codes"):
             if t in catalog.list_tables(database):
                 catalog.drop_table(database, t)
                 existed = True

@@ -176,10 +176,21 @@ def retrain_vector_index(
     new_df = emb.join(cells, "vec_id").select(
         "vec_id", "embedding", F.col("cell").cast("int").alias("cell")
     )
+    # a governed PQ-codes companion re-encodes against the NEW routing
+    # inside the SAME transaction (codes themselves are codebook-
+    # deterministic; only the cell column changes)
+    codes_name = cells_tbl.name + "_codes"
+    new_codes = None
+    if codes_name in catalog.list_tables(cells_tbl.database):
+        from lakehouse_admin_spark.operators.similarity import _pq_index
+
+        new_codes, _luts = _pq_index(spark, new_df, cell_col="cell")
     txn = catalog.transaction()
     try:
         txn.overwrite(cells_tbl.database, cells_tbl.name, new_df)
         txn.overwrite(cents_tbl.database, cents_tbl.name, cents)
+        if new_codes is not None:
+            txn.overwrite(cells_tbl.database, codes_name, new_codes)
         txn.commit()
     except Exception:
         txn.abort()

@@ -68,10 +68,16 @@ def _top1_in_cell(tbl, ctbl, queries):
 
 
 def test_drift_trips_retrain_and_recovers(spark, catalog):
+    from lakehouse_admin_spark.sources.fixtures import build_vector_codes_ledger
+
     queue = task_mod.TaskQueue()
     tbl, ctbl = build_vector_cells_ledger(
         spark, SF_SMOKE, catalog, name="vc_drift"
     )
+    codes_tbl = build_vector_codes_ledger(
+        spark, SF_SMOKE, catalog, cells_name="vc_drift"
+    )
+    old_codes_sid = codes_tbl.current_snapshot_id()
     n_base = tbl.read().count()
     props = tbl.properties()
     assert props["index_kind"] == "ivf"
@@ -124,11 +130,22 @@ def test_drift_trips_retrain_and_recovers(spark, catalog):
     # k grows with the corpus (ceil(sqrt(2n)) > ceil(sqrt(n)))
     assert metrics["cells_after"] > metrics["cells_before"] == old_k
 
-    # swap was atomic: both tables advanced, index re-reads fresh
+    # swap was atomic: all three tables advanced, index re-reads fresh
     tbl2 = catalog.table("main", "vc_drift")
     ctbl2 = catalog.table("main", "vc_drift_centroids")
+    codes2 = catalog.table("main", "vc_drift_codes")
     assert tbl2.current_snapshot_id() != old_cells_sid
     assert ctbl2.current_snapshot_id() != old_cents_sid
+    assert codes2.current_snapshot_id() != old_codes_sid
+    # re-encoded codes carry the NEW cell routing for every vector
+    mismatch = (
+        codes2.read()
+        .select("vec_id", F.col("cell").alias("code_cell"))
+        .join(tbl2.read().select("vec_id", "cell"), "vec_id")
+        .filter(F.col("code_cell") != F.col("cell"))
+        .count()
+    )
+    assert mismatch == 0 and codes2.read().count() == n_total
     d2 = vector_index_drift(tbl2, ctbl2)
     assert d2["drift_ratio"] == 1.0 and d2["n_delta"] == 0
     assert d2["cell_skew"] <= CELL_SKEW_MAX
