@@ -74,6 +74,9 @@ HEADLINE = [
     "hnsw_search",  # r5: hierarchical descent + NND layer builds
     "ledger_sketch_lookup",  # r5: Bloom-sidecar-pruned point lookup
     "ann_incremental_assign",  # r5: delta ingest vs persisted IVF index
+    "embedding_lsh_clusters",  # r6: scale-safe cluster output (O(n) labels)
+    "ledger_pq_cell_lookup",  # r6: governed-PQ ADC lookup (partition-pruned)
+    "curation_pipeline",  # r6: dedup->quality->budget end-to-end pass
 ]
 
 

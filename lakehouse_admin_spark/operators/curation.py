@@ -536,3 +536,125 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("en_share"),
     )
     return card.crossJoin(F.broadcast(dup_docs))
+
+
+def _curation_pipeline_oracle() -> str:
+    from lakehouse_admin_spark.operators.dedup import (
+        _CLUSTER_LABEL_CTES,
+        _ORACLE_SHINGLES,
+    )
+
+    return (
+        _ORACLE_SHINGLES.replace("WITH tok", "WITH RECURSIVE tok")
+        + _CLUSTER_LABEL_CTES
+        + rf"""
+    , labels AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+    ),
+    q AS (
+        SELECT d.doc_id, d.source,
+               CAST(len(list_filter(string_split_regex(lower(d.text), '\s+'), x -> x != '')) AS BIGINT)
+                   AS n_tokens,
+               length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g'))
+                   / CAST(length(d.text) AS DOUBLE) AS alpha_ratio,
+               (regexp_matches(d.text, '{PII_EMAIL}')
+                OR regexp_matches(d.text, '{PII_PHONE}')) AS has_pii,
+               l.cluster_id
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    ),
+    verdicts AS (
+        SELECT source, n_tokens,
+               (cluster_id IS NULL OR cluster_id = doc_id) AS rep,
+               (n_tokens >= {MIN_TOKENS} AND alpha_ratio >= {MIN_ALPHA_RATIO}
+                AND NOT has_pii) AS quality_ok
+        FROM q
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN rep AND quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+           CAST(SUM(CASE WHEN NOT rep THEN 1 ELSE 0 END) AS BIGINT) AS dup_dropped,
+           CAST(SUM(CASE WHEN rep AND NOT quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS quality_dropped,
+           CAST(SUM(CASE WHEN rep AND quality_ok THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM verdicts
+    GROUP BY source
+    ORDER BY source
+    """
+    )
+
+
+@query("curation_pipeline", oracle=_curation_pipeline_oracle())
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data curation pass, composed from the
+    engine's own operators: minhash near-dup clustering keeps one
+    representative per cluster (the component-minimum doc — exactly
+    ``dedup_clusters``' labels), survivors pass the quality gate
+    (token floor, alpha ratio, PII — ``quality_filter_pipeline``'s
+    conditions), and the output is the per-source curation ledger a
+    pipeline reports: kept docs, dup drops, quality drops, kept token
+    budget. Dedup precedence: a non-representative is counted as a dup
+    drop regardless of quality (dedup runs first in a real pipeline).
+
+    Scale shape: cluster labels ride the sub-quadratic LSH + CC path;
+    the quality gate is one codegen'd projection over the scan; the
+    final aggregate is one map-side-combined groupBy(source). The
+    oracle replays the entire chain — minhash, banding, verification,
+    transitive closure, quality, and the fold — in one SQL statement."""
+    from lakehouse_admin_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dup,
+    )
+
+    labels = connected_components(
+        minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_expr(F.col("text"))).cast("long")
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.length(
+        "text"
+    ).cast("double")
+    has_pii = (F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0)) > 0) | (
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), 0)) > 0
+    )
+    q = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "source",
+            n_tokens.alias("n_tokens"),
+            alpha_ratio.alias("alpha_ratio"),
+            has_pii.alias("has_pii"),
+        )
+        .join(F.broadcast(labels), "doc_id", "left")
+    )
+    rep = F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    quality_ok = (
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("alpha_ratio") >= MIN_ALPHA_RATIO)
+        & ~F.col("has_pii")
+    )
+    v = q.select(
+        "source",
+        "n_tokens",
+        rep.alias("rep"),
+        quality_ok.alias("quality_ok"),
+    )
+    return (
+        v.groupBy("source")
+        .agg(
+            F.sum((F.col("rep") & F.col("quality_ok")).cast("int"))
+            .cast("long")
+            .alias("kept_docs"),
+            F.sum((~F.col("rep")).cast("int")).cast("long").alias("dup_dropped"),
+            F.sum((F.col("rep") & ~F.col("quality_ok")).cast("int"))
+            .cast("long")
+            .alias("quality_dropped"),
+            F.sum(
+                F.when(F.col("rep") & F.col("quality_ok"), F.col("n_tokens")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -839,10 +839,10 @@ def connected_components(
     return labels
 
 
-@query(
-    "dedup_clusters",
-    oracle=_ORACLE_SHINGLES.replace("WITH tok", "WITH RECURSIVE tok")
-    + """
+# minhash -> LSH -> verify -> transitive closure, terminating in
+# ``reach`` — shared by dedup_clusters and the end-to-end curation
+# pipeline oracle (which labels representatives the same way)
+_CLUSTER_LABEL_CTES = """
     , sig AS (
         SELECT doc_id,
                [list_aggregate(list_transform(shingles, x -> md5(CAST(j AS VARCHAR) || ':' || x)), 'min') FOR j IN range(0, 16)] AS sig
@@ -882,7 +882,14 @@ def connected_components(
         SELECT a, b FROM edges
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-    )
+    )"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=_ORACLE_SHINGLES.replace("WITH tok", "WITH RECURSIVE tok")
+    + _CLUSTER_LABEL_CTES
+    + """
     SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
     FROM reach
     GROUP BY a
