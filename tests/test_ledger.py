@@ -2015,3 +2015,45 @@ def test_concurrent_appends_all_land_on_segmented_log(spark, catalog):
     assert tbl.read().count() == 16 * 5
     for s in snaps:
         assert len(s.files) >= 1  # every manifest list resolves
+
+
+def test_total_commit_bytes_include_merge_amplification(spark, catalog):
+    """TOTAL metadata bytes written over N appends — own segments PLUS
+    every merged segment the size-tiered policy rewrites — stay
+    O(N * delta * log N), never O(N * F): against a pre-existing
+    F-file base segment, the base is only ever merged when the
+    accumulated small mass is comparable to it (factor-2 policy), so
+    small appends never repeatedly rewrite the big inventory."""
+    import os as _os
+
+    df = spark.range(200).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "amort_tbl", df.schema, [])
+    tbl.append(df.repartition(40))  # big base (~40 files)
+    base_seg = tbl.snapshot(tbl.current_snapshot_id()).manifest_list[0]
+    n_base = base_seg["added"]
+
+    def seg_bytes() -> int:
+        return sum(
+            _os.path.getsize(_os.path.join(tbl.meta_dir, fn))
+            for fn in _os.listdir(tbl.meta_dir)
+            if fn.startswith("mseg-")
+        )
+
+    before = seg_bytes()
+    one_entry = None
+    n = 12
+    for i in range(n):
+        s = tbl.append(spark.range(1).selectExpr("id", "id AS v"))
+        if one_entry is None:
+            one_entry = _os.path.getsize(
+                tbl._segment_path(s.own_segment["path"])
+            )
+    written = seg_bytes() - before  # includes merged-segment rewrites
+    # O(n * delta * log n) bound with slack; the O(n * F) failure mode
+    # would be ~n * n_base * one_entry
+    budget = n * one_entry * 8
+    assert written < budget, (written, budget, one_entry)
+    assert written < n * n_base * one_entry / 4, "looks O(N*F)"
+    # base segment was never rewritten (still at the head of the list)
+    head = tbl.snapshot(tbl.current_snapshot_id()).manifest_list[0]
+    assert head["path"] == base_seg["path"]
