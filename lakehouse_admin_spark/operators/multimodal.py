@@ -317,3 +317,107 @@ def doc_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(make_kernel(), out_schema)
         .orderBy("doc_id", "dim")
     )
+
+
+_MM_ANN_TOPK = 5
+
+
+def _feature_ann_oracle() -> str:
+    # digest byte i of md5(utf8(text)) = hex pair at (i*2+1, 2)
+    feat = (
+        "list_transform(range(16), i -> "
+        "CAST(('0x' || substr(md5(text), CAST(i AS INT) * 2 + 1, 2)) AS BIGINT)"
+        " / 255.0)"
+    )
+    return f"""
+    WITH f AS MATERIALIZED (
+        SELECT doc_id, {feat} AS feat FROM documents
+    ),
+    q AS (SELECT doc_id AS query_id, feat AS qf FROM f WHERE doc_id % 100 = 0),
+    sims AS (
+        SELECT q.query_id, f.doc_id AS neighbor_id,
+               ROUND(
+                 list_sum(list_transform(list_zip(q.qf, f.feat), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(q.qf, x -> x * x)))
+                    * sqrt(list_sum(list_transform(f.feat, x -> x * x)))), 6) AS cosine
+        FROM q CROSS JOIN f
+        WHERE f.doc_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM sims
+    ) WHERE rnk <= {_MM_ANN_TOPK}
+    ORDER BY query_id, rank
+    """
+
+
+@query("multimodal_feature_ann", oracle=_feature_ann_oracle())
+def multimodal_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval plumbing end to end: binary payloads run
+    through the (stub) vision-encoder kernel — one Arrow batch pass,
+    payload dropped immediately after featurizing — and the resulting
+    fixed-dim vectors serve brute-force top-k cosine for the stride
+    queries, exactly the shape a real image-similarity pipeline has
+    (encode once, rank on the narrow feature frame). The fake encoder
+    is md5-derived, so the oracle re-derives the features from the
+    same bytes and replays the ranking — a hash match proves the whole
+    decode->featurize->rank chain. The exact scan is the baseline; at
+    corpus scale the feature frame feeds the same IVF/PQ/graph tiers
+    as the embeddings table."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs).select("doc_id", "payload")
+
+    # double-precision featurize (the float32 carrier in
+    # extract_features would quantize away oracle bit-parity)
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                h = _hashlib.md5(p).digest()
+                feats.append([h[i % 16] / 255.0 for i in range(16)])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "feat": feats})
+
+    feats = payloads.mapInPandas(
+        featurize, "doc_id bigint, feat array<double>"
+    )
+    q = feats.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("feat").alias("qf")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qf"), F.col("feat"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    sims = (
+        feats.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.round(dot / (nrm(F.col("qf")) * nrm(F.col("feat"))), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _MM_ANN_TOPK)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
