@@ -511,3 +511,53 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, list(EVENT_TYPES))
         .orderBy("user_grp")
     )
+
+
+@query(
+    "skewed_event_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def skewed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup over a HOT-KEY dimension through the two-phase SALTED
+    aggregate (functions/skew.py): event_type has ~5 distinct values
+    over the whole corpus, so a naive groupBy sends ~n/5 rows to each
+    of 5 reducers — at 100 TB that is 5 straggler tasks no matter how
+    many executors exist. The salt sprays each hot key across 16
+    sub-keys for the partial phase; the merge phase touches only
+    5x16 partial rows. Results are salt-invariant (sum/count/max are
+    re-aggregatable), so the oracle is the plain GROUP BY.
+
+    value sums round to 2dp AFTER the final merge (partial-order
+    differences can't flip the rounded value — the float convention)."""
+    from lakehouse_admin_spark.functions.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    out = salted_aggregate(
+        ev.withColumnRenamed("value", "total_value_src").withColumn(
+            "n_events", F.lit(1)
+        ).select(
+            "event_type",
+            F.col("total_value_src").alias("total_value"),
+            F.col("total_value_src").alias("max_value"),
+            "event_id",
+        ),
+        group_cols=["event_type"],
+        agg_exprs={"total_value": "sum", "n_events": "count", "max_value": "max"},
+        salt_col=F.col("event_id"),
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 2).alias("total_value"),
+        F.round("max_value", 2).alias("max_value"),
+    ).orderBy("event_type")
