@@ -1457,10 +1457,19 @@ def test_randomized_mutations_match_model(spark, catalog):
     df0, d0 = mk_df(ids0)
     tbl.append(df0)
     model.update(d0)
+    # (snapshot_id, state) along the CURRENT ancestry — rollback
+    # targets and their expected contents
+    timeline: list[tuple[int, dict]] = [
+        (tbl.current_snapshot_id(), dict(model))
+    ]
 
-    for step in range(14):
+    def record() -> None:
+        timeline.append((tbl.current_snapshot_id(), dict(model)))
+
+    for step in range(18):
         op = rng.choice(
-            ["append", "merge", "upsert", "del_key", "del_where", "binpack", "zorder", "convert"]
+            ["append", "merge", "upsert", "del_key", "del_where", "binpack",
+             "zorder", "convert", "rollback", "expire"]
         )
         if op == "append":
             ids = rng.sample([i for i in range(60, 200) if i not in model], 8)
@@ -1495,8 +1504,19 @@ def test_randomized_mutations_match_model(spark, catalog):
             maintenance.rewrite_data_files_zorder(
                 tbl, ["id", "v"], target_file_size_bytes=1 << 40
             )
-        else:
+        elif op == "convert":
             maintenance.convert_equality_deletes(tbl)
+        elif op == "rollback":
+            sid, state = timeline[rng.randrange(len(timeline))]
+            tbl.rollback_to(sid)
+            model = dict(state)
+            # snapshots committed after the target leave the current
+            # ancestry; they are no longer valid rollback targets
+            timeline = [t for t in timeline if t[0] <= sid]
+        else:  # expire: only the current snapshot survives
+            maintenance.expire_snapshots(tbl, older_than_ms=int(2e15))
+            timeline = timeline[-1:]
+        record()
         got = {r["id"]: r["v"] for r in tbl.read().collect()}
         assert got == model, f"divergence after step {step} ({op})"
     # final invariants: count_rows exact, changelog round-trips
