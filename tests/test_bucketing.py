@@ -215,3 +215,37 @@ def test_vector_cells_ledger_provenance_guard(spark, tmp_path_factory):
     assert invalidate_vector_cells_ledger(catalog, name=name) is True
     assert name not in catalog.list_tables("main")
     assert name + "_centroids" not in catalog.list_tables("main")
+
+
+def test_vector_index_survives_compaction(spark, tmp_path_factory):
+    """Binpack compaction over the cell-partitioned index table must
+    preserve cell routing: partition-scoped rewrites keep each cell's
+    rows in that cell's files, and a post-compaction cell read equals
+    the pre-compaction one."""
+    from lakehouse_admin_spark import maintenance
+    from lakehouse_admin_spark.sources.fixtures import (
+        build_vector_cells_ledger,
+        get_catalog,
+    )
+    from tests.conftest import SF_SMOKE
+
+    catalog = get_catalog(spark)
+    tbl, ctbl = build_vector_cells_ledger(
+        spark, SF_SMOKE, catalog, name="vector_cells_compact_test"
+    )
+    cells = sorted(int(r["cell"]) for r in ctbl.read().select("cell").collect())
+    target = cells[0]
+    before = {
+        r["vec_id"]
+        for r in tbl.read(predicates=[("cell", "=", target)]).collect()
+    }
+    maintenance.rewrite_data_files(
+        tbl, target_file_size_bytes=1 << 40, min_input_files=1
+    )
+    after = {
+        r["vec_id"]
+        for r in tbl.read(predicates=[("cell", "=", target)]).collect()
+    }
+    assert after == before and before
+    # routing still manifest-prunable after the rewrite
+    assert len(tbl.plan_files([("cell", "=", target)])) < len(tbl.plan_files())
