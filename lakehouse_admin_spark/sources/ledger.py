@@ -150,12 +150,25 @@ _LIVE_FILES_CACHE: "_OrderedDict[tuple, list]" = _OrderedDict()
 _LIVE_FILES_CACHE_MAX = 8
 
 
+# (table meta_dir, snapshot_id, column) -> equality-lookup index over
+# the snapshot's data-file stats (see LedgerTable._eq_index)
+_EQ_INDEX_CACHE: "_OrderedDict[tuple, tuple]" = _OrderedDict()
+_EQ_INDEX_CACHE_MAX = 32
+
+
 def invalidate_live_files_cache(meta_dir: str, snapshot_id: int) -> None:
     """Drop one cached live-file list. Required when a snapshot JSON
     is DELETED and its id may be re-assigned — an aborted transaction's
     staged snapshot is the one such path (expired snapshots keep the
     current head, so their ids never recycle)."""
     _LIVE_FILES_CACHE.pop((os.path.abspath(meta_dir), snapshot_id), None)
+    stale = [
+        k
+        for k in _EQ_INDEX_CACHE
+        if k[0] == os.path.abspath(meta_dir) and k[1] == snapshot_id
+    ]
+    for k in stale:
+        del _EQ_INDEX_CACHE[k]
 
 
 class Snapshot:
@@ -1956,6 +1969,49 @@ class LedgerTable:
             _LIVE_FILES_CACHE.popitem(last=False)
         return files
 
+    def _eq_index(
+        self, snapshot_id: int | None, files: list[dict], col: str
+    ) -> tuple[dict, list, type | None]:
+        """(constant-value -> entries, varying entries, stats type) for
+        one column of one snapshot's data files — built once per
+        (table, snapshot, column) and LRU-cached (immutable per
+        snapshot id, like the live-file list). ``vtype`` is None when
+        no file carries usable stats (index not applicable). Entries
+        whose min != max — or with no stats — land in ``varying`` and
+        are always candidates, so narrowing drops only files the
+        residual pruner would provably drop anyway."""
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.current_snapshot_id()
+        )
+        key = (os.path.abspath(self.meta_dir), sid, col)
+        hit = _EQ_INDEX_CACHE.get(key)
+        if hit is not None:
+            _EQ_INDEX_CACHE.move_to_end(key)
+            return hit
+        const: dict = {}
+        varying: list[dict] = []
+        vtype: type | None = None
+        for e in files:
+            rng = (e.get("column_stats") or {}).get(col)
+            if (
+                rng is None
+                or rng[0] is None
+                or rng[0] != rng[1]
+                or (vtype is not None and type(rng[0]) is not vtype)
+            ):
+                varying.append(e)
+                continue
+            if vtype is None:
+                vtype = type(rng[0])
+            const.setdefault(rng[0], []).append(e)
+        out = (const, varying, vtype)
+        _EQ_INDEX_CACHE[key] = out
+        while len(_EQ_INDEX_CACHE) > _EQ_INDEX_CACHE_MAX:
+            _EQ_INDEX_CACHE.popitem(last=False)
+        return out
+
     def plan_files(
         self,
         predicates: list[tuple[str, str, object]] | None = None,
@@ -1979,6 +2035,27 @@ class LedgerTable:
         ]
         if not predicates:
             return files
+        # Equality-lookup index (the Iceberg manifest-partition-summary
+        # analog): files where a column's min == max group by that
+        # constant once per snapshot, so a `col = v` point lookup
+        # narrows to the matching group + the files where the column
+        # varies — O(selected) instead of an O(files) stats scan per
+        # plan. Only applied when the probe value's type matches the
+        # stored stats type (an incomparable pair must KEEP the file,
+        # exactly like the residual pruner's TypeError branch).
+        for c, op, v in predicates:
+            if op != "=":
+                continue
+            const, varying, vtype = self._eq_index(snapshot_id, files, c)
+            if vtype is None:
+                continue
+            both_num = isinstance(v, (int, float)) and issubclass(
+                vtype, (int, float)
+            )
+            if not (both_num or isinstance(v, vtype)):
+                continue
+            files = const.get(v, []) + varying
+            break  # one index narrows; the residual pruner finishes
         # Puffin-style secondary pruning: per-file Bloom sketches prove
         # key-absence for `=` predicates on columns min/max can't prune
         # (non-sorted, non-bucketed). Metadata-only; files the sidecar

@@ -2077,3 +2077,50 @@ def test_total_commit_bytes_include_merge_amplification(spark, catalog):
     # base segment was never rewritten (still at the head of the list)
     head = tbl.snapshot(tbl.current_snapshot_id()).manifest_list[0]
     assert head["path"] == base_seg["path"]
+
+
+def test_eq_index_plan_matches_full_scan(spark, catalog):
+    """The equality-lookup plan index must select exactly what the
+    O(files) stats scan selects — including the keep-on-type-mismatch
+    rule — while grouping constant-stat files once per snapshot."""
+    from lakehouse_admin_spark.sources import ledger as ledger_mod
+
+    schema = spark.range(1).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS day", "CAST(id AS DOUBLE) AS v"
+    ).schema
+    tbl = catalog.create_table("main", "eq_idx_tbl", schema, [])
+    # 6 files constant in k (identity-partition shape), 2 varying
+    for i in range(6):
+        tbl.append(
+            spark.range(10).selectExpr(
+                f"CAST({i} AS BIGINT) AS k",
+                f"'2026-0{i + 1}-01' AS day",
+                "CAST(id AS DOUBLE) AS v",
+            ).coalesce(1)
+        )
+    tbl.append(
+        spark.range(20).selectExpr(
+            "id % 6 AS k", "'2026-09-01' AS day", "CAST(id AS DOUBLE) AS v"
+        ).coalesce(1)
+    )
+    planned = tbl.plan_files([("k", "=", 3)])
+    # constant-k file for 3 + the varying file
+    assert len(planned) == 2
+    assert {r["k"] for r in tbl.scan_entries(planned).collect()} >= {3}
+    # exact-row equivalence through read()
+    assert sorted(
+        (r["k"], r["v"]) for r in tbl.read(predicates=[("k", "=", 3)]).collect()
+    ) == sorted(
+        (r["k"], r["v"])
+        for r in tbl.read().filter(F.col("k") == 3).collect()
+    )
+    # index was built and cached for (snapshot, column)
+    assert any(k[2] == "k" for k in ledger_mod._EQ_INDEX_CACHE)
+    # type mismatch (date object vs ISO-string stats) must KEEP files:
+    # the probe falls back to the residual pruner's TypeError branch
+    import datetime as _dt
+
+    assert len(tbl.plan_files([("day", "=", _dt.date(2026, 3, 1))])) == 7
+    # matching string probe narrows via the index (every file is
+    # day-constant, so exactly the one matching file plans)
+    assert len(tbl.plan_files([("day", "=", "2026-03-01")])) == 1
