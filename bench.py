@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec, ...}, "builds": {name_build: sec, ...},
+"sf": ...}. "value" totals the WARM serving rows; "builds" carries the
+one-time build-inclusive first-run walls of the index-backed families
+(r6 split — a build is paid once per session, serving is what repeats).
 
 Methodology (r2+): one UNTIMED warm pass of every headline query first —
 it builds the one-time fixtures (ledger tables, bucketed fact copies)
