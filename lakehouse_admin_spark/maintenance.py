@@ -409,15 +409,23 @@ def expire_snapshots(
         os.remove(os.path.join(table.meta_dir, f"snap-{s.snapshot_id}.json"))
         if os.path.exists(table.manifest_path(s.snapshot_id)):
             os.remove(table.manifest_path(s.snapshot_id))
+    # Unreferenced segments are deleted only past the SAME mtime cutoff
+    # (mirrors remove_orphan_files' age guard): a concurrent writer
+    # writes its segment files BEFORE taking commit.lock, so a
+    # just-written segment can be unreferenced for a moment — deleting
+    # it would let the commit land pointing at a missing segment.
     deleted_segments = 0
     if expired_ids:
         for fn in os.listdir(table.meta_dir):
             if (
                 fn.startswith("mseg-")
-                and fn.endswith(".json")
+                and fn.endswith((".json", ".parquet"))
                 and fn not in kept_segments
             ):
-                os.remove(os.path.join(table.meta_dir, fn))
+                p = os.path.join(table.meta_dir, fn)
+                if os.path.getmtime(p) * 1000 >= older_than_ms:
+                    continue
+                os.remove(p)
                 deleted_segments += 1
     return {
         "deleted_snapshots_count": len(expired),
@@ -458,7 +466,7 @@ def remove_orphan_files(
         if s.own_segment is not None:
             ref_segments.add(s.own_segment["path"])
     for fn in os.listdir(table.meta_dir):
-        if not (fn.startswith("mseg-") and fn.endswith(".json")):
+        if not (fn.startswith("mseg-") and fn.endswith((".json", ".parquet"))):
             continue
         if fn in ref_segments:
             continue

@@ -413,12 +413,16 @@ class LedgerTable:
 
     def set_property(self, key: str, value: str) -> None:
         """Set/replace one table property (Iceberg ALTER TABLE SET
-        TBLPROPERTIES analog)."""
-        meta = self._load_meta()
-        props = meta.get("properties") or {}
-        props[str(key)] = str(value)
-        meta["properties"] = props
-        self._store_meta(meta)
+        TBLPROPERTIES analog). The read-modify-write runs under
+        commit.lock: table.json also holds current_snapshot_id, so an
+        unlocked RMW racing a commit would silently revert the head
+        pointer and orphan the other writer's snapshot."""
+        with self._commit_lock():
+            meta = self._load_meta()
+            props = meta.get("properties") or {}
+            props[str(key)] = str(value)
+            meta["properties"] = props
+            self._store_meta(meta)
 
     def partition_spec(self) -> list[PartitionField]:
         """The current (default) partition spec."""
@@ -709,28 +713,40 @@ class LedgerTable:
             sid = self.snapshot(sid).parent_id
         return False
 
+    def _commit_lock(self):
+        """Exclusive OS file lock (flock on metadata/commit.lock) as a
+        contextmanager — every mutation of table.json (pointer swap,
+        property RMW, id allocation) serializes through it."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def _held():
+            with open(os.path.join(self.meta_dir, "commit.lock"), "w") as fh:
+                fcntl.flock(fh, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(fh, fcntl.LOCK_UN)
+
+        return _held()
+
     def fast_forward(self, branch: str) -> int:
         """Publish a branch: move the MAIN head to the branch's snapshot
         — allowed only when the current head is an ancestor of the
         branch head (a true fast-forward; anything else would silently
         drop main-side commits). Returns the new head id. Atomic under
         the commit lock with the same conflict detection as writes."""
-        import fcntl
-
         target_id = self.resolve_ref(branch)
-        with open(os.path.join(self.meta_dir, "commit.lock"), "w") as lock_fh:
-            fcntl.flock(lock_fh, fcntl.LOCK_EX)
-            try:
-                cur = self._load_meta().get("current_snapshot_id")
-                if cur is not None and not self.is_ancestor(cur, target_id):
-                    raise CommitConflictError(
-                        f"{self.database}.{self.name}: head {cur} is not an "
-                        f"ancestor of branch {branch!r} ({target_id}); "
-                        "not a fast-forward"
-                    )
-                self._advance_pointer(self.snapshot(target_id))
-            finally:
-                fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        with self._commit_lock():
+            cur = self._load_meta().get("current_snapshot_id")
+            if cur is not None and not self.is_ancestor(cur, target_id):
+                raise CommitConflictError(
+                    f"{self.database}.{self.name}: head {cur} is not an "
+                    f"ancestor of branch {branch!r} ({target_id}); "
+                    "not a fast-forward"
+                )
+            self._advance_pointer(self.snapshot(target_id))
         return target_id
 
     def snapshot(self, snapshot_id: int) -> Snapshot:
@@ -853,18 +869,12 @@ class LedgerTable:
         writer built against, then swap the pointer. A concurrent
         commit in between raises CommitConflictError instead of
         silently losing the other writer's snapshot."""
-        import fcntl
-
         expected = snap.parent_id if expected_parent == "__FROM_SNAP__" else expected_parent
-        with open(os.path.join(self.meta_dir, "commit.lock"), "w") as lock_fh:
-            fcntl.flock(lock_fh, fcntl.LOCK_EX)
-            try:
-                self._check_head(expected)
-                snap._table = self
-                self._write_snapshot(snap)
-                self._advance_pointer(snap)
-            finally:
-                fcntl.flock(lock_fh, fcntl.LOCK_UN)
+        with self._commit_lock():
+            self._check_head(expected)
+            snap._table = self
+            self._write_snapshot(snap)
+            self._advance_pointer(snap)
 
     def _check_head(self, expected: int | None) -> None:
         """Caller holds commit.lock: verify the head hasn't moved."""
@@ -894,6 +904,31 @@ class LedgerTable:
                     continue
         return best + 1
 
+    def _allocate_snapshot_id(self) -> int:
+        """Claim a UNIQUE snapshot id under commit.lock. A bare
+        filename scan races: two transactions staging concurrently
+        (prepare=True writes snap-<id>.json without a head check) can
+        both claim the same id and the second clobbers the first's
+        staged snapshot. A persistent high-water counter
+        (``next-snapshot-id``), read-increment-written under the lock
+        and floored at the filename scan, makes allocation atomic with
+        O(1) lock hold. Ids may skip on aborted transactions — parent
+        links are explicit, nothing assumes density."""
+        ctr = os.path.join(self.meta_dir, "next-snapshot-id")
+        with self._commit_lock():
+            reserved = 0
+            try:
+                with open(ctr) as fh:
+                    reserved = int(fh.read().strip() or 0)
+            except (FileNotFoundError, ValueError):
+                pass
+            nid = max(self._next_snapshot_id(), reserved + 1)
+            tmp = ctr + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                fh.write(str(nid))
+            os.replace(tmp, ctr)
+        return nid
+
     def _commit_delta(
         self,
         operation: str,
@@ -915,7 +950,7 @@ class LedgerTable:
         ``prepare=True`` stages the snapshot (file written, pointer NOT
         moved) for a WarehouseTransaction — the ledger analog of an
         Iceberg stage-only (WAP) commit."""
-        next_id = self._next_snapshot_id()
+        next_id = self._allocate_snapshot_id()
         # Iceberg data-sequence-number analog: equality deletes apply
         # only to files with a STRICTLY SMALLER sequence, so rows
         # committed together with a delete are never self-deleted.
@@ -1917,7 +1952,7 @@ class LedgerTable:
         cur_head = self.current_snapshot_id()
         target = self.snapshot(snapshot_id)
         snap = Snapshot(
-            snapshot_id=self._next_snapshot_id(),
+            snapshot_id=self._allocate_snapshot_id(),
             # logical lineage continues from the TARGET: commits on the
             # abandoned branch are no longer current-ancestors (Iceberg
             # history-table semantics)
@@ -1979,12 +2014,13 @@ class LedgerTable:
         no file carries usable stats (index not applicable). Entries
         whose min != max — or with no stats — land in ``varying`` and
         are always candidates, so narrowing drops only files the
-        residual pruner would provably drop anyway."""
-        sid = (
-            snapshot_id
-            if snapshot_id is not None
-            else self.current_snapshot_id()
-        )
+        residual pruner would provably drop anyway.
+
+        ``snapshot_id`` must be the RESOLVED id the caller planned
+        ``files`` from (plan_files resolves the head exactly once) —
+        re-resolving here could cache an index built from a stale file
+        list under a newer snapshot's key."""
+        sid = snapshot_id
         key = (os.path.abspath(self.meta_dir), sid, col)
         hit = _EQ_INDEX_CACHE.get(key)
         if hit is not None:
@@ -2030,10 +2066,20 @@ class LedgerTable:
 
         Plans DATA files only (content = 0) — position-delete files are
         not scannable data; :meth:`read` applies them separately."""
+        # Resolve the head ONCE: live_files and the lookup indexes must
+        # key off the same snapshot id, or a commit landing between two
+        # independent resolutions caches an index built from the OLD
+        # file list under the NEW id (silently dropping that commit's
+        # files from `col = v` plans until the LRU entry evicts).
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.current_snapshot_id()
+        )
         files = [
-            e for e in self.live_files(snapshot_id) if e.get("content", 0) == 0
+            e for e in self.live_files(sid) if e.get("content", 0) == 0
         ]
-        if not predicates:
+        if not predicates or not files:
             return files
         # Equality-lookup index (the Iceberg manifest-partition-summary
         # analog): files where a column's min == max group by that
@@ -2046,7 +2092,7 @@ class LedgerTable:
         for c, op, v in predicates:
             if op != "=":
                 continue
-            const, varying, vtype = self._eq_index(snapshot_id, files, c)
+            const, varying, vtype = self._eq_index(sid, files, c)
             if vtype is None:
                 continue
             both_num = isinstance(v, (int, float)) and issubclass(

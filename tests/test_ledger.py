@@ -2124,3 +2124,151 @@ def test_eq_index_plan_matches_full_scan(spark, catalog):
     # matching string probe narrows via the index (every file is
     # day-constant, so exactly the one matching file plans)
     assert len(tbl.plan_files([("day", "=", "2026-03-01")])) == 1
+
+
+def test_allocate_snapshot_id_unique_under_concurrency(spark, catalog):
+    """Two threads hammering _allocate_snapshot_id through a barrier
+    never receive the same id (ADVICE r6: a bare filename scan lets two
+    concurrently-staging transactions claim the same id, and the second
+    prepare clobbers the first's staged snapshot)."""
+    import threading
+
+    df_schema = spark.range(1).selectExpr("id", "id AS v").schema
+    tbl = catalog.create_table("main", "alloc_tbl", df_schema, [])
+    barrier = threading.Barrier(2)
+    got: list[int] = []
+    lock = threading.Lock()
+
+    def alloc() -> None:
+        barrier.wait()
+        for _ in range(50):
+            nid = tbl._allocate_snapshot_id()
+            with lock:
+                got.append(nid)
+
+    t1 = threading.Thread(target=alloc)
+    t2 = threading.Thread(target=alloc)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert len(got) == 100
+    assert len(set(got)) == 100, "duplicate snapshot ids allocated"
+
+
+def test_staged_transactions_get_distinct_snapshot_ids(spark, catalog):
+    """Two transactions staging against the SAME parent (neither
+    committed yet) must land distinct snap-<id>.json files — the
+    second stage may not overwrite the first's staged snapshot."""
+    df = spark.range(5).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "staged_tbl", df.schema, [])
+    s1 = tbl.append(df, prepare=True)
+    s2 = tbl.append(df.selectExpr("id + 100 AS id", "id AS v"), prepare=True)
+    assert s1.snapshot_id != s2.snapshot_id
+    # both staged snapshot files exist and round-trip to their own content
+    r1 = tbl.snapshot(s1.snapshot_id)
+    r2 = tbl.snapshot(s2.snapshot_id)
+    assert {e["file_path"] for e in r1.added}.isdisjoint(
+        {e["file_path"] for e in r2.added}
+    )
+    # pointer untouched by staging
+    assert tbl.current_snapshot_id() is None
+
+
+def test_set_property_racing_commits_loses_nothing(spark, catalog):
+    """set_property is a locked RMW of table.json (which also holds the
+    head pointer): a property-writer thread racing an append thread
+    must not revert current_snapshot_id or drop commits."""
+    import threading
+
+    df_schema = spark.range(1).selectExpr("id", "id AS v").schema
+    tbl = catalog.create_table("main", "props_race_tbl", df_schema, [])
+    errors: list[Exception] = []
+
+    def committer() -> None:
+        try:
+            for i in range(6):
+                tbl.append(
+                    spark.range(i * 10, i * 10 + 5).selectExpr("id", "id AS v")
+                )
+        except Exception as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    def prop_writer() -> None:
+        try:
+            for i in range(200):
+                tbl.set_property("touch", str(i))
+        except Exception as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    t1 = threading.Thread(target=committer)
+    t2 = threading.Thread(target=prop_writer)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    snaps = tbl.snapshots()
+    assert len(snaps) == 6
+    # the head survived every property write
+    assert tbl.current_snapshot_id() == snaps[-1].snapshot_id
+    assert tbl.read().count() == 30
+    assert tbl.properties()["touch"] == "199"
+
+
+def test_plan_files_resolves_head_exactly_once(spark, catalog, monkeypatch):
+    """plan_files must resolve the current snapshot id ONCE and key the
+    live-file list and the equality index off that same id — a second
+    resolution racing a commit caches a stale index under the new id."""
+    from lakehouse_admin_spark.sources import ledger as ledger_mod
+
+    df = spark.range(20).selectExpr("id % 4 AS k", "id AS v")
+    tbl = catalog.create_table("main", "resolve_once_tbl", df.schema, [])
+    tbl.append(df.repartition(4))
+    calls = {"n": 0}
+    orig = ledger_mod.LedgerTable.current_snapshot_id
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(ledger_mod.LedgerTable, "current_snapshot_id", counting)
+    tbl.plan_files([("k", "=", 2)])
+    assert calls["n"] == 1, f"head resolved {calls['n']} times in one plan"
+
+
+def test_expire_spares_fresh_unreferenced_segments(spark, catalog):
+    """Segment GC in expire_snapshots is age-gated by mtime against the
+    SAME cutoff (ADVICE r6): a concurrent writer's just-written segment
+    (not yet referenced by any snapshot — segments land before
+    commit.lock) must survive expiration, or its commit would succeed
+    pointing at a deleted segment."""
+    import json as _json
+    import time as _time
+
+    df = spark.range(10).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "expire_fresh_tbl", df.schema, [])
+    for i in range(3):
+        tbl.append(df.selectExpr(f"id + {i * 100} AS id", "id AS v"))
+    now_ms = int(_time.time() * 1000)
+    old_ms = now_ms - 10 * 86_400_000
+    # backdate every snapshot but the head, and every existing segment
+    snaps = tbl.snapshots()
+    for s in snaps[:-1]:
+        p = os.path.join(tbl.meta_dir, f"snap-{s.snapshot_id}.json")
+        with open(p) as fh:
+            d = _json.load(fh)
+        d["committed_at_ms"] = old_ms
+        with open(p, "w") as fh:
+            _json.dump(d, fh)
+    for fn in os.listdir(tbl.meta_dir):
+        if fn.startswith("mseg-"):
+            os.utime(os.path.join(tbl.meta_dir, fn), (old_ms / 1000,) * 2)
+    # simulate an in-flight writer: segment written, snapshot not yet
+    # committed (fresh mtime, referenced by nothing)
+    inflight = tbl._write_segment(
+        f"mseg-999-d{'f' * 8}.json",
+        [{"file_path": "/x/inflight.parquet", "partition": {},
+          "record_count": 1, "file_size_in_bytes": 10, "content": 0}],
+        [],
+    )
+    metrics = maintenance.expire_snapshots(tbl, older_than_ms=now_ms - 5 * 86_400_000)
+    assert metrics["deleted_snapshots_count"] == 2
+    assert os.path.exists(tbl._segment_path(inflight["path"])), (
+        "expire deleted a fresh in-flight segment"
+    )
+    assert tbl.read().count() == 30  # head intact
