@@ -135,6 +135,33 @@ FOLD_EVERY = 32  # LEGACY delta-chain length bound (reading old tables)
 # O(log files) segments with O(log files) amortized rewrites per entry.
 MERGE_FACTOR = 2
 
+# Manifest-segment BODY format for NEW segments. "parquet" (default)
+# streams entries as typed columns via pyarrow — a merged head segment
+# with 10^6 entries is read row-group by row-group instead of one
+# multi-GB json.load (the reason Iceberg manifests are avro, not JSON;
+# reference context: backend/internal/types.go:27). "json" is the
+# legacy body, still fully readable (and writable, for tests that pin
+# mixed-format chains).
+SEGMENT_FORMAT = "parquet"
+
+# row-group size for parquet segment bodies: bounds the driver's peak
+# per-batch materialization when streaming a large segment
+_SEGMENT_ROW_GROUP = 65536
+
+# typed hot columns of a parquet segment body (everything else —
+# partition values, column_stats, null_counts, equality_ids, future
+# keys — rides in extras_json per entry, so the format never loses a
+# field it doesn't know about)
+_SEGMENT_SCALARS = (
+    ("record_count", "int64"),
+    ("file_size_in_bytes", "int64"),
+    ("sequence_number", "int64"),
+    ("spec_id", "int32"),
+    ("schema_id", "int32"),
+    ("content", "int32"),
+    ("file_format", "string"),
+)
+
 # process-wide LRU over immutable segment files (abs path -> parsed
 # JSON); bounded so a long-lived server planning many tables can't
 # accumulate one inventory per table in driver memory
@@ -178,7 +205,9 @@ class Snapshot:
       reference: backend/internal/types.go:27 ``Snapshot.ManifestList``):
       the snapshot JSON holds ``manifest_list`` — an ordered list of
       descriptors pointing at IMMUTABLE segment files
-      (``mseg-*.json``, each ``{"added": [entries], "removed":
+      (``mseg-*.parquet``, typed columns + per-entry extras; legacy
+      ``mseg-*.json`` bodies still read — each decodes to
+      ``{"added": [entries], "removed":
       [paths]}``) shared across snapshots — plus ``own_segment``, the
       commit's own delta record (the CDC/incremental-scan source).
       A commit writes one O(delta) segment and an
@@ -370,6 +399,83 @@ def _data_files(entries: list[dict]) -> list[dict]:
     """DATA entries only (content = 0) — summary totals describe data
     files, never position deletes (Iceberg snapshot-summary semantics)."""
     return [e for e in entries if e.get("content", 0) == 0]
+
+
+_SEGMENT_SCALAR_KEYS = frozenset(k for k, _t in _SEGMENT_SCALARS)
+
+
+def _write_parquet_segment(path: str, added: list[dict], removed: list[str]) -> None:
+    """Serialize one segment body as parquet: one row per added entry
+    (kind=0) or removed path (kind=1). Hot planner fields are typed
+    columns; every other entry key (partition map, column_stats,
+    null_counts, equality_ids, anything future) is carried verbatim in
+    ``extras_json`` — per-row documents of ~100 bytes, so a reader
+    never parses one monolithic JSON inventory. Row groups of
+    :data:`_SEGMENT_ROW_GROUP` keep both write and streamed read at
+    bounded driver memory."""
+    import pyarrow as pa
+
+    n_add, n_rem = len(added), len(removed)
+    cols: dict[str, pa.Array] = {
+        "kind": pa.array([0] * n_add + [1] * n_rem, pa.int8()),
+        "file_path": pa.array(
+            [e["file_path"] for e in added] + list(removed), pa.string()
+        ),
+    }
+    for key, typ in _SEGMENT_SCALARS:
+        cols[key] = pa.array(
+            [e.get(key) for e in added] + [None] * n_rem, pa.type_for_alias(typ)
+        )
+    cols["extras_json"] = pa.array(
+        [
+            json.dumps(
+                {
+                    k: v
+                    for k, v in e.items()
+                    if k != "file_path" and k not in _SEGMENT_SCALAR_KEYS
+                },
+                separators=(",", ":"),
+            )
+            for e in added
+        ]
+        + [None] * n_rem,
+        pa.string(),
+    )
+    pq.write_table(
+        pa.table(cols), path, row_group_size=_SEGMENT_ROW_GROUP, compression="zstd"
+    )
+
+
+def _read_parquet_segment(path: str) -> dict:
+    """Stream a parquet segment body back to {"added": [entries],
+    "removed": [paths]} — row-group batches via pyarrow, so peak
+    driver materialization per step is one batch, never the whole
+    inventory as a single parsed document."""
+    added: list[dict] = []
+    removed: list[str] = []
+    pf = pq.ParquetFile(path)
+    names = [k for k, _t in _SEGMENT_SCALARS]
+    try:
+        for batch in pf.iter_batches(batch_size=_SEGMENT_ROW_GROUP):
+            kinds = batch.column("kind").to_pylist()
+            paths = batch.column("file_path").to_pylist()
+            extras = batch.column("extras_json").to_pylist()
+            scalars = [batch.column(k).to_pylist() for k in names]
+            for i, kind in enumerate(kinds):
+                if kind == 1:
+                    removed.append(paths[i])
+                    continue
+                e: dict = {"file_path": paths[i]}
+                for j, key in enumerate(names):
+                    v = scalars[j][i]
+                    if v is not None:
+                        e[key] = v
+                if extras[i]:
+                    e.update(json.loads(extras[i]))
+                added.append(e)
+    finally:
+        pf.close()
+    return {"added": added, "removed": removed}
 
 
 class LedgerTable:
@@ -773,29 +879,48 @@ class LedgerTable:
         "removed": [...]}) through a small process-wide LRU —
         immutability makes the cache trivially correct, and a planner
         re-materializing the same snapshot's live set touches each
-        segment file once per process, not once per plan."""
+        segment file once per process, not once per plan.
+
+        Bodies dispatch on extension: ``.parquet`` (current) streams
+        typed columns row-group by row-group via pyarrow — no
+        whole-file ``json.load``, driver peak bounded by
+        :data:`_SEGMENT_ROW_GROUP` rows per batch; ``.json`` (legacy)
+        keeps reading, so time travel across a mixed-format chain is
+        exact."""
         path = os.path.abspath(self._segment_path(name))
         hit = _SEGMENT_CACHE.get(path)
         if hit is not None:
             _SEGMENT_CACHE.move_to_end(path)
             return hit
-        with open(path) as fh:
-            seg = json.load(fh)
+        if name.endswith(".parquet"):
+            seg = _read_parquet_segment(path)
+        else:
+            with open(path) as fh:
+                seg = json.load(fh)
         _SEGMENT_CACHE[path] = seg
         while len(_SEGMENT_CACHE) > _SEGMENT_CACHE_MAX:
             _SEGMENT_CACHE.popitem(last=False)
         return seg
+
+    @staticmethod
+    def _segment_ext() -> str:
+        """Extension for NEW segment bodies (module-level switch)."""
+        return ".parquet" if SEGMENT_FORMAT == "parquet" else ".json"
 
     def _write_segment(
         self, name: str, added: list[dict], removed: list[str]
     ) -> dict:
         """Write one immutable segment file; returns its manifest-list
         descriptor. Atomic (tmp + rename) so a concurrent reader never
-        sees a torn segment."""
+        sees a torn segment. Body format follows the extension the
+        caller chose via :meth:`_segment_ext`."""
         path = self._segment_path(name)
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump({"added": added, "removed": removed}, fh)
+        if name.endswith(".parquet"):
+            _write_parquet_segment(tmp, added, removed)
+        else:
+            with open(tmp, "w") as fh:
+                json.dump({"added": added, "removed": removed}, fh)
         os.replace(tmp, path)
         return {"path": name, "added": len(added), "removed": len(removed)}
 
@@ -804,8 +929,16 @@ class LedgerTable:
         full inventory into one base segment, written once and reused
         by every later commit (the one-time O(files) migration cost of
         moving an old table onto the segmented log)."""
-        name = f"mseg-{parent.snapshot_id}-base.json"
-        if not os.path.exists(self._segment_path(name)):
+        # reuse a base segment written under EITHER body format — an
+        # old table may already carry mseg-<id>-base.json
+        name = None
+        for ext in (self._segment_ext(), ".json", ".parquet"):
+            cand = f"mseg-{parent.snapshot_id}-base{ext}"
+            if os.path.exists(self._segment_path(cand)):
+                name = cand
+                break
+        if name is None:
+            name = f"mseg-{parent.snapshot_id}-base{self._segment_ext()}"
             files = list(parent.files)
             desc = self._write_segment(name, files, [])
         else:
@@ -856,7 +989,7 @@ class LedgerTable:
                 if at_head
                 else sorted(set(a.get("removed", [])) | rem_b)
             )
-            name = f"mseg-{new_id}-m{uuid.uuid4().hex[:8]}.json"
+            name = f"mseg-{new_id}-m{uuid.uuid4().hex[:8]}{self._segment_ext()}"
             desc = self._write_segment(
                 name, list(merged_entries.values()), merged_removed
             )
@@ -961,7 +1094,7 @@ class LedgerTable:
         # the uuid suffix keeps concurrent writers racing for the same
         # id from clobbering each other's segment (the loser's file
         # becomes an orphan; remove_orphan_files reclaims it)
-        own_name = f"mseg-{next_id}-d{uuid.uuid4().hex[:8]}.json"
+        own_name = f"mseg-{next_id}-d{uuid.uuid4().hex[:8]}{self._segment_ext()}"
         own = self._write_segment(own_name, added, removed)
         plist = [] if base_reset else self._parent_manifest_list(parent)
         mlist = self._merge_segments(plist + [own], next_id)

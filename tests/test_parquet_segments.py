@@ -1,0 +1,172 @@
+"""Parquet manifest-segment bodies.
+
+Segments (the Iceberg manifest analog; reference context:
+backend/internal/types.go:27 — Iceberg stores manifests as avro, not
+JSON, for exactly this reason) are written as typed parquet and read
+row-group by row-group. These tests pin the three properties the
+format exists for:
+
+1. materializing a head segment does NO whole-file ``json.load`` —
+   the last O(F) monolithic-parse cost in the metadata plane is gone;
+2. a mixed JSON/parquet segment chain (old table migrated mid-life)
+   stays exact under time travel, merging, and GC;
+3. large segments carry multiple row groups, so the streamed read's
+   peak per-batch materialization is bounded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from lakehouse_admin_spark import maintenance
+from lakehouse_admin_spark.sources import ledger as ledger_mod
+from lakehouse_admin_spark.sources.ledger import LedgerCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return LedgerCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def _segments(tbl):
+    return sorted(fn for fn in os.listdir(tbl.meta_dir) if fn.startswith("mseg-"))
+
+
+def test_new_commits_write_parquet_segments(spark, catalog):
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    tbl = catalog.create_table("main", "pseg_basic", df.schema, [])
+    tbl.append(df)
+    segs = _segments(tbl)
+    assert segs and all(fn.endswith(".parquet") for fn in segs)
+    head = tbl.snapshot(tbl.current_snapshot_id())
+    assert head.own_segment["path"].endswith(".parquet")
+    assert tbl.read().count() == 10
+
+
+def test_parquet_segment_roundtrip_fidelity(spark, catalog):
+    """Entries survive the parquet body byte-for-byte as dicts:
+    partition values (incl. None), footer column stats, null counts,
+    sequence numbers, content codes — and removed paths."""
+    df = spark.range(20).selectExpr("id", "CAST(id AS double) AS v")
+    tbl = catalog.create_table("main", "pseg_fidelity", df.schema, [])
+    snap = tbl.append(df)
+    entries = list(snap.added)
+    # clear every cache so the re-read genuinely decodes the file
+    ledger_mod._SEGMENT_CACHE.clear()
+    seg = tbl._read_segment(snap.own_segment["path"])
+    assert seg["added"] == entries
+    assert seg["removed"] == []
+    assert sum(e["record_count"] for e in seg["added"]) == 20
+    e = max(seg["added"], key=lambda e: e["record_count"])
+    assert e["file_size_in_bytes"] > 0
+    assert e["content"] == 0 and e["sequence_number"] == snap.snapshot_id
+    assert "column_stats" in e and "null_counts" in e
+    assert isinstance(e["partition"], dict)
+
+
+def test_head_materialization_does_no_segment_json_load(spark, catalog, monkeypatch):
+    """THE pin: materializing a merged head segment's live-file list
+    never json.load()s a segment file — segment decode is the
+    streamed parquet path, bounded per-batch, not one monolithic
+    document parse. table.json / snap-*.json stay JSON (tiny,
+    O(log files)) and are exempt."""
+    df = spark.range(50).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "pseg_nojson", df.schema, [])
+    for i in range(6):  # enough commits to force segment merges
+        tbl.append(spark.range(i * 50, i * 50 + 50).selectExpr("id", "id AS v"))
+
+    loaded: list[str] = []
+    real_load = json.load
+
+    def spy(fh, *a, **kw):
+        loaded.append(getattr(fh, "name", "<mem>"))
+        return real_load(fh, *a, **kw)
+
+    monkeypatch.setattr(ledger_mod.json, "load", spy)
+    ledger_mod._SEGMENT_CACHE.clear()
+    ledger_mod._LIVE_FILES_CACHE.clear()
+    head = tbl.snapshot(tbl.current_snapshot_id())
+    files = head.files
+    assert len(files) >= 6
+    mseg_loads = [p for p in loaded if "mseg-" in os.path.basename(str(p))]
+    assert mseg_loads == [], f"segment bodies parsed via json.load: {mseg_loads}"
+
+
+def test_mixed_json_parquet_chain_time_travel_exact(spark, catalog, monkeypatch):
+    """A table whose early commits wrote legacy JSON segments and later
+    commits write parquet: every historical snapshot's live set stays
+    exact, merges read across formats, and the head is correct."""
+    df = spark.range(5).selectExpr("id", "id AS v")
+    monkeypatch.setattr(ledger_mod, "SEGMENT_FORMAT", "json")
+    tbl = catalog.create_table("main", "pseg_mixed", df.schema, [])
+    json_snaps = [tbl.append(spark.range(i * 5, i * 5 + 5).selectExpr("id", "id AS v"))
+                  for i in range(3)]
+    assert all(s.own_segment["path"].endswith(".json") for s in json_snaps)
+    monkeypatch.setattr(ledger_mod, "SEGMENT_FORMAT", "parquet")
+    pq_snaps = [tbl.append(spark.range(100 + i * 5, 105 + i * 5).selectExpr("id", "id AS v"))
+                for i in range(3)]
+    assert all(s.own_segment["path"].endswith(".parquet") for s in pq_snaps)
+    # head merged across formats (merge read .json bodies, wrote .parquet)
+    ledger_mod._SEGMENT_CACHE.clear()
+    ledger_mod._LIVE_FILES_CACHE.clear()
+    assert tbl.read().count() == 30
+    # time travel to each historical snapshot is exact
+    for i, s in enumerate(json_snaps + pq_snaps):
+        assert tbl.read(snapshot_id=s.snapshot_id).count() == (i + 1) * 5
+    # MOR delete through the mixed chain still exact
+    from pyspark.sql import functions as F
+
+    tbl.delete_where(F.col("id") < 3)
+    assert tbl.read().count() == 27
+
+
+def test_mixed_chain_gc_and_expire(spark, catalog, monkeypatch):
+    """Segment GC (expire + orphan sweep) treats both body formats
+    uniformly: unreferenced old-format segments are reclaimed past the
+    cutoff, kept snapshots' segments of either format survive."""
+    df = spark.range(5).selectExpr("id", "id AS v")
+    monkeypatch.setattr(ledger_mod, "SEGMENT_FORMAT", "json")
+    tbl = catalog.create_table("main", "pseg_gc", df.schema, [])
+    for i in range(4):
+        tbl.append(spark.range(i * 5, i * 5 + 5).selectExpr("id", "id AS v"))
+    monkeypatch.setattr(ledger_mod, "SEGMENT_FORMAT", "parquet")
+    for i in range(4, 8):
+        tbl.append(spark.range(i * 5, i * 5 + 5).selectExpr("id", "id AS v"))
+    metrics = maintenance.expire_snapshots(tbl, older_than_ms=int(2e15))
+    assert metrics["deleted_snapshots_count"] > 0
+    head = tbl.snapshot(tbl.current_snapshot_id())
+    kept = {d["path"] for d in head.manifest_list}
+    if head.own_segment:
+        kept.add(head.own_segment["path"])
+    assert set(_segments(tbl)) == kept
+    ledger_mod._SEGMENT_CACHE.clear()
+    assert tbl.read().count() == 40
+
+
+def test_large_segment_has_bounded_row_groups(spark, catalog, monkeypatch):
+    """Streamed-read bound: a segment holding more entries than the
+    row-group size is written as MULTIPLE row groups, so iter_batches
+    materializes a bounded slice at a time — never the whole
+    inventory."""
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(ledger_mod, "_SEGMENT_ROW_GROUP", 64)
+    df = spark.range(5).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "pseg_rg", df.schema, [])
+    entries = [
+        {"file_path": f"/x/f{i}.parquet", "partition": {"p": str(i % 3)},
+         "record_count": 1, "file_size_in_bytes": 10, "content": 0,
+         "spec_id": 0, "schema_id": 0, "sequence_number": 1}
+        for i in range(300)
+    ]
+    desc = tbl._write_segment("mseg-1-dbig.parquet", entries, ["/x/gone.parquet"])
+    pf = pq.ParquetFile(tbl._segment_path(desc["path"]))
+    assert pf.metadata.num_row_groups >= 4
+    pf.close()
+    ledger_mod._SEGMENT_CACHE.clear()
+    seg = tbl._read_segment(desc["path"])
+    assert seg["added"] == entries
+    assert seg["removed"] == ["/x/gone.parquet"]
