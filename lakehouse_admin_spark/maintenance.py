@@ -34,6 +34,13 @@ DEFAULT_MIN_INPUT_FILES = 2
 MIN_RETENTION_DAYS = 7
 MS_PER_DAY = 24 * 3600 * 1000
 
+# Independent minimum age for reclaiming UNREFERENCED metadata (segment
+# bodies, atomic-rename litter): a writer stages its segment BEFORE
+# taking commit.lock, so even a caller passing older_than_ms ≈ now
+# (legal — relying on retain_last) must not get a zero-second window
+# that deletes a just-written segment whose commit is about to land.
+SEGMENT_GC_GRACE_MS = 10 * 60 * 1000
+
 
 DEFAULT_MAX_CONCURRENT_GROUP_REWRITES = 5
 
@@ -409,12 +416,16 @@ def expire_snapshots(
         os.remove(os.path.join(table.meta_dir, f"snap-{s.snapshot_id}.json"))
         if os.path.exists(table.manifest_path(s.snapshot_id)):
             os.remove(table.manifest_path(s.snapshot_id))
-    # Unreferenced segments are deleted only past the SAME mtime cutoff
-    # (mirrors remove_orphan_files' age guard): a concurrent writer
-    # writes its segment files BEFORE taking commit.lock, so a
-    # just-written segment can be unreferenced for a moment — deleting
-    # it would let the commit land pointing at a missing segment.
+    # Unreferenced segments are deleted only past an mtime cutoff: the
+    # caller's older_than_ms, FLOORED at SEGMENT_GC_GRACE_MS before now
+    # — a concurrent writer stages its segment files BEFORE taking
+    # commit.lock, so even with a cutoff at/near now (legal, e.g.
+    # relying on retain_last) a just-written segment must survive until
+    # its commit lands or orphan GC ages it out.
     deleted_segments = 0
+    seg_cutoff_ms = min(
+        older_than_ms, int(time.time() * 1000) - SEGMENT_GC_GRACE_MS
+    )
     if expired_ids:
         for fn in os.listdir(table.meta_dir):
             if (
@@ -423,7 +434,7 @@ def expire_snapshots(
                 and fn not in kept_segments
             ):
                 p = os.path.join(table.meta_dir, fn)
-                if os.path.getmtime(p) * 1000 >= older_than_ms:
+                if os.path.getmtime(p) * 1000 >= seg_cutoff_ms:
                     continue
                 os.remove(p)
                 deleted_segments += 1
@@ -466,7 +477,12 @@ def remove_orphan_files(
         if s.own_segment is not None:
             ref_segments.add(s.own_segment["path"])
     for fn in os.listdir(table.meta_dir):
-        if not (fn.startswith("mseg-") and fn.endswith((".json", ".parquet"))):
+        is_segment = fn.startswith("mseg-") and fn.endswith((".json", ".parquet"))
+        # crashed atomic-rename leftovers: segment bodies and
+        # next-snapshot-id write <name>.tmp-<uuid> then os.replace;
+        # a crash in between strands the tmp file forever
+        is_tmp_litter = ".tmp-" in fn
+        if not (is_segment or is_tmp_litter):
             continue
         if fn in ref_segments:
             continue

@@ -576,15 +576,16 @@ class LedgerTable:
         field id. Existing data files are NOT rewritten — reads project
         each file's write-time schema version onto the current one and
         fill with ``default`` (Iceberg v3 initial-default) or null."""
-        meta = self._load_meta()
-        if any(c["name"] == name for c in meta["columns"]):
-            raise ValueError(f"column {name!r} already exists")
-        versions, _cur = self._schema_versions(meta)
-        next_id = 1 + max(c["id"] for v in versions.values() for c in v)
-        col = {"name": name, "type": type_ddl, "id": next_id}
-        if default is not None:
-            col["default"] = default
-        self._push_schema_version(meta, meta["columns"] + [col])
+        with self._commit_lock():
+            meta = self._load_meta()
+            if any(c["name"] == name for c in meta["columns"]):
+                raise ValueError(f"column {name!r} already exists")
+            versions, _cur = self._schema_versions(meta)
+            next_id = 1 + max(c["id"] for v in versions.values() for c in v)
+            col = {"name": name, "type": type_ddl, "id": next_id}
+            if default is not None:
+                col["default"] = default
+            self._push_schema_version(meta, meta["columns"] + [col])
 
     # legal type promotions (Iceberg type-evolution rules)
     _WIDENINGS = {
@@ -599,40 +600,42 @@ class LedgerTable:
         float→double, …). Old files keep their written type; reads
         promote via a cast in the field-id projection. Narrowing or
         unrelated changes are rejected."""
-        meta = self._load_meta()
-        self._schema_versions(meta)
-        cur = next((c for c in meta["columns"] if c["name"] == name), None)
-        if cur is None:
-            raise KeyError(f"column {name!r} not found")
-        if (cur["type"], new_type) not in self._WIDENINGS:
-            raise ValueError(
-                f"illegal type change {cur['type']} -> {new_type} for {name!r}"
-            )
-        new_cols = [
-            {**c, "type": new_type} if c["name"] == name else dict(c)
-            for c in meta["columns"]
-        ]
-        self._push_schema_version(meta, new_cols)
+        with self._commit_lock():
+            meta = self._load_meta()
+            self._schema_versions(meta)
+            cur = next((c for c in meta["columns"] if c["name"] == name), None)
+            if cur is None:
+                raise KeyError(f"column {name!r} not found")
+            if (cur["type"], new_type) not in self._WIDENINGS:
+                raise ValueError(
+                    f"illegal type change {cur['type']} -> {new_type} for {name!r}"
+                )
+            new_cols = [
+                {**c, "type": new_type} if c["name"] == name else dict(c)
+                for c in meta["columns"]
+            ]
+            self._push_schema_version(meta, new_cols)
 
     def drop_column(self, name: str) -> None:
         """Schema evolution: drop a column. Files are untouched — the
         field-id projection simply stops selecting it; a column that
         sources the CURRENT partition spec cannot be dropped."""
-        meta = self._load_meta()
-        self._schema_versions(meta)
-        if not any(c["name"] == name for c in meta["columns"]):
-            raise KeyError(f"column {name!r} not found")
-        for f in meta["partition_spec"]:
-            src = f["source"]
-            if src == name or src.startswith(name + "."):
-                raise ValueError(
-                    f"column {name!r} sources partition field {f['name']!r}; "
-                    "evolve the spec first"
-                )
-        if len(meta["columns"]) == 1:
-            raise ValueError("cannot drop the last column")
-        new_cols = [dict(c) for c in meta["columns"] if c["name"] != name]
-        self._push_schema_version(meta, new_cols)
+        with self._commit_lock():
+            meta = self._load_meta()
+            self._schema_versions(meta)
+            if not any(c["name"] == name for c in meta["columns"]):
+                raise KeyError(f"column {name!r} not found")
+            for f in meta["partition_spec"]:
+                src = f["source"]
+                if src == name or src.startswith(name + "."):
+                    raise ValueError(
+                        f"column {name!r} sources partition field {f['name']!r}; "
+                        "evolve the spec first"
+                    )
+            if len(meta["columns"]) == 1:
+                raise ValueError("cannot drop the last column")
+            new_cols = [dict(c) for c in meta["columns"] if c["name"] != name]
+            self._push_schema_version(meta, new_cols)
 
     def rename_column(self, old: str, new: str) -> None:
         """Schema evolution: rename a column. The field ID is stable, so
@@ -642,32 +645,35 @@ class LedgerTable:
         partition spec's source references follow the rename (Iceberg
         specs bind to field ids; historical specs keep their recorded
         names — their files' partition VALUES are already materialized)."""
-        meta = self._load_meta()
-        self._schema_versions(meta)  # ensure field ids exist before copying
-        names = [c["name"] for c in meta["columns"]]
-        if old not in names:
-            raise KeyError(f"column {old!r} not found")
-        if any(c["name"] == new for c in meta["columns"]):
-            raise ValueError(f"column {new!r} already exists")
-        new_cols = [
-            {**c, "name": new} if c["name"] == old else dict(c) for c in meta["columns"]
-        ]
-        # current spec sources follow the rename (top-level or nested prefix)
-        def fix_source(src: str) -> str:
-            if src == old:
-                return new
-            if src.startswith(old + "."):
-                return new + src[len(old):]
-            return src
+        with self._commit_lock():
+            meta = self._load_meta()
+            self._schema_versions(meta)  # ensure field ids exist before copying
+            names = [c["name"] for c in meta["columns"]]
+            if old not in names:
+                raise KeyError(f"column {old!r} not found")
+            if any(c["name"] == new for c in meta["columns"]):
+                raise ValueError(f"column {new!r} already exists")
+            new_cols = [
+                {**c, "name": new} if c["name"] == old else dict(c)
+                for c in meta["columns"]
+            ]
+            # current spec sources follow the rename (top-level or nested prefix)
+            def fix_source(src: str) -> str:
+                if src == old:
+                    return new
+                if src.startswith(old + "."):
+                    return new + src[len(old):]
+                return src
 
-        spec = [
-            {**f, "source": fix_source(f["source"])} for f in meta["partition_spec"]
-        ]
-        meta["partition_spec"] = spec
-        specs = meta.get("partition_specs")
-        if specs:
-            specs[str(meta.get("default_spec_id", 0))] = spec
-        self._push_schema_version(meta, new_cols)
+            spec = [
+                {**f, "source": fix_source(f["source"])}
+                for f in meta["partition_spec"]
+            ]
+            meta["partition_spec"] = spec
+            specs = meta.get("partition_specs")
+            if specs:
+                specs[str(meta.get("default_spec_id", 0))] = spec
+            self._push_schema_version(meta, new_cols)
 
     def unified_schema(self):
         """StructType of the CURRENT table schema (post-evolution)."""
@@ -680,14 +686,15 @@ class LedgerTable:
         """Partition evolution: register a new spec version and make it
         the default for FUTURE writes. Existing files keep their
         spec_id (Iceberg semantics: old data is not rewritten)."""
-        meta = self._load_meta()
-        specs = meta.get("partition_specs") or {"0": meta["partition_spec"]}
-        new_id = max(int(k) for k in specs) + 1
-        specs[str(new_id)] = [f.to_json() for f in new_spec]
-        meta["partition_specs"] = specs
-        meta["default_spec_id"] = new_id
-        meta["partition_spec"] = [f.to_json() for f in new_spec]
-        self._store_meta(meta)
+        with self._commit_lock():
+            meta = self._load_meta()
+            specs = meta.get("partition_specs") or {"0": meta["partition_spec"]}
+            new_id = max(int(k) for k in specs) + 1
+            specs[str(new_id)] = [f.to_json() for f in new_spec]
+            meta["partition_specs"] = specs
+            meta["default_spec_id"] = new_id
+            meta["partition_spec"] = [f.to_json() for f in new_spec]
+            self._store_meta(meta)
         return new_id
 
     def schema_string(self) -> list[dict]:
@@ -742,35 +749,44 @@ class LedgerTable:
         if sid is None:
             raise ValueError("cannot create a ref on an empty table")
         self.snapshot(sid)  # must exist
-        meta = self._load_meta()
-        refs = meta.get("refs") or {}
-        if name in refs:
-            raise ValueError(f"ref {name!r} already exists")
-        refs[name] = {"snapshot_id": sid, "type": kind}
-        meta["refs"] = refs
-        self._store_meta(meta)
+        # RMW under commit.lock: table.json also carries the head
+        # pointer, so an unlocked ref write racing a commit could
+        # revert current_snapshot_id and orphan that commit
+        with self._commit_lock():
+            meta = self._load_meta()
+            refs = meta.get("refs") or {}
+            if name in refs:
+                raise ValueError(f"ref {name!r} already exists")
+            refs[name] = {"snapshot_id": sid, "type": kind}
+            meta["refs"] = refs
+            self._store_meta(meta)
 
     def set_ref(self, name: str, snapshot_id: int) -> None:
-        """Move a BRANCH pointer (tags are immutable)."""
+        """Move a BRANCH pointer (tags are immutable). Locked RMW —
+        append_to_branch calls this right after its stage commit, so a
+        branch stage racing a main-branch commit must not lose either
+        write."""
         self.snapshot(snapshot_id)
-        meta = self._load_meta()
-        refs = meta.get("refs") or {}
-        if name not in refs:
-            raise KeyError(f"ref {name!r} not found")
-        if refs[name]["type"] != "branch":
-            raise ValueError(f"ref {name!r} is a tag; tags are immutable")
-        refs[name]["snapshot_id"] = snapshot_id
-        meta["refs"] = refs
-        self._store_meta(meta)
+        with self._commit_lock():
+            meta = self._load_meta()
+            refs = meta.get("refs") or {}
+            if name not in refs:
+                raise KeyError(f"ref {name!r} not found")
+            if refs[name]["type"] != "branch":
+                raise ValueError(f"ref {name!r} is a tag; tags are immutable")
+            refs[name]["snapshot_id"] = snapshot_id
+            meta["refs"] = refs
+            self._store_meta(meta)
 
     def drop_ref(self, name: str) -> None:
-        meta = self._load_meta()
-        refs = meta.get("refs") or {}
-        if name not in refs:
-            raise KeyError(f"ref {name!r} not found")
-        del refs[name]
-        meta["refs"] = refs
-        self._store_meta(meta)
+        with self._commit_lock():
+            meta = self._load_meta()
+            refs = meta.get("refs") or {}
+            if name not in refs:
+                raise KeyError(f"ref {name!r} not found")
+            del refs[name]
+            meta["refs"] = refs
+            self._store_meta(meta)
 
     def resolve_ref(self, name: str) -> int:
         refs = self.refs()
@@ -821,8 +837,14 @@ class LedgerTable:
 
     def _commit_lock(self):
         """Exclusive OS file lock (flock on metadata/commit.lock) as a
-        contextmanager — every mutation of table.json (pointer swap,
-        property RMW, id allocation) serializes through it."""
+        contextmanager — EVERY table.json read-modify-write serializes
+        through it: pointer swap, id allocation, properties, refs
+        (create/set/drop), sort order, constraints, schema evolution
+        (add/widen/drop/rename column), partition-spec evolution, and
+        the sketch-descriptor publish in sketches.py. flock is per open
+        file description, so nesting would self-deadlock — no code path
+        takes the lock while holding it (distributed work, e.g.
+        add_constraint's verification scan, runs BEFORE locking)."""
         import contextlib
         import fcntl
 
@@ -1183,9 +1205,10 @@ class LedgerTable:
         ReplaceSortOrder): affects FUTURE writes and compactions;
         existing files are not rewritten (run rewrite_data_files to
         re-cluster them)."""
-        meta = self._load_meta()
-        meta["sort_order"] = list(columns)
-        self._store_meta(meta)
+        with self._commit_lock():
+            meta = self._load_meta()
+            meta["sort_order"] = list(columns)
+            self._store_meta(meta)
 
     # ------------------------------------------------------------------
     # CHECK constraints (Delta constraint parity): validated on write
@@ -1204,25 +1227,29 @@ class LedgerTable:
         if name in self.constraints():
             raise ValueError(f"constraint {name!r} already exists")
         if self.current_snapshot_id() is not None:
+            # distributed verification runs BEFORE taking the lock —
+            # never hold commit.lock across a Spark job
             bad = self.read().filter(~F.expr(expression).eqNullSafe(True)).limit(1).count()
             if bad:
                 raise ValueError(
                     f"existing rows violate constraint {name!r}: {expression}"
                 )
-        meta = self._load_meta()
-        cons = meta.get("constraints") or {}
-        cons[name] = expression
-        meta["constraints"] = cons
-        self._store_meta(meta)
+        with self._commit_lock():
+            meta = self._load_meta()
+            cons = meta.get("constraints") or {}
+            cons[name] = expression
+            meta["constraints"] = cons
+            self._store_meta(meta)
 
     def drop_constraint(self, name: str) -> None:
-        meta = self._load_meta()
-        cons = meta.get("constraints") or {}
-        if name not in cons:
-            raise KeyError(f"constraint {name!r} not found")
-        del cons[name]
-        meta["constraints"] = cons
-        self._store_meta(meta)
+        with self._commit_lock():
+            meta = self._load_meta()
+            cons = meta.get("constraints") or {}
+            if name not in cons:
+                raise KeyError(f"constraint {name!r} not found")
+            del cons[name]
+            meta["constraints"] = cons
+            self._store_meta(meta)
 
     def _validate_constraints(self, df: DataFrame) -> None:
         """One distributed pass counting violations of every registered

@@ -1939,6 +1939,10 @@ def test_expire_reclaims_unreferenced_segments(spark, catalog):
     if head.own_segment:
         kept.add(head.own_segment["path"])
     assert kept < segs_before, "history should reference extra segments"
+    # age past the independent segment-GC grace floor: the floor
+    # protects JUST-WRITTEN segments even under a future cutoff
+    for fn in segs_before:
+        os.utime(os.path.join(tbl.meta_dir, fn), (1, 1))
     metrics = maintenance.expire_snapshots(tbl, older_than_ms=int(2e15))
     assert metrics["deleted_manifest_segments_count"] > 0
     segs_after = {
@@ -2272,3 +2276,105 @@ def test_expire_spares_fresh_unreferenced_segments(spark, catalog):
         "expire deleted a fresh in-flight segment"
     )
     assert tbl.read().count() == 30  # head intact
+
+
+def test_branch_stage_racing_main_commit_loses_nothing(spark, catalog):
+    """append_to_branch ends in set_ref — a table.json RMW. Racing it
+    against main-branch appends must lose NEITHER side: an unlocked
+    set_ref could reload a stale head pointer and silently revert a
+    just-landed main commit (ADVICE r7, medium)."""
+    import threading
+
+    df = spark.range(5).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "branch_race_tbl", df.schema, [])
+    tbl.append(df)
+    tbl.create_ref("audit", kind="branch")
+    barrier = threading.Barrier(2)
+    errs: list[BaseException] = []
+
+    def main_writer() -> None:
+        barrier.wait()
+        try:
+            for i in range(6):
+                tbl.append(
+                    spark.range(100 + i * 5, 105 + i * 5).selectExpr(
+                        "id", "id AS v"
+                    )
+                )
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    def branch_writer() -> None:
+        barrier.wait()
+        try:
+            for i in range(6):
+                tbl.append_to_branch(
+                    "audit",
+                    spark.range(1000 + i * 5, 1005 + i * 5).selectExpr(
+                        "id", "id AS v"
+                    ),
+                )
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=main_writer)
+    t2 = threading.Thread(target=branch_writer)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    # every main commit survived (head never reverted by set_ref)
+    assert tbl.read().count() == 5 + 30
+    # every branch stage survived (ref never reverted by a commit)
+    assert tbl.read(ref="audit").count() == 5 + 30
+    # main head is not on the branch lineage and vice versa
+    head = tbl.snapshot(tbl.current_snapshot_id())
+    assert head.summary.get("branch") is None
+
+
+def test_expire_future_cutoff_spares_just_written_segment(spark, catalog):
+    """The segment-GC cutoff is floored at SEGMENT_GC_GRACE_MS before
+    now INDEPENDENTLY of the caller's older_than_ms: a cutoff in the
+    future (legal — callers may rely on retain_last alone) must not
+    grant a zero-second protection window and delete a freshly staged
+    segment whose commit is about to land (ADVICE r7, low)."""
+    df = spark.range(5).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "seg_grace_tbl", df.schema, [])
+    for i in range(3):
+        tbl.append(spark.range(i * 5, i * 5 + 5).selectExpr("id", "id AS v"))
+    # a just-written unreferenced segment: fresh mtime, no snapshot
+    inflight = tbl._write_segment(
+        "mseg-777-dinflight.parquet",
+        [{"file_path": "/x/pending.parquet", "partition": {},
+          "record_count": 1, "file_size_in_bytes": 10, "content": 0}],
+        [],
+    )
+    metrics = maintenance.expire_snapshots(tbl, older_than_ms=int(2e15))
+    assert metrics["deleted_snapshots_count"] > 0
+    assert os.path.exists(tbl._segment_path(inflight["path"])), (
+        "future cutoff deleted a just-written segment"
+    )
+
+
+def test_orphan_gc_sweeps_stale_tmp_litter(spark, catalog):
+    """Atomic-rename leftovers (next-snapshot-id.tmp-*, mseg-*.tmp-*)
+    from a crash between write and os.replace are reclaimed by
+    remove_orphan_files past the age guard; fresh litter and the live
+    counter file survive (ADVICE r7, low)."""
+    df = spark.range(5).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "tmp_litter_tbl", df.schema, [])
+    tbl.append(df)  # creates the live next-snapshot-id counter
+    stale_ctr = os.path.join(tbl.meta_dir, "next-snapshot-id.tmp-deadbeef")
+    stale_seg = os.path.join(tbl.meta_dir, "mseg-9-dx.parquet.tmp-deadbeef")
+    fresh_ctr = os.path.join(tbl.meta_dir, "next-snapshot-id.tmp-cafef00d")
+    for p in (stale_ctr, stale_seg, fresh_ctr):
+        with open(p, "w") as fh:
+            fh.write("9")
+    os.utime(stale_ctr, (1, 1))
+    os.utime(stale_seg, (1, 1))
+    metrics = maintenance.remove_orphan_files(tbl)
+    assert stale_ctr in metrics["deleted_files"]
+    assert stale_seg in metrics["deleted_files"]
+    assert not os.path.exists(stale_ctr) and not os.path.exists(stale_seg)
+    assert os.path.exists(fresh_ctr), "age guard must protect fresh tmp files"
+    assert os.path.exists(os.path.join(tbl.meta_dir, "next-snapshot-id"))
+    assert tbl.read().count() == 5
+    os.remove(fresh_ctr)

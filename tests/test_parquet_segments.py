@@ -135,6 +135,8 @@ def test_mixed_chain_gc_and_expire(spark, catalog, monkeypatch):
     monkeypatch.setattr(ledger_mod, "SEGMENT_FORMAT", "parquet")
     for i in range(4, 8):
         tbl.append(spark.range(i * 5, i * 5 + 5).selectExpr("id", "id AS v"))
+    for fn in _segments(tbl):  # age past the segment-GC grace floor
+        os.utime(os.path.join(tbl.meta_dir, fn), (1, 1))
     metrics = maintenance.expire_snapshots(tbl, older_than_ms=int(2e15))
     assert metrics["deleted_snapshots_count"] > 0
     head = tbl.snapshot(tbl.current_snapshot_id())
