@@ -175,3 +175,118 @@ def test_drift_trips_retrain_and_recovers(spark, catalog):
     assert tbl2.read(old_cells_sid).count() == n_total
     old_cents = ctbl2.read(old_cents_sid)
     assert old_cents.count() == old_k
+
+
+def test_post_retrain_adc_recall_through_recoded_codes(spark, catalog):
+    """THE post-retrain serving pin (r7 verdict #4): ADC ranking
+    THROUGH the governed codes table — probe nearest NEW cells, score
+    probed cells' STORED codes against the query LUT — keeps its
+    recall floor vs exact brute force on the SHIFTED corpus, and the
+    stored codes decode to exactly the distances fresh re-encoding
+    would give (the swap re-encoded every vector, old and drifted,
+    against the new routing)."""
+    from lakehouse_admin_spark.operators.similarity import PQ_D, PQ_K, PQ_M
+    from lakehouse_admin_spark.sources.fixtures import (
+        build_vector_cells_ledger,
+        build_vector_codes_ledger,
+    )
+    from lakehouse_admin_spark.streaming.vectors import assign_cells_stream
+    from lakehouse_admin_spark.vector_maintenance import retrain_vector_index
+
+    tbl, ctbl = build_vector_cells_ledger(spark, SF_SMOKE, catalog, name="vc_adc")
+    build_vector_codes_ledger(spark, SF_SMOKE, catalog, cells_name="vc_adc")
+    assigned = assign_cells_stream(
+        _shifted_delta(spark), spark, _centroid_matrix(ctbl)
+    )
+    tbl.append(assigned)
+    retrain_vector_index(catalog, tbl, ctbl)
+
+    # post-swap state: vectors+cells, codes, centroids
+    corpus = {
+        int(r["vec_id"]): (np.asarray(r["embedding"], dtype=np.float64), int(r["cell"]))
+        for r in tbl.read().select("vec_id", "embedding", "cell").collect()
+    }
+    codes = {
+        int(r["vec_id"]): (list(r["codes"]), int(r["cell"]))
+        for r in catalog.table("main", "vc_adc_codes").read().collect()
+    }
+    cents = _centroid_matrix(ctbl)
+    # codebook identical to _pq_index's: subvectors of the 16 lowest ids
+    cb_ids = sorted(corpus)[:PQ_K]
+    cb = np.stack([corpus[i][0] for i in cb_ids]).reshape(PQ_K, PQ_M, PQ_D)
+
+    def lut_for(q: np.ndarray) -> np.ndarray:
+        qs = q.reshape(PQ_M, PQ_D)
+        # (M, K) rounded squared L2, matching _pq_index.subdists
+        return np.round(
+            ((qs[None, :, :] - cb) ** 2).sum(axis=2), 6
+        ).T  # -> (M, K)
+
+    def encode(v: np.ndarray) -> list[int]:
+        vs = v.reshape(PQ_M, PQ_D)
+        d2 = ((vs[None, :, :] - cb) ** 2).sum(axis=2)  # (K, M)
+        return list(np.argmin(d2, axis=0))
+
+    # 1) stored codes == fresh re-encoding for EVERY vector (old and
+    # shifted), and their cell matches the cells table's routing
+    for vid, (vec, cell) in corpus.items():
+        stored, code_cell = codes[vid]
+        assert stored == encode(vec), f"stale code for {vid}"
+        assert code_cell == cell, f"stale routing for {vid}"
+
+    # 2) recall floors on the shifted corpus (random baseline for
+    # top-10 over ~1000 vectors is ~1%; measured post-retrain values
+    # are ~12% / ~34% / ~52% — floors set with ~40% slack). Three
+    # baselines separate WHAT can regress:
+    #   - probed-ADC vs exact L2: the end-to-end serving answer
+    #     (quantizer is the crude 16-codeword PQ, same floor class as
+    #     test_plans' 0.10 full-ADC pin)
+    #   - probed-ADC vs FULL-scan ADC: what cell PROBING loses given
+    #     the quantizer
+    #   - probed-cells EXACT vs global exact: pure ROUTING quality —
+    #     the part retraining owns; collapses if centroids went stale
+    queries = [vid for vid in sorted(corpus) if vid % 40 == 0][:6] + [
+        vid for vid in sorted(corpus) if vid >= 1_000_000 and vid % 40 == 0
+    ][:6]
+    r_exact, r_full, r_route = [], [], []
+    for qid in queries:
+        q = corpus[qid][0]
+        d2c = ((cents - q) ** 2).sum(axis=1)
+        probed = set(int(c) for c in np.argsort(d2c)[:3])
+        lut = lut_for(q)
+
+        def adc(cd: list[int]) -> float:
+            return sum(lut[m][c] for m, c in enumerate(cd))
+
+        probed10 = {
+            vid
+            for _, vid in sorted(
+                (adc(cd), vid)
+                for vid, (cd, cell) in codes.items()
+                if cell in probed and vid != qid
+            )[:10]
+        }
+        full10 = {
+            vid
+            for _, vid in sorted(
+                (adc(cd), vid) for vid, (cd, _c) in codes.items() if vid != qid
+            )[:10]
+        }
+        exact10 = set(
+            sorted(
+                (v for v in corpus if v != qid),
+                key=lambda v: (((corpus[v][0] - q) ** 2).sum(), v),
+            )[:10]
+        )
+        route10 = set(
+            sorted(
+                (v for v in corpus if v != qid and corpus[v][1] in probed),
+                key=lambda v: (((corpus[v][0] - q) ** 2).sum(), v),
+            )[:10]
+        )
+        r_exact.append(len(probed10 & exact10) / 10)
+        r_full.append(len(probed10 & full10) / 10)
+        r_route.append(len(route10 & exact10) / 10)
+    assert sum(r_exact) / len(r_exact) >= 0.08, f"ADC-vs-exact {r_exact}"
+    assert sum(r_full) / len(r_full) >= 0.20, f"probe-vs-full-ADC {r_full}"
+    assert sum(r_route) / len(r_route) >= 0.30, f"routing quality {r_route}"
