@@ -182,6 +182,11 @@ _LIVE_FILES_CACHE_MAX = 8
 _EQ_INDEX_CACHE: "_OrderedDict[tuple, tuple]" = _OrderedDict()
 _EQ_INDEX_CACHE_MAX = 32
 
+# (table meta_dir, snapshot_id, column) -> sorted interval index over
+# the snapshot's data-file stats (see LedgerTable._range_index)
+_RANGE_INDEX_CACHE: "_OrderedDict[tuple, tuple]" = _OrderedDict()
+_RANGE_INDEX_CACHE_MAX = 32
+
 
 def invalidate_live_files_cache(meta_dir: str, snapshot_id: int) -> None:
     """Drop one cached live-file list. Required when a snapshot JSON
@@ -189,13 +194,14 @@ def invalidate_live_files_cache(meta_dir: str, snapshot_id: int) -> None:
     staged snapshot is the one such path (expired snapshots keep the
     current head, so their ids never recycle)."""
     _LIVE_FILES_CACHE.pop((os.path.abspath(meta_dir), snapshot_id), None)
-    stale = [
-        k
-        for k in _EQ_INDEX_CACHE
-        if k[0] == os.path.abspath(meta_dir) and k[1] == snapshot_id
-    ]
-    for k in stale:
-        del _EQ_INDEX_CACHE[k]
+    for cache in (_EQ_INDEX_CACHE, _RANGE_INDEX_CACHE):
+        stale = [
+            k
+            for k in cache
+            if k[0] == os.path.abspath(meta_dir) and k[1] == snapshot_id
+        ]
+        for k in stale:
+            del cache[k]
 
 
 class Snapshot:
@@ -2208,6 +2214,59 @@ class LedgerTable:
             _EQ_INDEX_CACHE.popitem(last=False)
         return out
 
+    def _range_index(
+        self, snapshot_id: int | None, files: list[dict], col: str
+    ) -> tuple[list, list, list, list, list, type | None]:
+        """Sorted interval index over one column of one snapshot's data
+        files: (lo_keys, by_lo_entries, hi_keys, by_hi_entries,
+        nostats, vtype) — entries sorted by their stats MIN and (again)
+        by their stats MAX, so a range predicate selects a contiguous
+        prefix/suffix by binary search: O(log files + selected) per
+        plan instead of the O(files) residual stats scan. Built once
+        per (table, snapshot, column) and LRU-cached (immutable per
+        snapshot id). Entries with no usable stats — or whose stats
+        type differs from the first one seen — land in ``nostats`` and
+        are ALWAYS candidates, mirroring :meth:`_eq_index`'s keep rule,
+        so narrowing drops only files the residual pruner would
+        provably drop anyway. ``snapshot_id`` must be the resolved id
+        the caller planned ``files`` from (see :meth:`_eq_index`)."""
+        key = (os.path.abspath(self.meta_dir), snapshot_id, col)
+        hit = _RANGE_INDEX_CACHE.get(key)
+        if hit is not None:
+            _RANGE_INDEX_CACHE.move_to_end(key)
+            return hit
+        spans: list[tuple] = []
+        nostats: list[dict] = []
+        vtype: type | None = None
+        for e in files:
+            rng = (e.get("column_stats") or {}).get(col)
+            if (
+                rng is None
+                or rng[0] is None
+                or rng[1] is None
+                or type(rng[0]) is not type(rng[1])
+                or (vtype is not None and type(rng[0]) is not vtype)
+            ):
+                nostats.append(e)
+                continue
+            if vtype is None:
+                vtype = type(rng[0])
+            spans.append((rng[0], rng[1], e))
+        by_lo = sorted(spans, key=lambda t: t[0])
+        by_hi = sorted(spans, key=lambda t: t[1])
+        out = (
+            [t[0] for t in by_lo],
+            [t[2] for t in by_lo],
+            [t[1] for t in by_hi],
+            [t[2] for t in by_hi],
+            nostats,
+            vtype,
+        )
+        _RANGE_INDEX_CACHE[key] = out
+        while len(_RANGE_INDEX_CACHE) > _RANGE_INDEX_CACHE_MAX:
+            _RANGE_INDEX_CACHE.popitem(last=False)
+        return out
+
     def plan_files(
         self,
         predicates: list[tuple[str, str, object]] | None = None,
@@ -2241,27 +2300,51 @@ class LedgerTable:
         ]
         if not predicates or not files:
             return files
-        # Equality-lookup index (the Iceberg manifest-partition-summary
-        # analog): files where a column's min == max group by that
-        # constant once per snapshot, so a `col = v` point lookup
-        # narrows to the matching group + the files where the column
-        # varies — O(selected) instead of an O(files) stats scan per
-        # plan. Only applied when the probe value's type matches the
-        # stored stats type (an incomparable pair must KEEP the file,
-        # exactly like the residual pruner's TypeError branch).
-        for c, op, v in predicates:
-            if op != "=":
-                continue
-            const, varying, vtype = self._eq_index(sid, files, c)
-            if vtype is None:
-                continue
+        # Snapshot-keyed lookup indexes (the Iceberg
+        # manifest-partition-summary analog), built once per (snapshot,
+        # column) and LRU-cached. `col = v` narrows through the
+        # equality index (files with min == max group by that
+        # constant); `< <= > >=` narrow through the sorted interval
+        # index (binary-searched prefix of the by-min order / suffix of
+        # the by-max order) — both O(log files + selected) instead of
+        # an O(files) stats scan per plan. Only applied when the probe
+        # value's type matches the stored stats type (an incomparable
+        # pair must KEEP the file, exactly like the residual pruner's
+        # TypeError branch). The FIRST predicate with an applicable
+        # index narrows and the residual pruner finishes: indexes are
+        # built over the full snapshot list, so applying a second one
+        # to the already-narrowed subset would re-expand it.
+        import bisect
+
+        def _probe_ok(v, vtype) -> bool:
             both_num = isinstance(v, (int, float)) and issubclass(
                 vtype, (int, float)
             )
-            if not (both_num or isinstance(v, vtype)):
-                continue
-            files = const.get(v, []) + varying
-            break  # one index narrows; the residual pruner finishes
+            return both_num or isinstance(v, vtype)
+
+        for c, op, v in predicates:
+            if op == "=":
+                const, varying, vtype = self._eq_index(sid, files, c)
+                if vtype is None or not _probe_ok(v, vtype):
+                    continue
+                files = const.get(v, []) + varying
+                break
+            if op in ("<", "<=", ">", ">="):
+                lo_keys, by_lo, hi_keys, by_hi, nostats, vtype = (
+                    self._range_index(sid, files, c)
+                )
+                if vtype is None or not _probe_ok(v, vtype):
+                    continue
+                if op == "<":  # a file may match iff its min < v
+                    sel = by_lo[: bisect.bisect_left(lo_keys, v)]
+                elif op == "<=":  # min <= v
+                    sel = by_lo[: bisect.bisect_right(lo_keys, v)]
+                elif op == ">":  # max > v
+                    sel = by_hi[bisect.bisect_right(hi_keys, v):]
+                else:  # ">=": max >= v
+                    sel = by_hi[bisect.bisect_left(hi_keys, v):]
+                files = sel + nostats
+                break
         # Puffin-style secondary pruning: per-file Bloom sketches prove
         # key-absence for `=` predicates on columns min/max can't prune
         # (non-sorted, non-bucketed). Metadata-only; files the sidecar

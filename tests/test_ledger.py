@@ -2378,3 +2378,82 @@ def test_orphan_gc_sweeps_stale_tmp_litter(spark, catalog):
     assert os.path.exists(os.path.join(tbl.meta_dir, "next-snapshot-id"))
     assert tbl.read().count() == 5
     os.remove(fresh_ctr)
+
+
+def test_range_index_plan_matches_full_scan(spark, catalog):
+    """Twin of the eq-index pin for RANGE predicates: the sorted
+    interval index (binary-searched by-min prefix / by-max suffix)
+    must select exactly what the O(files) residual stats scan selects
+    for every op in < <= > >= and for between (two predicates) —
+    including the keep-on-type-mismatch rule."""
+    from lakehouse_admin_spark.sources import ledger as ledger_mod
+
+    schema = spark.range(1).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS day", "CAST(id AS DOUBLE) AS v"
+    ).schema
+    tbl = catalog.create_table("main", "range_idx_tbl", schema, [])
+    # 8 files with adjacent disjoint k-ranges [10i, 10i+9], days spread
+    for i in range(8):
+        tbl.append(
+            spark.range(i * 10, i * 10 + 10).selectExpr(
+                "id AS k",
+                f"'2026-0{i % 9 + 1}-15' AS day",
+                "CAST(id AS DOUBLE) AS v",
+            ).coalesce(1)
+        )
+    # plus one wide file overlapping everything
+    tbl.append(
+        spark.range(0, 80, 7).selectExpr(
+            "id AS k", "'2026-01-01' AS day", "CAST(id AS DOUBLE) AS v"
+        ).coalesce(1)
+    )
+    live = [e for e in tbl.live_files() if e.get("content", 0) == 0]
+    assert len(live) == 9
+
+    def residual(col, op, val):
+        """The O(files) stats-scan ground truth (plan_files' may_match)."""
+        out = []
+        for e in live:
+            rng = (e.get("column_stats") or {}).get(col)
+            if rng is None:
+                out.append(e["file_path"])
+                continue
+            lo, hi = rng
+            try:
+                keep = {"<": lo < val, "<=": lo <= val,
+                        ">": hi > val, ">=": hi >= val}[op]
+            except TypeError:
+                keep = True
+            if keep:
+                out.append(e["file_path"])
+        return sorted(out)
+
+    for op, val in [("<", 25), ("<=", 29), (">", 54), (">=", 60),
+                    ("<", 0), (">", 79), ("<=", -1), (">=", 80)]:
+        got = sorted(e["file_path"] for e in tbl.plan_files([("k", op, val)]))
+        assert got == residual("k", op, val), (op, val)
+    # narrowing actually happened (not the full list back)
+    assert len(tbl.plan_files([("k", "<", 25)])) == 4  # 3 range files + wide
+    # between = two predicates: first narrows via the index, residual
+    # finishes; row-exact through read()
+    assert sorted(
+        (r["k"], r["v"])
+        for r in tbl.read(
+            predicates=[("k", ">=", 23), ("k", "<=", 41)]
+        ).collect()
+    ) == sorted(
+        (r["k"], r["v"])
+        for r in tbl.read().filter((F.col("k") >= 23) & (F.col("k") <= 41)).collect()
+    )
+    # index built and cached per (snapshot, column)
+    assert any(k[2] == "k" for k in ledger_mod._RANGE_INDEX_CACHE)
+    # type mismatch (date object vs ISO-string stats) keeps ALL files
+    import datetime as _dt
+
+    assert len(tbl.plan_files([("day", "<", _dt.date(2026, 3, 1))])) == 9
+    # matching string probe narrows: only files whose day-min < cutoff
+    got_day = sorted(
+        e["file_path"] for e in tbl.plan_files([("day", "<", "2026-03-01")])
+    )
+    assert got_day == residual("day", "<", "2026-03-01")
+    assert 0 < len(got_day) < 9
