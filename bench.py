@@ -84,6 +84,7 @@ HEADLINE = [
     "ann_incremental_assign",  # r5: delta ingest vs persisted IVF index
     "embedding_lsh_clusters",  # r6: scale-safe cluster output (O(n) labels)
     "ledger_pq_cell_lookup",  # r6: governed-PQ ADC lookup (partition-pruned)
+    "ledger_range_scan",  # r8: recent-window scan via the interval index
     "curation_pipeline",  # r6: dedup->quality->budget end-to-end pass
     "multimodal_feature_ann",  # r6: payload featurize -> top-k cosine
     "skewed_event_rollup",  # r6: two-phase salted hot-key aggregate

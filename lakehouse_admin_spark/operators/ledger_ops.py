@@ -848,3 +848,51 @@ def ledger_pq_cell_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "approx_dist", "rank")
         .orderBy("rank")
     )
+
+
+@query(
+    "ledger_range_scan",
+    oracle=_LIVE
+    + """
+    , cutoff AS (
+        SELECT MAX(CAST(ts AS DATE)) - INTERVAL 2 DAY AS c FROM live
+    )
+    SELECT strftime(ts, '%Y-%m-%d') AS ts_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM live WHERE ts >= (SELECT c FROM cutoff)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def ledger_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window scan planned through the RANGE interval index: the
+    cutoff (last 3 live days) comes from MANIFEST partition values —
+    zero data jobs — and ``read(predicates=[("ts", ">=", cutoff)])``
+    binary-searches the per-snapshot (min, max) interval index
+    (sources/ledger.py:_range_index) so only the window's files are
+    planned; the predicate re-applies as a Spark filter for row
+    exactness. The day-partitioned fixture gives files day-bounded ts
+    stats, so the planned set is ~3/|days| of the table — the
+    recent-window pattern every event-log dashboard serves. Oracle
+    recomputes the window from raw rows (scalar-subquery cutoff)."""
+    import datetime as _dt
+
+    tbl = _events_tbl(spark, sf_dir)
+    days = sorted(
+        {
+            e["partition"]["ts_day"]
+            for e in tbl.live_files()
+            if e.get("content", 0) == 0 and e["partition"].get("ts_day")
+        }
+    )
+    cutoff = (_dt.date.fromisoformat(days[-1]) - _dt.timedelta(days=2)).isoformat()
+    return (
+        tbl.read(predicates=[("ts", ">=", cutoff)])
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("ts_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("ts_day")
+    )

@@ -388,7 +388,12 @@ def multimodal_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = payloads.mapInPandas(
         featurize, "doc_id bigint, feat array<double>"
     )
-    q = feats.filter(F.col("doc_id") % 100 == 0).select(
+    # query workload = the shared serving stride (module attr read at
+    # call time so the stress bench can fix nq per tier; default 100
+    # matches the oracle's literal)
+    from lakehouse_admin_spark.operators import similarity as _sim
+
+    q = feats.filter(F.col("doc_id") % _sim.QUERY_STRIDE == 0).select(
         F.col("doc_id").alias("query_id"), F.col("feat").alias("qf")
     )
     dot = F.aggregate(

@@ -2457,3 +2457,27 @@ def test_range_index_plan_matches_full_scan(spark, catalog):
     )
     assert got_day == residual("day", "<", "2026-03-01")
     assert 0 < len(got_day) < 9
+
+
+def test_ledger_range_scan_prunes_files(spark):
+    """ledger_range_scan plans only the window's files: the ts >=
+    cutoff predicate must narrow through the interval index to ~3 of
+    the live days' files, not the whole live set."""
+    import datetime as _dt
+
+    from lakehouse_admin_spark.operators.ledger_ops import _events_tbl
+    from lakehouse_admin_spark.sources import ledger as ledger_mod
+
+    tbl = _events_tbl(spark, SF_SMOKE)
+    live = [e for e in tbl.live_files() if e.get("content", 0) == 0]
+    days = sorted({e["partition"]["ts_day"] for e in live})
+    assert len(days) > 3, "fixture must span more than the window"
+    cutoff = (_dt.date.fromisoformat(days[-1]) - _dt.timedelta(days=2)).isoformat()
+    planned = tbl.plan_files([("ts", ">=", cutoff)])
+    window_days = {d for d in days if d >= cutoff}
+    expected = [e for e in live if e["partition"]["ts_day"] in window_days]
+    assert {e["file_path"] for e in planned} == {
+        e["file_path"] for e in expected
+    }
+    assert len(planned) < len(live)
+    assert any(k[2] == "ts" for k in ledger_mod._RANGE_INDEX_CACHE)

@@ -43,6 +43,11 @@ STRESS_QUERIES = [
     "ann_ivf_pq_topk",
     "ann_ivf_pq_rerank",
     "nn_descent_graph",
+    # r8: the r6 composites (verdict #5 — sf0.1 numbers existed but no
+    # s25->s100 scaling evidence)
+    "curation_pipeline",
+    "multimodal_feature_ann",
+    "ledger_pq_cell_lookup",
 ]
 
 # Serving-tier queries take a QUERY WORKLOAD as input; the graded form
@@ -58,6 +63,7 @@ SERVING_QUERIES = {
     "ann_pq_topk",
     "ann_ivf_pq_topk",
     "ann_ivf_pq_rerank",
+    "multimodal_feature_ann",  # doc-id stride queries, same workload rule
 }
 STRESS_NQ = 100
 
