@@ -172,3 +172,55 @@ def test_large_segment_has_bounded_row_groups(spark, catalog, monkeypatch):
     seg = tbl._read_segment(desc["path"])
     assert seg["added"] == entries
     assert seg["removed"] == ["/x/gone.parquet"]
+
+
+def test_legacy_fold_parent_base_segment(spark, catalog):
+    """A LEGACY fold-form parent gets its inventory folded into a base
+    segment at the first segmented commit. Two pins: (a) the new base
+    is written in the current (parquet) format; (b) if a JSON base
+    from an older process already exists for that parent, it is REUSED
+    — never rewritten — so mixed-format tables don't duplicate their
+    inventory."""
+    import json as _json
+
+    from lakehouse_admin_spark.sources.ledger import Snapshot
+
+    df = spark.range(10).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "legacy_fold_tbl", df.schema, [])
+    snap = tbl.append(df)
+    # rewrite the head snapshot as a LEGACY FOLD (full file list inline)
+    fold = snap.fold()
+    tbl._write_snapshot(fold)
+    ledger_mod._SEGMENT_CACHE.clear()
+    ledger_mod._LIVE_FILES_CACHE.clear()
+    assert tbl.snapshot(snap.snapshot_id).is_fold
+
+    # (a) first segmented commit folds the parent into a parquet base
+    # (coalesce(1): a wide own-segment would immediately size-tier-merge
+    # the fresh base away — legal, but here we pin the base itself)
+    tbl.append(spark.range(10, 20).selectExpr("id", "id AS v").coalesce(1))
+    head = tbl.snapshot(tbl.current_snapshot_id())
+    base = head.manifest_list[0]
+    assert base["path"] == f"mseg-{snap.snapshot_id}-base.parquet"
+    assert base["added"] == len(fold.files)
+    assert tbl.read().count() == 20
+
+    # (b) legacy JSON base present -> reused, parquet base not written
+    df2 = spark.range(5).selectExpr("id", "id AS v")
+    tbl2 = catalog.create_table("main", "legacy_json_base_tbl", df2.schema, [])
+    snap2 = tbl2.append(df2)
+    fold2 = snap2.fold()
+    tbl2._write_snapshot(fold2)
+    json_base = f"mseg-{snap2.snapshot_id}-base.json"
+    with open(tbl2._segment_path(json_base), "w") as fh:
+        _json.dump({"added": fold2.files, "removed": []}, fh)
+    ledger_mod._SEGMENT_CACHE.clear()
+    ledger_mod._LIVE_FILES_CACHE.clear()
+    tbl2.append(spark.range(100, 105).selectExpr("id", "id AS v").coalesce(1))
+    head2 = tbl2.snapshot(tbl2.current_snapshot_id())
+    paths = [d["path"] for d in head2.manifest_list]
+    assert not os.path.exists(
+        tbl2._segment_path(f"mseg-{snap2.snapshot_id}-base.parquet")
+    ), "JSON base must be reused, not rewritten as parquet"
+    assert json_base in paths, paths
+    assert tbl2.read().count() == 10
