@@ -950,6 +950,61 @@ class LedgerTable:
         os.replace(tmp, path)
         return {"path": name, "added": len(added), "removed": len(removed)}
 
+    def _merge_parquet_pair(
+        self, name_a: str, name_b: str, out_name: str, at_head: bool
+    ) -> dict:
+        """Merge two PARQUET segment bodies column-wise (a earlier, b
+        later): keep a's added rows whose file_path b neither removed
+        nor re-added, append b's added rows, union the removed lists
+        (dropped entirely at the list head). Semantically identical to
+        the decoded merge — pinned by a fast==slow equivalence test —
+        but entry documents are never parsed or re-serialized, so the
+        amortized O(log files) rewrite cost per entry is a column copy,
+        not a JSON round-trip."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ta = pq.read_table(self._segment_path(name_a))
+        tb = pq.read_table(self._segment_path(name_b))
+        if ta.schema != tb.schema:
+            raise ValueError("segment schema drift")
+        a_add = ta.filter(pc.equal(ta.column("kind"), 0))
+        b_add = tb.filter(pc.equal(tb.column("kind"), 0))
+        a_rem = ta.filter(pc.equal(ta.column("kind"), 1)).column("file_path")
+        b_rem = tb.filter(pc.equal(tb.column("kind"), 1)).column("file_path")
+        # b's removals and re-adds both supersede a's entries
+        mask_vals = pa.concat_arrays(
+            [b_rem.combine_chunks(), b_add.column("file_path").combine_chunks()]
+        )
+        keep = pc.invert(pc.is_in(a_add.column("file_path"), value_set=mask_vals))
+        added = pa.concat_tables([a_add.filter(keep), b_add])
+        removed: list[str] = (
+            []
+            if at_head
+            else sorted(set(a_rem.to_pylist()) | set(b_rem.to_pylist()))
+        )
+        if removed:
+            n = len(removed)
+            rem_cols: dict[str, pa.Array] = {
+                "kind": pa.array([1] * n, pa.int8()),
+                "file_path": pa.array(removed, pa.string()),
+            }
+            for key, typ in _SEGMENT_SCALARS:
+                rem_cols[key] = pa.array([None] * n, pa.type_for_alias(typ))
+            rem_cols["entry_json"] = pa.array([None] * n, pa.string())
+            out = pa.concat_tables(
+                [added, pa.table(rem_cols).cast(added.schema)]
+            )
+        else:
+            out = added
+        path = self._segment_path(out_name)
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(
+            out, tmp, row_group_size=_SEGMENT_ROW_GROUP, compression="zstd"
+        )
+        os.replace(tmp, path)
+        return {"path": out_name, "added": len(added), "removed": len(removed)}
+
     def _base_segment_for(self, parent: "Snapshot") -> list[dict]:
         """Manifest list for a LEGACY (fold/delta) parent: fold its
         full inventory into one base segment, written once and reused
@@ -999,6 +1054,24 @@ class LedgerTable:
         while len(mlist) >= 2 and weight(mlist[-2]) <= MERGE_FACTOR * max(
             1, weight(mlist[-1])
         ):
+            at_head = len(mlist) == 2
+            name = f"mseg-{new_id}-m{uuid.uuid4().hex[:8]}{self._segment_ext()}"
+            # Arrow-native fast path for parquet x parquet merges: the
+            # amortized O(log files) rewrite never decodes or re-encodes
+            # entry documents — rows move column-wise between files.
+            if (
+                name.endswith(".parquet")
+                and mlist[-2]["path"].endswith(".parquet")
+                and mlist[-1]["path"].endswith(".parquet")
+            ):
+                try:
+                    desc = self._merge_parquet_pair(
+                        mlist[-2]["path"], mlist[-1]["path"], name, at_head
+                    )
+                    mlist[-2:] = [desc]
+                    continue
+                except Exception:  # schema drift etc. → decoded path
+                    pass
             a = self._read_segment(mlist[-2]["path"])  # earlier
             b = self._read_segment(mlist[-1]["path"])  # later
             rem_b = set(b.get("removed", []))
@@ -1009,13 +1082,11 @@ class LedgerTable:
             }
             for e in b.get("added", []):
                 merged_entries[e["file_path"]] = e
-            at_head = len(mlist) == 2
             merged_removed = (
                 []
                 if at_head
                 else sorted(set(a.get("removed", [])) | rem_b)
             )
-            name = f"mseg-{new_id}-m{uuid.uuid4().hex[:8]}{self._segment_ext()}"
             desc = self._write_segment(
                 name, list(merged_entries.values()), merged_removed
             )

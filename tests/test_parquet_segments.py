@@ -224,3 +224,68 @@ def test_legacy_fold_parent_base_segment(spark, catalog):
     ), "JSON base must be reused, not rewritten as parquet"
     assert json_base in paths, paths
     assert tbl2.read().count() == 10
+
+
+def test_arrow_merge_equals_decoded_merge(spark, catalog, monkeypatch):
+    """The Arrow-native parquet merge must produce EXACTLY the decoded
+    (dict-based) merge's result — overrides (b re-adds a path with new
+    stats), removals, tombstone union, and head-of-list tombstone drop
+    all included."""
+    df = spark.range(1).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "pseg_merge_eq", df.schema, [])
+
+    def entry(i, extra=0):
+        return {
+            "file_path": f"/x/f{i}.parquet", "partition": {"p": str(i % 2)},
+            "record_count": 10 + extra, "file_size_in_bytes": 100 + extra,
+            "content": 0, "spec_id": 0, "schema_id": 0, "sequence_number": 1,
+            "column_stats": {"id": [i, i + extra]},
+        }
+
+    a_added = [entry(i) for i in range(8)]
+    a_removed = ["/x/old1.parquet"]
+    b_added = [entry(3, extra=99), entry(20), entry(21)]  # re-add f3
+    b_removed = ["/x/f5.parquet", "/x/old2.parquet"]
+    tbl._write_segment("mseg-1-da.parquet", a_added, a_removed)
+    tbl._write_segment("mseg-2-db.parquet", b_added, b_removed)
+    da = {"path": "mseg-1-da.parquet", "added": 8, "removed": 1}
+    db = {"path": "mseg-2-db.parquet", "added": 3, "removed": 2}
+
+    def decode(desc_list):
+        ledger_mod._SEGMENT_CACHE.clear()
+        segs = [tbl._read_segment(d["path"]) for d in desc_list]
+        assert len(segs) == 1
+        key = lambda e: e["file_path"]  # noqa: E731
+        return sorted(segs[0]["added"], key=key), segs[0]["removed"]
+
+    # fast path (both parquet, current format)
+    fast = tbl._merge_segments([dict(da), dict(db)], 9)
+    fast_added, fast_removed = decode(fast)
+    # slow path: disable the arrow merge
+    def boom(*a, **kw):
+        raise RuntimeError("forced slow path")
+
+    monkeypatch.setattr(type(tbl), "_merge_parquet_pair", boom)
+    slow = tbl._merge_segments([dict(da), dict(db)], 11)
+    slow_added, slow_removed = decode(slow)
+    assert fast_added == slow_added
+    assert fast_removed == slow_removed == []  # head merge drops tombstones
+    # override semantics: f3 carries b's stats, f5 is gone
+    by_path = {e["file_path"]: e for e in fast_added}
+    assert by_path["/x/f3.parquet"]["record_count"] == 109
+    assert "/x/f5.parquet" not in by_path
+    assert len(fast_added) == 8 - 1 - 1 + 3  # 8 minus f3 override minus f5, plus b's 3
+
+    # NON-head merge keeps the tombstone union (fast vs slow)
+    monkeypatch.undo()
+    # pad heavy enough (30 > 2 x merged(a+b) weight 12) that only a+b merge
+    head_pad = tbl._write_segment(
+        "mseg-0-dpad.parquet", [entry(1000 + i) for i in range(30)], []
+    )
+    fast2 = tbl._merge_segments([head_pad, dict(da), dict(db)], 13)
+    assert len(fast2) == 2
+    _, rem2 = (lambda d: (None, tbl._read_segment(d["path"])["removed"]))(fast2[-1])
+    monkeypatch.setattr(type(tbl), "_merge_parquet_pair", boom)
+    slow2 = tbl._merge_segments([head_pad, dict(da), dict(db)], 15)
+    rem3 = tbl._read_segment(slow2[-1]["path"])["removed"]
+    assert rem2 == rem3 == sorted(set(a_removed) | set(b_removed))
