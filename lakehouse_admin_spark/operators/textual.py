@@ -814,3 +814,61 @@ def bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "repetition_quality",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, lang, w,
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS b,
+               list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS tg
+        FROM t WHERE len(w) >= 3
+    )
+    SELECT doc_id, lang,
+           ROUND(1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4)
+               AS dup_word_frac,
+           ROUND(1.0 - len(list_distinct(b)) / CAST(len(b) AS DOUBLE), 4)
+               AS dup_bigram_frac,
+           ROUND(1.0 - len(list_distinct(tg)) / CAST(len(tg) AS DOUBLE), 4)
+               AS dup_trigram_frac
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals (Rae et al.
+    2021 §A1.1: "fraction of duplicate n-grams"): per document, the
+    duplicated fraction of words, bigrams, and trigrams — high values
+    flag boilerplate/spam that the token-level filters (text_quality)
+    miss. All JVM array expressions over one scan: tokens once, n-gram
+    arrays derived in-expression, no shuffle until the final sort.
+    Docs under 3 tokens are excluded (their trigram set is empty)."""
+    t = _doc_tokens(spark, sf_dir).filter(F.size("w") >= 3)
+
+    def ngrams(n: int):
+        # 0-based Spark array indexing: w[i] ... w[i+n-1]
+        return F.expr(
+            "transform(sequence(0, size(w) - %d), i -> %s)"
+            % (n, " || ' ' || ".join(f"w[i + {j}]" for j in range(n)))
+        )
+
+    def dup_frac(col: Column) -> Column:
+        return F.round(
+            F.lit(1.0) - F.size(F.array_distinct(col)) / F.size(col).cast("double"),
+            4,
+        )
+
+    return t.select(
+        "doc_id",
+        "lang",
+        dup_frac(F.col("w")).alias("dup_word_frac"),
+        dup_frac(ngrams(2)).alias("dup_bigram_frac"),
+        dup_frac(ngrams(3)).alias("dup_trigram_frac"),
+    ).orderBy("doc_id")

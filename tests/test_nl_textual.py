@@ -116,3 +116,23 @@ def test_wordlists_are_distinct_enough():
             sa, sb = set(WORDLISTS[a]), set(WORDLISTS[b])
             overlap = len(sa & sb) / min(len(sa), len(sb))
             assert overlap < 0.3, (a, b, overlap)
+
+
+def test_repetition_signal_on_real_vs_junk(spark, nl_dir):
+    """Gopher-style repetition fractions must separate natural text
+    (function words repeat constantly) from unique-token junk: wordlist
+    docs show high dup_word_frac, consonant-soup docs near zero."""
+    import duckdb
+
+    rows = registry.QUERIES["repetition_quality"].fn(spark, nl_dir).collect()
+    truth = dict(
+        duckdb.sql(
+            f"SELECT doc_id, lang FROM '{nl_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    real = [r["dup_word_frac"] for r in rows if truth[r["doc_id"]] != "xx"]
+    junk = [r["dup_word_frac"] for r in rows if truth[r["doc_id"]] == "xx"]
+    assert mean(real) > 0.2  # 25-60 draws from a ~60-word vocabulary
+    assert mean(junk) < 0.1  # random 3-9 char strings rarely collide
+    assert mean(real) > mean(junk) + 0.15
