@@ -164,17 +164,40 @@ _SEGMENT_SCALARS = (
 
 # process-wide LRU over immutable segment files (abs path -> parsed
 # JSON); bounded so a long-lived server planning many tables can't
-# accumulate one inventory per table in driver memory
+# accumulate one inventory per table in driver memory.
+#
+# Both metadata caches are bounded by WEIGHT (total manifest entries),
+# not item count: a count-only bound admits 32 segments x 10^6 entries
+# (multi-GB of driver dicts) — at 10 TB-class tables the heap, not the
+# slot count, is the budget. Weight caps chosen for ~low-hundreds of MB
+# worst case; eviction just re-reads (segments are immutable).
 from collections import OrderedDict as _OrderedDict  # noqa: E402
 
 _SEGMENT_CACHE: "_OrderedDict[str, dict]" = _OrderedDict()
 _SEGMENT_CACHE_MAX = 32
+_SEGMENT_CACHE_MAX_ENTRIES = 2_000_000
 
 # (table meta_dir, snapshot_id) -> materialized live-file list; a
 # committed snapshot's live set is immutable, so the planner replays
 # the segment merge once per snapshot, not once per plan_files call
 _LIVE_FILES_CACHE: "_OrderedDict[tuple, list]" = _OrderedDict()
 _LIVE_FILES_CACHE_MAX = 8
+_LIVE_FILES_CACHE_MAX_ENTRIES = 2_000_000
+
+
+def _seg_weight(seg: dict) -> int:
+    return len(seg.get("added", ())) + len(seg.get("removed", ()))
+
+
+def _evict_lru(cache: "_OrderedDict", max_items: int, max_weight: int, weigh) -> None:
+    """Evict oldest-first until both the item bound and the weight
+    bound hold. A single over-weight item is allowed to remain alone
+    (the caller needs it this instant anyway); it evicts as soon as
+    anything newer lands."""
+    while len(cache) > max_items or (
+        len(cache) > 1 and sum(weigh(v) for v in cache.values()) > max_weight
+    ):
+        cache.popitem(last=False)
 
 
 # (table meta_dir, snapshot_id, column) -> equality-lookup index over
@@ -924,8 +947,9 @@ class LedgerTable:
             with open(path) as fh:
                 seg = json.load(fh)
         _SEGMENT_CACHE[path] = seg
-        while len(_SEGMENT_CACHE) > _SEGMENT_CACHE_MAX:
-            _SEGMENT_CACHE.popitem(last=False)
+        _evict_lru(
+            _SEGMENT_CACHE, _SEGMENT_CACHE_MAX, _SEGMENT_CACHE_MAX_ENTRIES, _seg_weight
+        )
         return seg
 
     @staticmethod
@@ -2235,8 +2259,12 @@ class LedgerTable:
             return hit
         files = self.snapshot(sid).files
         _LIVE_FILES_CACHE[key] = files
-        while len(_LIVE_FILES_CACHE) > _LIVE_FILES_CACHE_MAX:
-            _LIVE_FILES_CACHE.popitem(last=False)
+        _evict_lru(
+            _LIVE_FILES_CACHE,
+            _LIVE_FILES_CACHE_MAX,
+            _LIVE_FILES_CACHE_MAX_ENTRIES,
+            len,
+        )
         return files
 
     def _eq_index(

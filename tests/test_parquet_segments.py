@@ -289,3 +289,37 @@ def test_arrow_merge_equals_decoded_merge(spark, catalog, monkeypatch):
     slow2 = tbl._merge_segments([head_pad, dict(da), dict(db)], 15)
     rem3 = tbl._read_segment(slow2[-1]["path"])["removed"]
     assert rem2 == rem3 == sorted(set(a_removed) | set(b_removed))
+
+
+def test_metadata_caches_are_weight_bounded(spark, catalog, monkeypatch):
+    """Driver-heap guard: the segment and live-file LRUs evict by TOTAL
+    ENTRY WEIGHT, not just item count — 32 cached million-entry
+    inventories would be a multi-GB driver heap at 10 TB-class tables.
+    A single over-weight item may remain alone (its caller holds it),
+    but evicts as soon as anything newer lands."""
+    monkeypatch.setattr(ledger_mod, "_SEGMENT_CACHE_MAX_ENTRIES", 100)
+    df = spark.range(1).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "pseg_weight", df.schema, [])
+
+    def entries(tag, n):
+        return [
+            {"file_path": f"/x/{tag}{i}.parquet", "partition": {},
+             "record_count": 1, "file_size_in_bytes": 1, "content": 0}
+            for i in range(n)
+        ]
+
+    ledger_mod._SEGMENT_CACHE.clear()
+    tbl._write_segment("mseg-1-dbig.parquet", entries("a", 80), [])
+    tbl._write_segment("mseg-2-dbig.parquet", entries("b", 80), [])
+    tbl._write_segment("mseg-3-dsmall.parquet", entries("c", 10), [])
+    tbl._read_segment("mseg-1-dbig.parquet")
+    assert len(ledger_mod._SEGMENT_CACHE) == 1
+    tbl._read_segment("mseg-2-dbig.parquet")  # 160 > 100 -> evict oldest
+    assert len(ledger_mod._SEGMENT_CACHE) == 1
+    tbl._read_segment("mseg-3-dsmall.parquet")  # 90 <= 100 -> both stay
+    assert len(ledger_mod._SEGMENT_CACHE) == 2
+    # an over-weight single item is admitted (caller needs it now)
+    monkeypatch.setattr(ledger_mod, "_SEGMENT_CACHE_MAX_ENTRIES", 5)
+    ledger_mod._SEGMENT_CACHE.clear()
+    seg = tbl._read_segment("mseg-1-dbig.parquet")
+    assert len(seg["added"]) == 80 and len(ledger_mod._SEGMENT_CACHE) == 1
