@@ -433,6 +433,74 @@ def _data_files(entries: list[dict]) -> list[dict]:
 _SEGMENT_SCALAR_KEYS = frozenset(k for k, _t in _SEGMENT_SCALARS)
 
 
+def _segment_summary(added: list[dict]) -> dict:
+    """Manifest-list summary for one segment (the Iceberg
+    manifest-list partition/column-summary analog, reference context
+    types.go:27): per-column [min, max] over the segment's ADDED DATA
+    entries' footer stats, plus an (upper-bound) data-entry count.
+    A column missing stats on any data entry — or with mixed stats
+    types across entries — is OMITTED, and omitted means unskippable,
+    so summaries can only ever widen the planned set. plan_files uses
+    these to skip reading entire segment BODIES on a cold plan."""
+    cols: dict[str, list] = {}
+    dead: set[str] = set()
+    n_data = 0
+    for e in added:
+        if e.get("content", 0) != 0:
+            continue
+        n_data += 1
+        stats = e.get("column_stats") or {}
+        for c in list(cols):
+            if c not in stats:
+                dead.add(c)
+                del cols[c]
+        for c, rng in stats.items():
+            if c in dead:
+                continue
+            if rng is None or rng[0] is None or rng[1] is None:
+                dead.add(c)
+                cols.pop(c, None)
+                continue
+            prev = cols.get(c)
+            if prev is None:
+                if n_data > 1:  # earlier data entries lacked this column
+                    dead.add(c)
+                    continue
+                cols[c] = [rng[0], rng[1]]
+                continue
+            try:
+                cols[c] = [min(prev[0], rng[0]), max(prev[1], rng[1])]
+            except TypeError:  # mixed stats types → unskippable column
+                dead.add(c)
+                del cols[c]
+    return {"n_data": n_data, "cols": cols}
+
+
+def _combine_summaries(a: dict | None, b: dict | None) -> dict | None:
+    """Conservative union of two segment summaries for a merged
+    segment: ranges widen, counts add (an upper bound — removals and
+    overrides only shrink the true count, and skippability only needs
+    'can anything match'), and a column absent from either side is
+    omitted. ``None`` (a legacy descriptor without a summary) poisons
+    the result to None: unskippable."""
+    if a is None or b is None:
+        return None
+    if a.get("n_data", 1) == 0:
+        return {"n_data": b.get("n_data", 0), "cols": dict(b.get("cols", {}))}
+    if b.get("n_data", 1) == 0:
+        return {"n_data": a.get("n_data", 0), "cols": dict(a.get("cols", {}))}
+    cols = {}
+    for c, ra in (a.get("cols") or {}).items():
+        rb = (b.get("cols") or {}).get(c)
+        if rb is None:
+            continue
+        try:
+            cols[c] = [min(ra[0], rb[0]), max(ra[1], rb[1])]
+        except TypeError:
+            continue
+    return {"n_data": a.get("n_data", 0) + b.get("n_data", 0), "cols": cols}
+
+
 def _write_parquet_segment(path: str, added: list[dict], removed: list[str]) -> None:
     """Serialize one segment body as parquet: one row per added entry
     (kind=0) or removed path (kind=1). Two complementary layouts in
@@ -972,10 +1040,20 @@ class LedgerTable:
             with open(tmp, "w") as fh:
                 json.dump({"added": added, "removed": removed}, fh)
         os.replace(tmp, path)
-        return {"path": name, "added": len(added), "removed": len(removed)}
+        return {
+            "path": name,
+            "added": len(added),
+            "removed": len(removed),
+            "summary": _segment_summary(added),
+        }
 
     def _merge_parquet_pair(
-        self, name_a: str, name_b: str, out_name: str, at_head: bool
+        self,
+        name_a: str,
+        name_b: str,
+        out_name: str,
+        at_head: bool,
+        summary: dict | None = None,
     ) -> dict:
         """Merge two PARQUET segment bodies column-wise (a earlier, b
         later): keep a's added rows whose file_path b neither removed
@@ -1027,7 +1105,10 @@ class LedgerTable:
             out, tmp, row_group_size=_SEGMENT_ROW_GROUP, compression="zstd"
         )
         os.replace(tmp, path)
-        return {"path": out_name, "added": len(added), "removed": len(removed)}
+        desc = {"path": out_name, "added": len(added), "removed": len(removed)}
+        if summary is not None:
+            desc["summary"] = summary
+        return desc
 
     def _base_segment_for(self, parent: "Snapshot") -> list[dict]:
         """Manifest list for a LEGACY (fold/delta) parent: fold its
@@ -1052,6 +1133,7 @@ class LedgerTable:
                 "path": name,
                 "added": len(seg.get("added", [])),
                 "removed": len(seg.get("removed", [])),
+                "summary": _segment_summary(seg.get("added", [])),
             }
         return [desc]
 
@@ -1090,7 +1172,16 @@ class LedgerTable:
             ):
                 try:
                     desc = self._merge_parquet_pair(
-                        mlist[-2]["path"], mlist[-1]["path"], name, at_head
+                        mlist[-2]["path"],
+                        mlist[-1]["path"],
+                        name,
+                        at_head,
+                        # conservative union (ranges widen, count is an
+                        # upper bound) — the fast path never decodes
+                        # entries, so it can't recompute exactly
+                        summary=_combine_summaries(
+                            mlist[-2].get("summary"), mlist[-1].get("summary")
+                        ),
                     )
                     mlist[-2:] = [desc]
                     continue
@@ -2311,6 +2402,65 @@ class LedgerTable:
             _EQ_INDEX_CACHE.popitem(last=False)
         return out
 
+    @staticmethod
+    def _segment_may_match(desc: dict, predicates: list[tuple]) -> bool:
+        """True unless the descriptor's summary PROVES no data entry in
+        the segment can satisfy every predicate. Missing summary,
+        missing column, null-ops, and incomparable probe types all
+        answer True (unskippable) — exactly the residual pruner's
+        keep-on-unknown semantics lifted to segment granularity."""
+        s = desc.get("summary")
+        if s is None:
+            return True
+        if s.get("n_data", 1) == 0:
+            return False  # no data entries at all (pure-delete segment)
+        cols = s.get("cols") or {}
+        for c, op, v in predicates:
+            if op in ("is_null", "not_null"):
+                continue  # summaries carry no null counts
+            rng = cols.get(c)
+            if rng is None:
+                continue
+            lo, hi = rng
+            try:
+                possible = {
+                    "<": lo < v, "<=": lo <= v, ">": hi > v,
+                    ">=": hi >= v, "=": lo <= v <= hi,
+                }[op]
+            except (TypeError, KeyError):
+                continue
+            if not possible:
+                return False
+        return True
+
+    def _segment_pruned_entries(
+        self, snapshot_id: int, predicates: list[tuple]
+    ) -> list[dict] | None:
+        """Cold-plan materialization with MANIFEST SKIPPING: walk the
+        snapshot's manifest list, reading only segments that (a) carry
+        removals — a later segment's tombstones must always apply to
+        earlier segments' files — or (b) may contain a matching data
+        entry per their descriptor summary. Skipped segments contribute
+        no entries, which is sound because none of their data entries
+        could match; tombstones aimed at them become no-ops. Returns
+        None for non-segmented snapshots (caller falls back to the full
+        materialization)."""
+        snap = self.snapshot(snapshot_id)
+        if not snap.is_segmented:
+            return None
+        entries: dict[str, dict] = {}
+        for desc in snap.manifest_list:
+            if int(desc.get("removed", 0)) == 0 and not self._segment_may_match(
+                desc, predicates
+            ):
+                continue
+            seg = self._read_segment(desc["path"])
+            for p in seg.get("removed", []):
+                entries.pop(p, None)
+            for e in seg.get("added", []):
+                entries[e["file_path"]] = e
+        return list(entries.values())
+
     def _range_index(
         self, snapshot_id: int | None, files: list[dict], col: str
     ) -> tuple[list, list, list, list, list, type | None]:
@@ -2392,9 +2542,27 @@ class LedgerTable:
             if snapshot_id is not None
             else self.current_snapshot_id()
         )
-        files = [
-            e for e in self.live_files(sid) if e.get("content", 0) == 0
-        ]
+        # Manifest skipping (Iceberg manifest-list-summary analog): on
+        # a COLD plan (live list not yet materialized) with predicates,
+        # skip reading entire segment BODIES whose descriptor summary
+        # proves no data entry can match — the planner's first touch of
+        # a 10^6-file snapshot reads only the window's segments. The
+        # result is a SUBSET of the live list, so the snapshot-keyed
+        # lookup indexes (built over FULL lists) must not narrow it;
+        # the residual pruner alone finishes. Warm plans use the cached
+        # full list + indexes as before.
+        full_list = True
+        if predicates and sid is not None:
+            key = (os.path.abspath(self.meta_dir), sid)
+            if key not in _LIVE_FILES_CACHE:
+                pruned = self._segment_pruned_entries(sid, predicates)
+                if pruned is not None:
+                    files = [e for e in pruned if e.get("content", 0) == 0]
+                    full_list = False
+        if full_list:
+            files = [
+                e for e in self.live_files(sid) if e.get("content", 0) == 0
+            ]
         if not predicates or not files:
             return files
         # Snapshot-keyed lookup indexes (the Iceberg
@@ -2419,7 +2587,7 @@ class LedgerTable:
             )
             return both_num or isinstance(v, vtype)
 
-        for c, op, v in predicates:
+        for c, op, v in predicates if full_list else ():
             if op == "=":
                 const, varying, vtype = self._eq_index(sid, files, c)
                 if vtype is None or not _probe_ok(v, vtype):

@@ -2118,7 +2118,10 @@ def test_eq_index_plan_matches_full_scan(spark, catalog):
         (r["k"], r["v"])
         for r in tbl.read().filter(F.col("k") == 3).collect()
     )
-    # index was built and cached for (snapshot, column)
+    # WARM plan (live list now cached by the read() above) builds and
+    # caches the index — the COLD first plan goes through manifest
+    # skipping instead and bypasses the full-list-keyed indexes
+    assert len(tbl.plan_files([("k", "=", 3)])) == 2
     assert any(k[2] == "k" for k in ledger_mod._EQ_INDEX_CACHE)
     # type mismatch (date object vs ISO-string stats) must KEEP files:
     # the probe falls back to the residual pruner's TypeError branch

@@ -323,3 +323,82 @@ def test_metadata_caches_are_weight_bounded(spark, catalog, monkeypatch):
     ledger_mod._SEGMENT_CACHE.clear()
     seg = tbl._read_segment("mseg-1-dbig.parquet")
     assert len(seg["added"]) == 80 and len(ledger_mod._SEGMENT_CACHE) == 1
+
+
+def test_manifest_skipping_cold_plan(spark, catalog, monkeypatch):
+    """Iceberg manifest-skipping analog: a COLD plan_files with a
+    selective predicate reads only the matching segments' bodies (plus
+    any segment carrying tombstones), and its planned set is IDENTICAL
+    to the warm full-materialization plan."""
+    df = spark.range(1).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "pseg_skip", df.schema, [])
+    # big base segment (30 files, k < 300) + small tail appends above
+    # it: size-tiered merging keeps the heavy base as its own segment
+    tbl.append(
+        spark.range(300)
+        .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .repartition(30)
+    )
+    for i in range(3):
+        tbl.append(
+            spark.range(300 + i * 10, 310 + i * 10)
+            .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+            .coalesce(1)
+        )
+    assert len(tbl.snapshot(tbl.current_snapshot_id()).manifest_list) > 1
+    preds = [("k", ">=", 300)]  # matches ONLY the tail appends
+    # warm ground truth (full materialization + indexes)
+    warm = {e["file_path"] for e in tbl.plan_files(preds)}
+    assert len(warm) == 3
+
+    reads: list[str] = []
+    real_read = ledger_mod.LedgerTable._read_segment
+
+    def spy(self, name):
+        reads.append(name)
+        return real_read(self, name)
+
+    monkeypatch.setattr(ledger_mod.LedgerTable, "_read_segment", spy)
+    ledger_mod._SEGMENT_CACHE.clear()
+    ledger_mod._LIVE_FILES_CACHE.clear()
+    ledger_mod._EQ_INDEX_CACHE.clear()
+    ledger_mod._RANGE_INDEX_CACHE.clear()
+    cold = {e["file_path"] for e in tbl.plan_files(preds)}
+    assert cold == warm
+    n_total = len(tbl.snapshot(tbl.current_snapshot_id()).manifest_list)
+    assert len(set(reads)) < n_total, (
+        f"cold plan read all {n_total} segments: {reads}"
+    )
+    # warm plan afterwards still exact (cache was never poisoned with
+    # the pruned subset)
+    monkeypatch.undo()
+    assert {e["file_path"] for e in tbl.plan_files(preds)} == warm
+    assert len(tbl.plan_files()) == len(tbl.live_files())
+
+
+def test_manifest_skipping_respects_tombstones(spark, catalog):
+    """A later segment carrying REMOVALS must always be read on the
+    pruned path, even when its own data entries can't match — else a
+    cold plan would resurrect deleted files."""
+    df = spark.range(1).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "pseg_skip_del", df.schema, [])
+    for i in range(4):
+        tbl.append(
+            spark.range(i * 10, i * 10 + 10)
+            .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+            .coalesce(1)
+        )
+    # MOR-free file-level delete: drop the k<10 file via rewrite
+    victim = [
+        e["file_path"]
+        for e in tbl.live_files()
+        if (e.get("column_stats") or {}).get("k", [99, 99])[0] == 0
+    ]
+    assert victim
+    tbl.commit_rewrite(victim, [], operation="delete")
+    ledger_mod._SEGMENT_CACHE.clear()
+    ledger_mod._LIVE_FILES_CACHE.clear()
+    cold = tbl.plan_files([("k", "<", 10)])
+    assert victim[0] not in {e["file_path"] for e in cold}
+    rows = [r["k"] for r in tbl.read(predicates=[("k", "<", 10)]).collect()] if cold else []
+    assert rows == []  # every k<10 row lived in the deleted file
