@@ -117,3 +117,103 @@ def test_needs_optimize_monotone_in_threshold(sizes, threshold):
 def test_browse_fields_no_duplicates(parts):
     fields = browse_fields(parts)
     assert len(fields) == len(set(fields))
+
+
+# ---------------------------------------------------------------------------
+# Manifest-skipping soundness (r8): a segment the summary skips must
+# contain NO entry the residual pruner would keep.
+# ---------------------------------------------------------------------------
+
+_vals = st.one_of(
+    st.integers(min_value=-50, max_value=50),
+    st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+    st.text(alphabet="abc0123456789-", min_size=0, max_size=6),
+)
+
+
+@st.composite
+def _entries(draw):
+    n = draw(st.integers(min_value=0, max_value=8))
+    out = []
+    for i in range(n):
+        stats = {}
+        for c in ("x", "y"):
+            if draw(st.booleans()):
+                a, b = draw(_vals), draw(_vals)
+                if type(a) is not type(b) or isinstance(a, bool) != isinstance(b, bool):
+                    continue
+                lo, hi = (a, b) if not isinstance(a, str) and a <= b else (
+                    (a, b) if isinstance(a, str) and a <= b else (b, a)
+                )
+                stats[c] = [lo, hi]
+        out.append(
+            {"file_path": f"/f{i}", "partition": {}, "record_count": 1,
+             "file_size_in_bytes": 1,
+             "content": draw(st.sampled_from([0, 0, 0, 1])),
+             "column_stats": stats}
+        )
+    return out
+
+
+_preds = st.lists(
+    st.tuples(
+        st.sampled_from(["x", "y"]),
+        st.sampled_from(["<", "<=", ">", ">=", "="]),
+        _vals,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _residual_keeps(e: dict, preds) -> bool:
+    """plan_files' may_match ground truth (stats-only ops)."""
+    stats = e.get("column_stats") or {}
+    for c, op, v in preds:
+        rng = stats.get(c)
+        if rng is None:
+            continue
+        lo, hi = rng
+        try:
+            ok = {"<": lo < v, "<=": lo <= v, ">": hi > v,
+                  ">=": hi >= v, "=": lo <= v <= hi}[op]
+        except TypeError:
+            continue
+        if not ok:
+            return False
+    return True
+
+
+@settings(max_examples=300, deadline=None)
+@given(_entries(), _preds)
+def test_summary_skip_never_hides_a_match(entries, preds):
+    from lakehouse_admin_spark.sources.ledger import (
+        LedgerTable,
+        _segment_summary,
+    )
+
+    desc = {"removed": 0, "summary": _segment_summary(entries)}
+    if not LedgerTable._segment_may_match(desc, preds):
+        for e in entries:
+            if e.get("content", 0) == 0:
+                assert not _residual_keeps(e, preds), (e, preds)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_entries(), _entries(), _preds)
+def test_combined_summary_sound_for_merged_segments(ea, eb, preds):
+    """The Arrow merge path's conservative summary union must stay
+    sound for the union of both segments' entries (ranges may only
+    widen — a combined skip implies neither side held a match)."""
+    from lakehouse_admin_spark.sources.ledger import (
+        LedgerTable,
+        _combine_summaries,
+        _segment_summary,
+    )
+
+    combined = _combine_summaries(_segment_summary(ea), _segment_summary(eb))
+    desc = {"removed": 0, "summary": combined}
+    if not LedgerTable._segment_may_match(desc, preds):
+        for e in ea + eb:
+            if e.get("content", 0) == 0:
+                assert not _residual_keeps(e, preds), (e, preds)
