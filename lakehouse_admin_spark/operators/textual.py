@@ -872,3 +872,95 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac(ngrams(2)).alias("dup_bigram_frac"),
         dup_frac(ngrams(3)).alias("dup_trigram_frac"),
     ).orderBy("doc_id")
+
+
+# Real per-language function-word lexicons: the heads of the public
+# frequency lists in sources/nl_fixtures.py (the same heads every
+# stopword package ships). 12 words per language keeps the oracle CASE
+# readable while the hit-rate signal stays strong — function words
+# dominate running text.
+def _nl_lexicons() -> dict[str, tuple[str, ...]]:
+    from lakehouse_admin_spark.sources.nl_fixtures import WORDLISTS
+
+    return {lang: words[:12] for lang, words in sorted(WORDLISTS.items())}
+
+
+def _lang_id_lexicon_oracle() -> str:
+    lex = _nl_lexicons()
+    langs = list(lex)  # sorted: tie-break order
+    score_sql = ",\n               ".join(
+        "ROUND(len(list_filter(w, x -> x IN (%s))) / CAST(len(w) AS DOUBLE), 6) AS s_%s"
+        % (", ".join(f"'{w}'" for w in words), lang)
+        for lang, words in lex.items()
+    )
+    case = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{o}" for o in langs[i + 1:]]
+        case.append(
+            ("WHEN %s THEN '%s'" % (" AND ".join(conds), lang))
+            if conds
+            else f"ELSE '{lang}'"
+        )
+    return r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+        FROM documents
+    ),
+    scores AS (
+        SELECT doc_id,
+               %s
+        FROM t WHERE len(w) > 0
+    )
+    SELECT doc_id, %s,
+           CASE %s END AS predicted
+    FROM scores
+    ORDER BY doc_id
+    """ % (
+        score_sql,
+        ", ".join(f"s_{lang}" for lang in langs),
+        " ".join(case),
+    )
+
+
+@query("lang_id_lexicon", oracle=_lang_id_lexicon_oracle())
+def lang_id_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by argmax over REAL per-language function-word
+    lexicons (frequency-list heads — the production stopword-lexicon
+    heuristic, vs lang_id_argmax's synthetic-corpus lexicons). One
+    broadcast-free projection: each score is a JVM array filter over
+    the token array; argmax ties break toward the lexicographically
+    first language, mirrored exactly in the oracle CASE. Graded for
+    ACCURACY on the NL corpus in tests/test_nl_textual.py."""
+    lex = _nl_lexicons()
+    langs = list(lex)
+    t = _doc_tokens(spark, sf_dir).filter(F.size("w") > 0)
+
+    def hit_rate(words):
+        arr = F.array(*[F.lit(x) for x in words])
+        return lambda x: F.array_contains(arr, x)
+
+    scored = t.select(
+        "doc_id",
+        *[
+            F.round(
+                F.size(F.filter(F.col("w"), hit_rate(words)))
+                / F.size("w").cast("double"),
+                6,
+            ).alias(f"s_{lang}")
+            for lang, words in lex.items()
+        ],
+    )
+    predicted = None
+    for i, lang in enumerate(langs):
+        if i == len(langs) - 1:
+            predicted = predicted.otherwise(lang)
+            break
+        cond = None
+        for o in langs[i + 1:]:
+            c = F.col(f"s_{lang}") >= F.col(f"s_{o}")
+            cond = c if cond is None else (cond & c)
+        predicted = (
+            F.when(cond, lang) if predicted is None else predicted.when(cond, lang)
+        )
+    return scored.withColumn("predicted", predicted).orderBy("doc_id")

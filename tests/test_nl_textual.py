@@ -136,3 +136,21 @@ def test_repetition_signal_on_real_vs_junk(spark, nl_dir):
     assert mean(real) > 0.2  # 25-60 draws from a ~60-word vocabulary
     assert mean(junk) < 0.1  # random 3-9 char strings rarely collide
     assert mean(real) > mean(junk) + 0.15
+
+
+def test_lang_id_lexicon_accuracy(spark, nl_dir):
+    """Function-word lexicon argmax must identify languages on real
+    text: >= 90% of wordlist docs classified as their label (junk 'xx'
+    docs excluded — no lexicon covers them by construction)."""
+    import duckdb
+
+    rows = registry.QUERIES["lang_id_lexicon"].fn(spark, nl_dir).collect()
+    truth = dict(
+        duckdb.sql(
+            f"SELECT doc_id, lang FROM '{nl_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    graded = [r for r in rows if truth[r["doc_id"]] != "xx"]
+    assert len(graded) == 5 * 40
+    acc = sum(r["predicted"] == truth[r["doc_id"]] for r in graded) / len(graded)
+    assert acc >= 0.9, f"lexicon lang-id accuracy {acc:.3f}"
