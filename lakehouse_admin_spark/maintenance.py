@@ -393,7 +393,26 @@ def expire_snapshots(
         for s in keep:
             if not s.is_fold and not s.is_segmented:
                 table._write_snapshot(s.fold())
-    live_paths = {e["file_path"] for s in keep for e in s.files}
+    # reference sweeps need PATHS only — projected segment reads (kind
+    # + file_path columns), never the entry documents, memoized per
+    # segment across the snapshots sharing it
+    _delta_memo: dict[str, tuple[list[str], list[str]]] = {}
+
+    def _live_paths(s: Snapshot) -> set[str]:
+        if not s.is_segmented:
+            return {e["file_path"] for e in s.files}
+        live: set[str] = set()
+        for d in s.manifest_list:
+            if d["path"] not in _delta_memo:
+                _delta_memo[d["path"]] = table._segment_path_delta(d["path"])
+            added, removed = _delta_memo[d["path"]]
+            live.difference_update(removed)
+            live.update(added)
+        return live
+
+    live_paths = set()
+    for s in keep:
+        live_paths |= _live_paths(s)
     # manifest segments still referenced by any KEPT snapshot survive;
     # the rest (only expired snapshots pointed at them) are reclaimed
     kept_segments: set[str] = set()
@@ -402,14 +421,13 @@ def expire_snapshots(
             kept_segments.add(d["path"])
         if s.own_segment is not None:
             kept_segments.add(s.own_segment["path"])
-    # materialize every expired snapshot's file list BEFORE deleting any
+    # materialize every expired snapshot's PATH set BEFORE deleting any
     # snapshot JSON — a delta snapshot's materialization walks ancestors
     # that may themselves be expired
-    expired_files = {s.snapshot_id: list(s.files) for s in expired}
+    expired_paths = {s.snapshot_id: _live_paths(s) for s in expired}
     deleted_files = 0
     for s in expired:
-        for e in expired_files[s.snapshot_id]:
-            p = e["file_path"]
+        for p in expired_paths[s.snapshot_id]:
             if p not in live_paths and os.path.exists(p):
                 os.remove(p)
                 deleted_files += 1
@@ -458,7 +476,22 @@ def remove_orphan_files(
     if older_than_ms is None:
         older_than_ms = int(time.time() * 1000) - MIN_RETENTION_DAYS * MS_PER_DAY
     snaps = table.snapshots()
-    referenced = {e["file_path"] for s in snaps for e in s.files}
+    # paths only, projected segment reads (no entry-document decode),
+    # per-segment deltas memoized across the snapshots sharing them
+    _delta_memo: dict[str, tuple[list[str], list[str]]] = {}
+    referenced: set[str] = set()
+    for s in snaps:
+        if not s.is_segmented:
+            referenced |= {e["file_path"] for e in s.files}
+            continue
+        live: set[str] = set()
+        for d in s.manifest_list:
+            if d["path"] not in _delta_memo:
+                _delta_memo[d["path"]] = table._segment_path_delta(d["path"])
+            added, removed = _delta_memo[d["path"]]
+            live.difference_update(removed)
+            live.update(added)
+        referenced |= live
     orphans: list[str] = []
     for dirpath, _d, filenames in os.walk(table.data_dir):
         for fn in filenames:

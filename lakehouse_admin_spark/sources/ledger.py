@@ -1020,6 +1020,55 @@ class LedgerTable:
         )
         return seg
 
+    def _segment_path_delta(self, name: str) -> tuple[list[str], list[str]]:
+        """(added file paths, removed paths) of one segment — the
+        PROJECTED read for consumers that never look at entry stats
+        (GC reference sweeps). Parquet bodies read only the kind and
+        file_path columns (a few MB for 10^6 entries, no entry-document
+        decode); JSON bodies and already-cached segments derive from
+        the full form."""
+        path = os.path.abspath(self._segment_path(name))
+        hit = _SEGMENT_CACHE.get(path)
+        if hit is None and name.endswith(".parquet"):
+            added: list[str] = []
+            removed: list[str] = []
+            pf = pq.ParquetFile(path)
+            try:
+                for batch in pf.iter_batches(
+                    batch_size=_SEGMENT_ROW_GROUP, columns=["kind", "file_path"]
+                ):
+                    kinds = batch.column("kind").to_pylist()
+                    paths = batch.column("file_path").to_pylist()
+                    if 1 in kinds:
+                        for k, p in zip(kinds, paths):
+                            (removed if k == 1 else added).append(p)
+                    else:
+                        added.extend(paths)
+            finally:
+                pf.close()
+            return added, removed
+        seg = hit if hit is not None else self._read_segment(name)
+        return (
+            [e["file_path"] for e in seg.get("added", [])],
+            list(seg.get("removed", [])),
+        )
+
+    def snapshot_live_paths(self, snap: "Snapshot") -> set[str]:
+        """The snapshot's live FILE PATHS without materializing entry
+        documents: segmented snapshots replay per-segment path deltas
+        (projected parquet reads); legacy forms fall back to
+        :attr:`Snapshot.files`. GC sweeps over many snapshots memoize
+        the per-segment deltas across calls within a process via the
+        parquet page cache — deltas are cheap enough not to pin."""
+        if not snap.is_segmented:
+            return {e["file_path"] for e in snap.files}
+        live: set[str] = set()
+        for desc in snap.manifest_list:
+            added, removed = self._segment_path_delta(desc["path"])
+            live.difference_update(removed)
+            live.update(added)
+        return live
+
     @staticmethod
     def _segment_ext() -> str:
         """Extension for NEW segment bodies (module-level switch)."""

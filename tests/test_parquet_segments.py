@@ -402,3 +402,35 @@ def test_manifest_skipping_respects_tombstones(spark, catalog):
     assert victim[0] not in {e["file_path"] for e in cold}
     rows = [r["k"] for r in tbl.read(predicates=[("k", "<", 10)]).collect()] if cold else []
     assert rows == []  # every k<10 row lived in the deleted file
+
+
+def test_gc_reference_sweeps_never_decode_entries(spark, catalog, monkeypatch):
+    """expire_snapshots / remove_orphan_files need PATHS, not stats:
+    on a parquet-segment table their reference sweeps must go through
+    the projected (kind, file_path) read — never the entry-document
+    decode — so GC driver cost at 10^6 files is a column scan."""
+    df = spark.range(5).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "pseg_gc_proj", df.schema, [])
+    for i in range(5):
+        tbl.append(spark.range(i * 5, i * 5 + 5).selectExpr("id", "id AS v"))
+    for fn in _segments(tbl):
+        os.utime(os.path.join(tbl.meta_dir, fn), (1, 1))
+    ledger_mod._SEGMENT_CACHE.clear()
+    ledger_mod._LIVE_FILES_CACHE.clear()
+
+    def boom(path):
+        raise AssertionError(f"entry-document decode during GC: {path}")
+
+    monkeypatch.setattr(ledger_mod, "_read_parquet_segment", boom)
+    orphans = maintenance.remove_orphan_files(tbl)
+    # only intermediate merge outputs (cascaded merges orphan their
+    # first product) may be reclaimed — never data files
+    assert all("mseg-" in p for p in orphans["deleted_files"]), orphans
+    metrics = maintenance.expire_snapshots(tbl, older_than_ms=int(2e15))
+    assert metrics["deleted_snapshots_count"] == 4
+    monkeypatch.undo()
+    ledger_mod._SEGMENT_CACHE.clear()
+    assert tbl.read().count() == 25
+    from lakehouse_admin_spark.integrity import missing_files
+
+    assert not missing_files(tbl)
