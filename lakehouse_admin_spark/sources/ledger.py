@@ -1206,6 +1206,7 @@ class LedgerTable:
             return int(d.get("added", 0)) + int(d.get("removed", 0))
 
         mlist = list(mlist)
+        created: list[dict] = []  # merge outputs written by THIS call
         while len(mlist) >= 2 and weight(mlist[-2]) <= MERGE_FACTOR * max(
             1, weight(mlist[-1])
         ):
@@ -1232,6 +1233,7 @@ class LedgerTable:
                             mlist[-2].get("summary"), mlist[-1].get("summary")
                         ),
                     )
+                    created.append(desc)
                     mlist[-2:] = [desc]
                     continue
                 except Exception:  # schema drift etc. → decoded path
@@ -1254,7 +1256,23 @@ class LedgerTable:
             desc = self._write_segment(
                 name, list(merged_entries.values()), merged_removed
             )
+            created.append(desc)
             mlist[-2:] = [desc]
+        # a CASCADE consumes its own earlier outputs: every merge
+        # output from this call not in the final list was read once by
+        # the next step and is referenced by nothing — delete now
+        # instead of leaving it for orphan GC (it would sit on disk for
+        # the whole age-guard window)
+        final = {d["path"] for d in mlist}
+        for d in created:
+            if d["path"] not in final:
+                try:
+                    os.remove(self._segment_path(d["path"]))
+                except OSError:
+                    pass
+                _SEGMENT_CACHE.pop(
+                    os.path.abspath(self._segment_path(d["path"])), None
+                )
         return mlist
 
     def _commit(self, snap: Snapshot, expected_parent: object = "__FROM_SNAP__") -> None:

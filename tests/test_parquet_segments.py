@@ -423,9 +423,9 @@ def test_gc_reference_sweeps_never_decode_entries(spark, catalog, monkeypatch):
 
     monkeypatch.setattr(ledger_mod, "_read_parquet_segment", boom)
     orphans = maintenance.remove_orphan_files(tbl)
-    # only intermediate merge outputs (cascaded merges orphan their
-    # first product) may be reclaimed — never data files
-    assert all("mseg-" in p for p in orphans["deleted_files"]), orphans
+    # cascaded-merge intermediates are deleted at merge time (r8), so a
+    # healthy table has NOTHING to reclaim
+    assert orphans["orphan_file_count"] == 0, orphans
     metrics = maintenance.expire_snapshots(tbl, older_than_ms=int(2e15))
     assert metrics["deleted_snapshots_count"] == 4
     monkeypatch.undo()
