@@ -20,7 +20,15 @@ _PATH_SCHEMA = StructType([StructField("file_path", StringType())])
 
 
 def expected_files_df(table: LedgerTable, snapshot_id: int | None = None) -> DataFrame:
-    rows = [(e["file_path"],) for e in table.live_files(snapshot_id)]
+    """The snapshot's referenced paths via the PROJECTED segment read
+    (kind + file_path columns) — an integrity sweep never needs entry
+    stats, so it must not pay the entry-document decode (or populate
+    the live-list cache) on a 10^6-file table."""
+    sid = snapshot_id if snapshot_id is not None else table.current_snapshot_id()
+    if sid is None:
+        rows: list[tuple[str]] = []
+    else:
+        rows = [(p,) for p in sorted(table.snapshot_live_paths(table.snapshot(sid)))]
     return table.spark.createDataFrame(rows, _PATH_SCHEMA)
 
 
