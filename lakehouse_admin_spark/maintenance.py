@@ -359,6 +359,21 @@ def expire_snapshots(
         days = max(retention_days or MIN_RETENTION_DAYS, MIN_RETENTION_DAYS)
         older_than_ms = int(time.time() * 1000) - days * MS_PER_DAY
 
+    # The whole pass runs under commit.lock: a commit landing between
+    # an unlocked snapshot listing and the snap-JSON deletions could
+    # move the head to a snapshot this pass never saw, and the new
+    # head's parent pointer would dangle at a just-deleted snapshot.
+    # Holding the lock through the storage unlinks is deliberate —
+    # expiration is a maintenance op (Iceberg's expire also commits),
+    # the unlink loop is O(deleted), and nothing inside re-takes the
+    # lock (flock is not reentrant).
+    with table._commit_lock():
+        return _expire_locked(table, older_than_ms, retain_last)
+
+
+def _expire_locked(
+    table: LedgerTable, older_than_ms: int, retain_last: int
+) -> dict[str, int]:
     snaps = table.snapshots()
     current = table.current_snapshot_id()
     keep: list[Snapshot] = []

@@ -2484,3 +2484,51 @@ def test_ledger_range_scan_prunes_files(spark):
     }
     assert len(planned) < len(live)
     assert any(k[2] == "ts" for k in ledger_mod._RANGE_INDEX_CACHE)
+
+
+def test_expire_racing_commits_keeps_ancestry_intact(spark, catalog):
+    """expire_snapshots decides and deletes under commit.lock: an
+    appender racing an aggressive expirer (future cutoff — everything
+    but the head expirable) must end with a readable head, no missing
+    files, and no commit lost (ADVICE-class race noted end of r8)."""
+    import threading
+
+    df = spark.range(5).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "expire_race_tbl", df.schema, [])
+    tbl.append(df)
+    barrier = threading.Barrier(2)
+    errs: list[BaseException] = []
+
+    def appender() -> None:
+        barrier.wait()
+        try:
+            for i in range(6):
+                tbl.append(
+                    spark.range(100 + i * 5, 105 + i * 5).selectExpr(
+                        "id", "id AS v"
+                    )
+                )
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    def expirer() -> None:
+        barrier.wait()
+        try:
+            for _ in range(4):
+                maintenance.expire_snapshots(tbl, older_than_ms=int(2e15))
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=appender)
+    t2 = threading.Thread(target=expirer)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    # no commit lost, head fully readable, storage consistent: a head
+    # committed DURING an expire pass pointing at files that pass
+    # deleted would fail one of these
+    assert tbl.read().count() == 5 + 30
+    assert not missing_files(tbl)
+    # a fresh expire in quiet state still works and keeps the head
+    maintenance.expire_snapshots(tbl, older_than_ms=int(2e15))
+    assert tbl.read().count() == 5 + 30
+    assert not missing_files(tbl)
