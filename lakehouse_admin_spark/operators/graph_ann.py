@@ -1011,7 +1011,11 @@ def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _free_checkpoint(prev)
         return cur
 
-    seeds = _cached(("hnsw_seeds", id(spark), sf_dir), build_seeds)
+    # QUERY_STRIDE is read at call time (stress bench and tests patch
+    # it), so the query set — and therefore the seed frame — varies
+    # with it: it MUST be part of the cache key or a stride change
+    # would silently serve seeds for the old query set.
+    seeds = _cached(("hnsw_seeds", id(spark), sf_dir, QUERY_STRIDE), build_seeds)
     # layer 0: beam search seeded by the descended entry per query,
     # over the sub-quadratically-built NN-descent edge index
     edges0 = _undirected_edges(spark, sf_dir)

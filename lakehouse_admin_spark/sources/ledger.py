@@ -193,11 +193,15 @@ def _evict_lru(cache: "_OrderedDict", max_items: int, max_weight: int, weigh) ->
     """Evict oldest-first until both the item bound and the weight
     bound hold. A single over-weight item is allowed to remain alone
     (the caller needs it this instant anyway); it evicts as soon as
-    anything newer lands."""
-    while len(cache) > max_items or (
-        len(cache) > 1 and sum(weigh(v) for v in cache.values()) > max_weight
-    ):
-        cache.popitem(last=False)
+    anything newer lands.
+
+    The total weight is summed ONCE and decremented per eviction —
+    re-summing inside the loop would be O(n²) across a multi-eviction
+    pass (and each _SEGMENT_CACHE weigh walks two entry lists)."""
+    total = sum(weigh(v) for v in cache.values())
+    while len(cache) > max_items or (len(cache) > 1 and total > max_weight):
+        _, evicted = cache.popitem(last=False)
+        total -= weigh(evicted)
 
 
 # (table meta_dir, snapshot_id, column) -> equality-lookup index over
@@ -499,6 +503,19 @@ def _combine_summaries(a: dict | None, b: dict | None) -> dict | None:
         except TypeError:
             continue
     return {"n_data": a.get("n_data", 0) + b.get("n_data", 0), "cols": cols}
+
+
+def _combine_readds(a_desc: dict, b_desc: dict) -> int | None:
+    """Upper bound on a merged segment's re-add count: the merged adds
+    are a subset of the inputs' adds, and merging can only COLLAPSE
+    re-adds (b's override of a's entry becomes one row), so the sum is
+    a valid bound. A descriptor missing the field (pre-r9 legacy)
+    poisons the result to None = unknown → the merged segment is never
+    skipped on cold plans."""
+    ra, rb = a_desc.get("readds"), b_desc.get("readds")
+    if ra is None or rb is None:
+        return None
+    return int(ra) + int(rb)
 
 
 def _write_parquet_segment(path: str, added: list[dict], removed: list[str]) -> None:
@@ -813,13 +830,33 @@ class LedgerTable:
         """Time travel FOR TIMESTAMP AS OF: the latest CURRENT-ANCESTOR
         snapshot committed at or before ``timestamp_ms`` (Iceberg
         semantics — ancestry of the current head, so commits abandoned
-        by a rollback never resurface)."""
+        by a rollback never resurface).
+
+        A ``parent_id`` pointing at a snapshot deleted by
+        ``expire_snapshots`` is treated as end-of-chain (Iceberg
+        truncates its snapshot log the same way): a timestamp older
+        than the oldest RETAINED ancestor raises a clean ValueError
+        naming the retention horizon, never KeyError."""
         sid = self.current_snapshot_id()
+        oldest_retained: Snapshot | None = None
         while sid is not None:
-            s = self.snapshot(sid)
+            s = self._snapshot_or_none(sid)
+            if s is None:
+                # ancestry truncated by expire_snapshots — the
+                # requested timestamp predates every retained ancestor
+                break
             if s.committed_at_ms <= timestamp_ms:
                 return s.snapshot_id
+            oldest_retained = s
             sid = s.parent_id
+        if oldest_retained is not None:
+            raise ValueError(
+                f"{self.database}.{self.name}: no snapshot as of "
+                f"{timestamp_ms}: timestamp predates the oldest retained "
+                f"ancestor (snapshot {oldest_retained.snapshot_id} at "
+                f"{oldest_retained.committed_at_ms}); older history was "
+                "removed by expire_snapshots"
+            )
         raise ValueError(
             f"{self.database}.{self.name}: no snapshot as of {timestamp_ms}"
         )
@@ -923,11 +960,18 @@ class LedgerTable:
         return snap
 
     def is_ancestor(self, ancestor_id: int, descendant_id: int) -> bool:
+        """True when ``ancestor_id`` is on ``descendant_id``'s parent
+        chain. A parent deleted by ``expire_snapshots`` ends the walk
+        (→ False) rather than raising — fast_forward's guard must keep
+        working on a healthy table after routine expiry."""
         sid: int | None = descendant_id
         while sid is not None:
             if sid == ancestor_id:
                 return True
-            sid = self.snapshot(sid).parent_id
+            snap = self._snapshot_or_none(sid)
+            if snap is None:
+                return False  # ancestry truncated past the horizon
+            sid = snap.parent_id
         return False
 
     def _commit_lock(self):
@@ -980,6 +1024,15 @@ class LedgerTable:
             s = Snapshot.from_json(json.load(fh))
             s._table = self
             return s
+
+    def _snapshot_or_none(self, snapshot_id: int) -> "Snapshot | None":
+        """:meth:`snapshot`, or None when the file is gone — ancestry
+        walks use this to treat a parent deleted by expire_snapshots as
+        end-of-chain instead of surfacing KeyError."""
+        try:
+            return self.snapshot(snapshot_id)
+        except KeyError:
+            return None
 
     def _write_snapshot(self, snap: Snapshot) -> None:
         with open(os.path.join(self.meta_dir, f"snap-{snap.snapshot_id}.json"), "w") as fh:
@@ -1075,12 +1128,22 @@ class LedgerTable:
         return ".parquet" if SEGMENT_FORMAT == "parquet" else ".json"
 
     def _write_segment(
-        self, name: str, added: list[dict], removed: list[str]
+        self,
+        name: str,
+        added: list[dict],
+        removed: list[str],
+        readds: int | None = 0,
     ) -> dict:
         """Write one immutable segment file; returns its manifest-list
         descriptor. Atomic (tmp + rename) so a concurrent reader never
         sees a torn segment. Body format follows the extension the
-        caller chose via :meth:`_segment_ext`."""
+        caller chose via :meth:`_segment_ext`.
+
+        ``readds`` must be an UPPER BOUND on how many of ``added``'s
+        paths already appear as added paths in earlier segments of the
+        manifest list this descriptor will join (0 — the default — is
+        correct for every commit path: staged files are uuid-fresh and
+        the base fold is the list's first segment)."""
         path = self._segment_path(name)
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
         if name.endswith(".parquet"):
@@ -1093,6 +1156,19 @@ class LedgerTable:
             "path": name,
             "added": len(added),
             "removed": len(removed),
+            # n_deletes: exact count of added DELETE entries (content
+            # 1/2) — lets read() skip the full live materialization on
+            # append-only snapshots (see _delete_entries).
+            "n_deletes": sum(1 for e in added if e.get("content", 0) != 0),
+            # readds: how many added paths RE-ADD a path an earlier
+            # segment of the same manifest list already added (the
+            # format's override semantics). Every current writer stages
+            # fresh uuid-named files (and the base fold is the list's
+            # first segment), so direct writes are always 0; merges
+            # carry an upper bound. Cold-plan segment skipping requires
+            # readds == 0 — skipping a re-adding segment would leave
+            # the superseded earlier entry in the plan.
+            **({} if readds is None else {"readds": int(readds)}),
             "summary": _segment_summary(added),
         }
 
@@ -1103,6 +1179,7 @@ class LedgerTable:
         out_name: str,
         at_head: bool,
         summary: dict | None = None,
+        readds: int | None = 0,
     ) -> dict:
         """Merge two PARQUET segment bodies column-wise (a earlier, b
         later): keep a's added rows whose file_path b neither removed
@@ -1154,7 +1231,20 @@ class LedgerTable:
             out, tmp, row_group_size=_SEGMENT_ROW_GROUP, compression="zstd"
         )
         os.replace(tmp, path)
-        desc = {"path": out_name, "added": len(added), "removed": len(removed)}
+        # exact delete-entry count straight off the typed column — the
+        # fast path never decodes entry documents, but content is a
+        # scalar column (null ⇒ data entry)
+        n_del = pc.sum(
+            pc.fill_null(pc.not_equal(added.column("content"), 0), False)
+        ).as_py() or 0
+        desc = {
+            "path": out_name,
+            "added": len(added),
+            "removed": len(removed),
+            "n_deletes": int(n_del),
+        }
+        if readds is not None:
+            desc["readds"] = int(readds)
         if summary is not None:
             desc["summary"] = summary
         return desc
@@ -1182,6 +1272,12 @@ class LedgerTable:
                 "path": name,
                 "added": len(seg.get("added", [])),
                 "removed": len(seg.get("removed", [])),
+                "n_deletes": sum(
+                    1
+                    for e in seg.get("added", [])
+                    if e.get("content", 0) != 0
+                ),
+                "readds": 0,  # the base fold is the list's first segment
                 "summary": _segment_summary(seg.get("added", [])),
             }
         return [desc]
@@ -1232,6 +1328,7 @@ class LedgerTable:
                         summary=_combine_summaries(
                             mlist[-2].get("summary"), mlist[-1].get("summary")
                         ),
+                        readds=_combine_readds(mlist[-2], mlist[-1]),
                     )
                     created.append(desc)
                     mlist[-2:] = [desc]
@@ -1254,7 +1351,10 @@ class LedgerTable:
                 else sorted(set(a.get("removed", [])) | rem_b)
             )
             desc = self._write_segment(
-                name, list(merged_entries.values()), merged_removed
+                name,
+                list(merged_entries.values()),
+                merged_removed,
+                readds=_combine_readds(mlist[-2], mlist[-1]),
             )
             created.append(desc)
             mlist[-2:] = [desc]
@@ -2517,8 +2617,18 @@ class LedgerTable:
             return None
         entries: dict[str, dict] = {}
         for desc in snap.manifest_list:
-            if int(desc.get("removed", 0)) == 0 and not self._segment_may_match(
-                desc, predicates
+            # Skipping requires readds == 0 (proven, not assumed): the
+            # format's merge semantics let a later segment RE-ADD a
+            # path, superseding an earlier entry with different
+            # stats/sequence_number — skipping such a segment would
+            # leave the superseded entry in the plan. Current writers
+            # never re-add (uuid-fresh staging), so this costs nothing;
+            # a legacy descriptor without the field is simply never
+            # skipped.
+            if (
+                int(desc.get("removed", 0)) == 0
+                and desc.get("readds") == 0
+                and not self._segment_may_match(desc, predicates)
             ):
                 continue
             seg = self._read_segment(desc["path"])
@@ -2527,6 +2637,70 @@ class LedgerTable:
             for e in seg.get("added", []):
                 entries[e["file_path"]] = e
         return list(entries.values())
+
+    def _delete_entries(
+        self, snapshot_id: int | None
+    ) -> tuple[list[dict], list[dict]]:
+        """(position-delete entries, equality-delete entries) LIVE in
+        the snapshot — without materializing the full live set when the
+        manifest proves there is nothing to find. Descriptor
+        ``n_deletes`` counts (exact, maintained by every writer and
+        both merge paths) let the common append-only case answer []
+        from the manifest list alone, so a predicated cold read()
+        keeps the benefit of manifest skipping instead of paying
+        pruned reads PLUS a full materialization.
+
+        When delete entries may exist, only segments that could affect
+        the live delete set are read: a segment with no removals, zero
+        delete adds, and readds == 0 contributes only fresh data
+        entries — irrelevant to the delete set (same soundness argument
+        as :meth:`_segment_pruned_entries`, with "matches predicates"
+        replaced by "is a delete entry")."""
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.current_snapshot_id()
+        )
+        if sid is None:
+            return [], []
+        key = (os.path.abspath(self.meta_dir), sid)
+        hit = _LIVE_FILES_CACHE.get(key)
+        if hit is not None:
+            _LIVE_FILES_CACHE.move_to_end(key)
+            return (
+                [e for e in hit if e.get("content", 0) == 1],
+                [e for e in hit if e.get("content", 0) == 2],
+            )
+        snap = self.snapshot(sid)
+        if not snap.is_segmented:
+            live = self.live_files(sid)
+            return (
+                [e for e in live if e.get("content", 0) == 1],
+                [e for e in live if e.get("content", 0) == 2],
+            )
+        descs = snap.manifest_list
+        if all(desc.get("n_deletes") == 0 for desc in descs):
+            return [], []
+        entries: dict[str, dict] = {}
+        for desc in descs:
+            if (
+                int(desc.get("removed", 0)) == 0
+                and desc.get("n_deletes") == 0
+                and desc.get("readds") == 0
+            ):
+                continue  # fresh data-only segment: no delete impact
+            seg = self._read_segment(desc["path"])
+            for p in seg.get("removed", []):
+                entries.pop(p, None)
+            for e in seg.get("added", []):
+                entries[e["file_path"]] = e
+        live_deletes = [
+            e for e in entries.values() if e.get("content", 0) != 0
+        ]
+        return (
+            [e for e in live_deletes if e.get("content", 0) == 1],
+            [e for e in live_deletes if e.get("content", 0) == 2],
+        )
 
     def _range_index(
         self, snapshot_id: int | None, files: list[dict], col: str
@@ -2738,7 +2912,19 @@ class LedgerTable:
                         f"snapshot {from_snapshot_id} is not an ancestor of {to_snapshot_id}"
                     )
                 break
-            cur = self.snapshot(cur.parent_id)
+            nxt = self._snapshot_or_none(cur.parent_id)
+            if nxt is None:
+                # parent removed by expire_snapshots — the requested
+                # range crosses the retention horizon; changes older
+                # than the horizon are unrecoverable, so fail cleanly
+                # instead of KeyError (consumers must re-bootstrap)
+                raise ValueError(
+                    f"{self.database}.{self.name}: incremental range "
+                    f"({from_snapshot_id}, {to_snapshot_id}] crosses the "
+                    f"retention horizon: ancestor {cur.parent_id} was "
+                    "removed by expire_snapshots"
+                )
+            cur = nxt
         chain.reverse()
         return chain
 
@@ -3052,6 +3238,10 @@ class LedgerTable:
             snapshot_id = self.resolve_ref(ref)
         elif as_of_ms is not None:
             snapshot_id = self.snapshot_as_of(as_of_ms)
+        # resolve the head ONCE so planning and delete lookup see the
+        # same snapshot even if a commit lands mid-read
+        if snapshot_id is None:
+            snapshot_id = self.current_snapshot_id()
         files = self.plan_files(predicates, snapshot_id)
         if not files:
             raise ValueError(
@@ -3062,10 +3252,12 @@ class LedgerTable:
         # (file_path, pos), then equality deletes (content = 2) on
         # their key columns against rows with a smaller sequence
         # number. Both delete sides are tiny relative to data → Spark
-        # broadcasts them; data files are never rewritten.
-        live = self.live_files(snapshot_id)
-        delete_entries = [e for e in live if e.get("content", 0) == 1]
-        eq_entries = [e for e in live if e.get("content", 0) == 2]
+        # broadcasts them; data files are never rewritten. Delete
+        # entries come from the manifest-list counts when possible
+        # (_delete_entries) so a predicated COLD read keeps the
+        # manifest-skipping win instead of re-materializing the full
+        # live set just to learn there are no deletes.
+        delete_entries, eq_entries = self._delete_entries(snapshot_id)
         # field-id-resolved scan: renames map by id per schema epoch,
         # later-added columns null-fill
         df = self._read_entries(files, with_meta=True)

@@ -356,6 +356,63 @@ def test_expire_snapshots(spark, catalog):
     assert not missing_files(tbl)
 
 
+def test_ancestry_walks_tolerate_expired_parents(spark, catalog):
+    """Routine expire_snapshots truncates the ancestry (Iceberg
+    truncates its snapshot log the same way); every pointer walk must
+    treat a missing parent as end-of-chain, never surface KeyError:
+
+    - snapshot_as_of at/after the oldest retained ancestor still works;
+    - snapshot_as_of OLDER than the oldest retained ancestor raises a
+      clean ValueError naming the retention horizon;
+    - is_ancestor across the horizon returns False;
+    - fast_forward's guard (which walks is_ancestor) still publishes a
+      WAP branch staged on the post-expiry head;
+    - incremental/changelog ranges crossing the horizon raise a clean
+      ValueError telling the consumer to re-bootstrap."""
+    tbl = build_events_ledger(spark, SF_SMOKE, catalog, name="events_expire_walk")
+    snaps = tbl.snapshots()
+    assert len(snaps) >= 4
+    expired_ids = [s.snapshot_id for s in snaps[:-2]]
+    maintenance.expire_snapshots(tbl, older_than_ms=int(2e15), retain_last=2)
+    kept = tbl.snapshots()
+    assert len(kept) == 2
+    # the older kept snapshot's parent is gone — the walk must cross it
+    assert kept[0].parent_id in expired_ids
+    oldest_retained = kept[0]
+
+    # at/after the horizon: normal Iceberg semantics
+    cur = tbl.current_snapshot_id()
+    assert tbl.snapshot_as_of(kept[1].committed_at_ms) == cur
+    assert tbl.read(as_of_ms=kept[1].committed_at_ms).count() > 0
+
+    # before the horizon: clean ValueError, never KeyError
+    with pytest.raises(ValueError, match="oldest retained ancestor"):
+        tbl.snapshot_as_of(oldest_retained.committed_at_ms - 1)
+    with pytest.raises(ValueError, match="expire_snapshots"):
+        tbl.read(as_of_ms=oldest_retained.committed_at_ms - 1)
+
+    # is_ancestor walks end at the horizon instead of raising
+    assert tbl.is_ancestor(oldest_retained.snapshot_id, cur)
+    assert not tbl.is_ancestor(expired_ids[0], cur)
+
+    # WAP fast-forward on the post-expiry table still works end-to-end
+    tbl.create_ref("wap", kind="branch")
+    staged = tbl.append_to_branch(
+        "wap", tbl.read().limit(5)
+    )
+    assert tbl.current_snapshot_id() == cur  # main untouched by staging
+    assert tbl.fast_forward("wap") == staged.snapshot_id
+    assert tbl.current_snapshot_id() == staged.snapshot_id
+
+    # CDC across the horizon: clean failure, re-bootstrap signal
+    with pytest.raises(ValueError, match="retention horizon"):
+        tbl.incremental_scan(expired_ids[0], tbl.current_snapshot_id())
+    with pytest.raises(ValueError, match="retention horizon"):
+        tbl.changelog_scan(expired_ids[0], tbl.current_snapshot_id())
+    # in-horizon incremental range still fine (append staged above)
+    assert tbl.incremental_scan(cur, staged.snapshot_id).count() == 5
+
+
 def test_remove_orphan_files(spark, catalog):
     tbl = build_events_ledger(spark, SF_SMOKE, catalog, name="events_orphans")
     # plant an orphan with an old mtime

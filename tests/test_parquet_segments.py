@@ -434,3 +434,150 @@ def test_gc_reference_sweeps_never_decode_entries(spark, catalog, monkeypatch):
     from lakehouse_admin_spark.integrity import missing_files
 
     assert not missing_files(tbl)
+
+
+def test_descriptor_delete_and_readd_counts(spark, catalog):
+    """Descriptors carry exact n_deletes (delete entries added) and
+    readds (paths re-added over earlier segments — 0 for every current
+    writer) through direct writes AND both merge paths; a MOR
+    delete_where commit's segment counts its position-delete entry."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "pseg_counts", df.schema, [])
+    for i in range(4):  # force at least one size-tiered merge
+        tbl.append(
+            spark.range(i * 10, i * 10 + 10)
+            .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+            .coalesce(1)
+        )
+    snap = tbl.snapshot(tbl.current_snapshot_id())
+    for d in snap.manifest_list:
+        assert d["n_deletes"] == 0 and d["readds"] == 0, d
+    # MOR delete adds ONE position-delete entry; its segment must say so
+    tbl.delete_where(F.col("k") < 3)
+    snap = tbl.snapshot(tbl.current_snapshot_id())
+    assert snap.own_segment["n_deletes"] == 1
+    assert sum(d.get("n_deletes", 0) for d in snap.manifest_list) == 1
+    # decoded (JSON-path) merge carries the counts too
+    a = tbl._write_segment("mseg-90-a.json", list(snap.added), [])
+    assert a["n_deletes"] == 1 and a["readds"] == 0
+
+
+def test_append_only_read_skips_delete_materialization(spark, catalog, monkeypatch):
+    """On an append-only segmented table, a predicated COLD read()
+    must plan via manifest skipping and answer the delete-entry lookup
+    from descriptor n_deletes counts — never materializing segment
+    bodies the pruned plan skipped (the r8 cold-plan win applied to
+    read(), not just plan_files)."""
+    df = spark.range(1).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "pseg_read_skip", df.schema, [])
+    tbl.append(
+        spark.range(300)
+        .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .repartition(30)
+    )
+    for i in range(3):
+        tbl.append(
+            spark.range(300 + i * 10, 310 + i * 10)
+            .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+            .coalesce(1)
+        )
+    mlist = tbl.snapshot(tbl.current_snapshot_id()).manifest_list
+    assert len(mlist) > 1
+    base_seg = max(mlist, key=lambda d: d["added"])["path"]
+
+    reads: list[str] = []
+    real_read = ledger_mod.LedgerTable._read_segment
+
+    def spy(self, name):
+        reads.append(name)
+        return real_read(self, name)
+
+    monkeypatch.setattr(ledger_mod.LedgerTable, "_read_segment", spy)
+    ledger_mod._SEGMENT_CACHE.clear()
+    ledger_mod._LIVE_FILES_CACHE.clear()
+    ledger_mod._EQ_INDEX_CACHE.clear()
+    ledger_mod._RANGE_INDEX_CACHE.clear()
+    n = tbl.read(predicates=[("k", ">=", 300)]).count()
+    assert n == 30
+    assert base_seg not in reads, (
+        f"cold read() materialized the skipped base segment: {reads}"
+    )
+
+
+def test_delete_entries_exact_on_mor_table(spark, catalog):
+    """_delete_entries returns exactly the LIVE delete entries of a
+    MOR table — identical to filtering the full materialization — and
+    read() results stay correct through it (cold and warm)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "pseg_del_entries", df.schema, [])
+    for i in range(3):
+        tbl.append(
+            spark.range(i * 10, i * 10 + 10)
+            .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+            .coalesce(1)
+        )
+    tbl.delete_where(F.col("k") % 7 == 0)
+    ledger_mod._SEGMENT_CACHE.clear()
+    ledger_mod._LIVE_FILES_CACHE.clear()
+    pos, eq = tbl._delete_entries(None)
+    live = tbl.live_files()
+    assert {e["file_path"] for e in pos} == {
+        e["file_path"] for e in live if e.get("content", 0) == 1
+    }
+    assert eq == [e for e in live if e.get("content", 0) == 2]
+    assert tbl.read().count() == 30 - 5  # k in {0,7,14,21,28} gone
+
+
+def test_cold_plan_respects_readd_override(spark, catalog):
+    """Format soundness: the merge semantics let a later segment
+    RE-ADD a live file_path, superseding the earlier entry. An honest
+    writer records readds > 0 in the descriptor; the cold planner must
+    then READ that segment instead of skipping it — otherwise the
+    superseded (stale-stats) entry would drive pruning and eq-delete
+    visibility. Cold plan == warm plan on such a chain."""
+    import time as _time
+
+    from lakehouse_admin_spark.sources.ledger import Snapshot
+
+    df = spark.range(1).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "pseg_readd", df.schema, [])
+    tbl.append(
+        spark.range(10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(1)
+    )
+    parent = tbl.snapshot(tbl.current_snapshot_id())
+    victim = dict(parent.files[0])
+    # the re-add: same file_path, DIFFERENT stats (says k is huge) and
+    # a newer sequence number — per format rules it supersedes
+    readd = dict(victim)
+    readd["column_stats"] = {"k": [500, 500], "v": [500.0, 500.0]}
+    readd["sequence_number"] = victim["sequence_number"] + 1
+    sid = tbl._allocate_snapshot_id()
+    desc = tbl._write_segment(
+        f"mseg-{sid}-readd{tbl._segment_ext()}", [readd], [], readds=1
+    )
+    snap = Snapshot(
+        snapshot_id=sid,
+        parent_id=parent.snapshot_id,
+        committed_at_ms=int(_time.time() * 1000),
+        operation="append",
+        summary=dict(parent.summary),
+        added=[readd],
+        removed=[],
+        manifest_list=list(parent.manifest_list) + [desc],
+        own_segment=desc,
+    )
+    snap._table = tbl
+    tbl._commit(snap, expected_parent=parent.snapshot_id)
+    # warm truth: the superseding entry (k=500) prunes the file out
+    warm = {e["file_path"] for e in tbl.plan_files([("k", "<", 10)])}
+    assert victim["file_path"] not in warm
+    ledger_mod._SEGMENT_CACHE.clear()
+    ledger_mod._LIVE_FILES_CACHE.clear()
+    ledger_mod._EQ_INDEX_CACHE.clear()
+    ledger_mod._RANGE_INDEX_CACHE.clear()
+    cold = {e["file_path"] for e in tbl.plan_files([("k", "<", 10)])}
+    assert cold == warm
