@@ -581,3 +581,52 @@ def test_cold_plan_respects_readd_override(spark, catalog):
     ledger_mod._RANGE_INDEX_CACHE.clear()
     cold = {e["file_path"] for e in tbl.plan_files([("k", "<", 10)])}
     assert cold == warm
+
+
+def test_metadata_plane_heap_bound(tmp_path):
+    """Integrated metadata-plane pin (no SparkSession — the metadata
+    plane is pure driver Python): against a 60k-file segmented
+    snapshot, a COLD range plan over the freshest commit's window must
+    decode only that commit's segment, with Python-heap peak orders of
+    magnitude under the full live materialization — the composed
+    summary-skipping + streamed-decode path the r8 design work exists
+    for. Also pins the O(delta) commit: its wall must not scale with
+    the table's file count."""
+    import time as _time
+    import tracemalloc
+
+    from tools.stress_bench import synthetic_manifest_table
+
+    n = 60_000
+    tbl, commit_batch = synthetic_manifest_table(
+        str(tmp_path / "wh"), n, batch=10_000
+    )
+    t0 = _time.perf_counter()
+    commit_batch(n, 100)
+    commit_s = _time.perf_counter() - t0
+    assert commit_s < 2.0  # O(delta), not O(files)
+
+    preds = [("k", ">=", n * 100)]  # exactly the tail commit's window
+
+    def peak_of(fn):
+        ledger_mod._SEGMENT_CACHE.clear()
+        ledger_mod._LIVE_FILES_CACHE.clear()
+        ledger_mod._EQ_INDEX_CACHE.clear()
+        ledger_mod._RANGE_INDEX_CACHE.clear()
+        tracemalloc.start()
+        out = fn()
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        return out, peak
+
+    cold, cold_peak = peak_of(lambda: tbl.plan_files(preds))
+    assert len(cold) == 100
+    live, full_peak = peak_of(lambda: tbl.live_files())
+    assert len(live) == n + 100
+    # the pruned cold plan must not pay the full-inventory heap
+    assert cold_peak < full_peak / 20, (cold_peak, full_peak)
+    assert cold_peak < 8_000_000  # absolute ceiling: ~decode of 100 entries
+    # warm plan (indexes over the cached full list) agrees exactly
+    assert {e["file_path"] for e in tbl.plan_files(preds)} == {
+        e["file_path"] for e in cold
+    }

@@ -154,13 +154,199 @@ def run_block_sweep(root: str) -> None:
     }))
 
 
+def synthetic_manifest_table(warehouse: str, n_files: int, batch: int):
+    """A segmented ledger table with ``n_files`` SYNTHETIC manifest
+    entries (no data files, no Spark: the metadata plane is pure
+    driver-side Python) committed in O(delta) batches so the segment
+    chain, size-tiered merges, and manifest-list summaries are exactly
+    what a long-lived 10^6-file table carries. File i covers
+    k in [i*100, i*100+100) — disjoint ranges, so range predicates
+    select a contiguous window."""
+    import shutil
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from lakehouse_admin_spark.sources.ledger import LedgerCatalog
+
+    shutil.rmtree(warehouse, ignore_errors=True)
+    cat = LedgerCatalog(None, warehouse)
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", DoubleType())]
+    )
+    tbl = cat.create_table("main", "meta_stress", schema, [])
+
+    def entries(lo: int, n: int) -> list[dict]:
+        return [
+            {
+                "file_path": os.path.join(
+                    tbl.data_dir, f"f{i:08d}.parquet"
+                ),
+                "partition": {},
+                "record_count": 100,
+                "file_size_in_bytes": 1 << 22,
+                "spec_id": 0,
+                "schema_id": 0,
+                "content": 0,
+                "file_format": "PARQUET",
+                "column_stats": {"k": [i * 100, i * 100 + 99], "v": [0.0, 1.0]},
+                "null_counts": {"k": 0, "v": 0},
+            }
+            for i in range(lo, lo + n)
+        ]
+
+    def commit_batch(lo: int, n: int):
+        cur = tbl.current_snapshot_id()
+        parent = tbl.snapshot(cur) if cur else None
+        total = (lo + n)
+        return tbl._commit_delta(
+            operation="append",
+            summary={
+                "added-data-files": str(n),
+                "added-records": str(n * 100),
+                "total-data-files": str(total),
+                "total-records": str(total * 100),
+            },
+            added=entries(lo, n),
+            removed=[],
+            parent=parent,
+        )
+
+    for lo in range(0, n_files, batch):
+        commit_batch(lo, min(batch, n_files - lo))
+    return tbl, commit_batch
+
+
+def run_metadata(root: str, n_files: int = 1_000_000, batch: int = 10_000) -> None:
+    """Integrated metadata-plane stress row (r9): build a 10^6-file
+    segmented snapshot, then measure the COMPOSED paths end to end —
+    cold plan_files with a range predicate (manifest-list summary
+    skipping + streamed parquet-segment decode + residual pruning),
+    the warm indexed plan, the full live materialization it avoids,
+    and one more O(delta) commit against the 10^6-file table. Pure
+    driver-side Python: no SparkSession is started, so ru_maxrss IS
+    the metadata plane's peak RSS."""
+    import resource
+    import tracemalloc
+
+    from lakehouse_admin_spark.sources import ledger as ledger_mod
+
+    t0 = time.perf_counter()
+    tbl, commit_batch = synthetic_manifest_table(
+        os.path.join(root, "metadata_plane"), n_files, batch
+    )
+    build_s = time.perf_counter() - t0
+
+    # one more O(delta) commit against the full-size table (the
+    # steady-state ingest shape: lock-hold + merge amortization)
+    t0 = time.perf_counter()
+    commit_batch(n_files, 100)
+    commit_small_s = time.perf_counter() - t0
+    n_files += 100
+
+    # fresh window = exactly the last commit's k-range (the "query
+    # today's ingest" shape manifest skipping exists for: only the
+    # tail segment's body is decoded); old window = 1000 files deep
+    # inside the merged base (worst case: the base body must stream)
+    fresh_preds = [("k", ">=", (n_files - 100) * 100)]
+    old_preds = [
+        ("k", ">=", 100_000 * 100),
+        ("k", "<", 101_000 * 100),
+    ]
+
+    def segments_read(fn):
+        reads: list[str] = []
+        real = ledger_mod.LedgerTable._read_segment
+        ledger_mod.LedgerTable._read_segment = (
+            lambda self, name: (reads.append(name), real(self, name))[1]
+        )
+        try:
+            out = fn()
+        finally:
+            ledger_mod.LedgerTable._read_segment = real
+        return out, len(set(reads))
+
+    def clear_caches():
+        ledger_mod._SEGMENT_CACHE.clear()
+        ledger_mod._LIVE_FILES_CACHE.clear()
+        ledger_mod._EQ_INDEX_CACHE.clear()
+        ledger_mod._RANGE_INDEX_CACHE.clear()
+
+    n_segments = len(tbl.snapshot(tbl.current_snapshot_id()).manifest_list)
+
+    def cold_plan(preds):
+        clear_caches()
+        tracemalloc.start()
+        t0 = time.perf_counter()
+        files, segs = segments_read(lambda: tbl.plan_files(preds))
+        wall = time.perf_counter() - t0
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        return files, segs, wall, peak
+
+    fresh, fresh_segs, fresh_s, fresh_peak = cold_plan(fresh_preds)
+    old, old_segs, old_s, old_peak = cold_plan(old_preds)
+
+    # the full materialization the pruned cold plan avoids
+    clear_caches()
+    tracemalloc.start()
+    t0 = time.perf_counter()
+    live = tbl.live_files()
+    full_s = time.perf_counter() - t0
+    _, full_peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert len(live) >= n_files
+
+    # warm plans: first builds the (snapshot, column) interval index,
+    # the second is the steady-state O(log files + selected) probe
+    t0 = time.perf_counter()
+    warm1 = tbl.plan_files(fresh_preds)
+    warm1_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    warm2 = tbl.plan_files(fresh_preds)
+    warm2_s = time.perf_counter() - t0
+    assert {e["file_path"] for e in fresh} == {e["file_path"] for e in warm2}
+
+    print(json.dumps({
+        "metric": "metadata_plane_stress",
+        "n_files": n_files,
+        "n_commits": n_files // batch + 1,
+        "n_segments": n_segments,
+        "build_total_s": round(build_s, 2),
+        "commit_o_delta_s": round(commit_small_s, 3),
+        "cold_fresh_window_s": round(fresh_s, 3),
+        "cold_fresh_files_selected": len(fresh),
+        "cold_fresh_segments_read": fresh_segs,
+        "cold_fresh_py_peak_mb": round(fresh_peak / 1e6, 1),
+        "cold_old_window_s": round(old_s, 3),
+        "cold_old_files_selected": len(old),
+        "cold_old_segments_read": old_segs,
+        "cold_old_py_peak_mb": round(old_peak / 1e6, 1),
+        "full_materialization_s": round(full_s, 3),
+        "full_materialization_py_peak_mb": round(full_peak / 1e6, 1),
+        "warm_plan_index_build_s": round(warm1_s, 3),
+        "warm_plan_indexed_s": round(warm2_s, 4),
+        "ru_maxrss_mb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+        ),
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/lakehouse_stress")
     ap.add_argument("--sweep-block", action="store_true")
+    ap.add_argument("--metadata", action="store_true")
+    ap.add_argument("--n-files", type=int, default=1_000_000)
     args = ap.parse_args()
     if args.sweep_block:
         run_block_sweep(args.root)
+    elif args.metadata:
+        run_metadata(args.root, n_files=args.n_files)
     else:
         run_scaling(args.root)
 
