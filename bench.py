@@ -41,6 +41,7 @@ HEADLINE = [
     "revenue_top_orders",
     "revenue_by_nation",
     "revenue_by_nation_bucketed",
+    "revenue_by_nation_plain",
     "orders_without_lineitems",
     "top_events_by_value",
     "page_events",

@@ -111,6 +111,30 @@ def revenue_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _revenue_by_nation_body(
+    spark: SparkSession, sf_dir: str, li: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Shared Q5-shaped star-join body: fact ⋈ fact on orderkey, then
+    snowflaked dims (customer/nation/region all broadcast), grouped
+    revenue. Layout of the fact inputs decides whether the fact-fact
+    join shuffles; everything else is map-side either way."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("lineitem_count"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
 @query(
     "revenue_by_nation",
     oracle="""
@@ -127,29 +151,21 @@ def revenue_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped star join: fact ⋈ snowflaked dims → grouped revenue.
-
-    Scale: nation/region are tiny and customer is small relative to the
-    facts — all three broadcast, so the only shuffle is lineitem⋈orders on
-    orderkey plus the final small aggregate. This is the plan shape that
-    survives 100 TB: one fact-fact shuffle, everything else map-side.
+    """TPC-H Q5-shaped star join — DEFAULT plan (r9): the facts come
+    from the session's bucketed copies (sources/bucketing.py, bucketed
+    + sorted on orderkey), so the fact-fact SortMergeJoin reads
+    co-located buckets and plans with NO Exchange on either side — at
+    100 TB that Exchange is the dominant cost of the whole query, and
+    a production warehouse would keep its biggest facts bucketed on
+    their join key for exactly this reason (the write-once/join-many
+    trade). Results are layout-independent (same oracle as
+    revenue_by_nation_plain; equality pinned in tests/test_plans.py).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
-        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.count(F.lit(1)).alias("lineitem_count"),
-        )
-        .orderBy("r_name", "n_name")
+    from lakehouse_admin_spark.sources.bucketing import get_bucketed_fact_pair
+
+    li, orders = get_bucketed_fact_pair(spark, sf_dir)
+    return _revenue_by_nation_body(
+        spark, sf_dir, li.hint("merge"), orders.hint("merge")
     )
 
 
@@ -169,33 +185,39 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def revenue_by_nation_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """revenue_by_nation over BUCKETED fact copies: lineitem and orders
-    are materialized once, bucketed+sorted on orderkey
-    (sources/bucketing.py), so the fact-fact SortMergeJoin reads
-    co-located buckets and plans with NO Exchange on either side — the
-    one shuffle the unbucketed star join pays is gone (pinned in
-    tests/test_plans.py::test_bucketed_star_join_no_fact_exchange).
-    Same oracle as revenue_by_nation: layout must never change results.
-    """
-    from lakehouse_admin_spark.sources.bucketing import get_bucketed_fact_pair
+    """The bucketed star join under its original r7 name (kept so the
+    driver's per-round bench rows stay comparable): identical plan to
+    the r9 DEFAULT revenue_by_nation — co-located fact buckets, zero
+    fact Exchange (pinned in
+    tests/test_plans.py::test_bucketed_star_join_no_fact_exchange)."""
+    return revenue_by_nation(spark, sf_dir)
 
-    li, orders = get_bucketed_fact_pair(spark, sf_dir)
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    return (
-        li.hint("merge")
-        .join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
-        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.count(F.lit(1)).alias("lineitem_count"),
-        )
-        .orderBy("r_name", "n_name")
-    )
+
+@query(
+    "revenue_by_nation_plain",
+    oracle="""
+    SELECT r_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS lineitem_count
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def revenue_by_nation_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNBUCKETED reference plan (r9: kept when the bucketed layout
+    became revenue_by_nation's default): facts scanned straight off the
+    source parquet, so the fact-fact join pays its one Exchange on
+    orderkey — the floor the bucketed default exists to beat, and the
+    right plan for ad-hoc keys that don't justify a bucketed copy.
+    Results are layout-independent (same oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return _revenue_by_nation_body(spark, sf_dir, li, orders)
 
 
 @query(

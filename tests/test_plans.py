@@ -80,17 +80,19 @@ def test_ann_brute_force_is_broadcast_not_cartesian(spark):
 
 
 def test_bucketed_star_join_no_fact_exchange(spark):
-    """The bucketed star-join variant must plan the fact-fact join with
-    NO Exchange on either orderkey side (bucketed co-location), while
-    matching revenue_by_nation's results exactly."""
+    """The DEFAULT revenue_by_nation plan (r9: bucketed fact layout)
+    must plan the fact-fact join with NO Exchange on either orderkey
+    side (bucketed co-location), while matching the unbucketed
+    reference plan's results exactly — layout never changes results."""
     from lakehouse_admin_spark.plans.inspect import explain_str
 
-    df = q("revenue_by_nation_bucketed")(spark, SF_SMOKE)
-    plan = explain_str(df, "simple")
-    assert "SortMergeJoin" in plan
-    assert "Exchange hashpartitioning(l_orderkey" not in plan
-    assert "Exchange hashpartitioning(o_orderkey" not in plan
-    plain = q("revenue_by_nation")(spark, SF_SMOKE)
+    for name in ("revenue_by_nation", "revenue_by_nation_bucketed"):
+        df = q(name)(spark, SF_SMOKE)
+        plan = explain_str(df, "simple")
+        assert "SortMergeJoin" in plan, name
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, name
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, name
+    plain = q("revenue_by_nation_plain")(spark, SF_SMOKE)
     assert df.collect() == plain.collect()
 
 
