@@ -61,7 +61,15 @@ class MetadataCache:
     ) -> DataFrame:
         """One table's fresh cache rows for ``partitions`` or
         ``snapshots`` (JSON-flattened so the cache parquet schema is
-        stable across tables with different partition specs)."""
+        stable across tables with different partition specs).
+
+        Decode-cost audit (r9): the SNAPSHOTS entity reads snapshot
+        JSON summaries only — zero segment-body decodes (pinned in
+        test_parquet_segments.py). The PARTITIONS entity aggregates
+        per-file record counts/sizes/partition values, so the entry
+        decode is INHERENT to it — the projected (kind, file_path)
+        read cannot serve it; at 10^6 files it rides the parquet
+        manifest when one exists (files_df's distributed tier)."""
         tbl = catalog.table(database, name)
         if entity == "partitions":
             return (

@@ -1492,7 +1492,28 @@ class LedgerTable:
         if prepare:
             self._write_snapshot(snap)
             return snap
-        self._commit(snap)
+        try:
+            self._commit(snap)
+        except CommitConflictError:
+            # Segments are deliberately staged and merged BEFORE the
+            # commit lock (lock-hold stays O(1), concurrent writers
+            # merge in parallel) — so a losing commit leaves THIS
+            # attempt's segment files referenced by nothing (its
+            # snapshot JSON was never written). Delete them now
+            # instead of leaving them for orphan GC's age-out window:
+            # a retry (append's loop) re-stages against the new head.
+            staged = ({own["path"]} | {d["path"] for d in mlist}) - {
+                d["path"] for d in plist
+            }
+            for name in staged:
+                try:
+                    os.remove(self._segment_path(name))
+                except OSError:
+                    pass
+                _SEGMENT_CACHE.pop(
+                    os.path.abspath(self._segment_path(name)), None
+                )
+            raise
         return snap
 
     # ------------------------------------------------------------------

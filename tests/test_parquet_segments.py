@@ -630,3 +630,80 @@ def test_metadata_plane_heap_bound(tmp_path):
     assert {e["file_path"] for e in tbl.plan_files(preds)} == {
         e["file_path"] for e in cold
     }
+
+
+def test_integrity_and_snapshot_cache_never_decode_entries(
+    spark, catalog, tmp_path, monkeypatch
+):
+    """r9 audit of the remaining stat-free admin paths (verdict #5):
+    the integrity sweep (expected_files_df / missing_files) and the
+    SNAPSHOTS cache-entity refresh need paths and snapshot summaries
+    only — neither may decode a single entry document. (The PARTITIONS
+    entity is excluded on purpose: its rollup aggregates record
+    counts/sizes, so the entry decode is inherent to it.)"""
+    from lakehouse_admin_spark.cache import MetadataCache
+    from lakehouse_admin_spark.integrity import integrity_report, missing_files
+
+    df = spark.range(5).selectExpr("id", "id AS v")
+    tbl = catalog.create_table("main", "pseg_admin_proj", df.schema, [])
+    for i in range(4):
+        tbl.append(spark.range(i * 5, i * 5 + 5).selectExpr("id", "id AS v"))
+    ledger_mod._SEGMENT_CACHE.clear()
+    ledger_mod._LIVE_FILES_CACHE.clear()
+
+    def boom(path):
+        raise AssertionError(f"entry-document decode on a stat-free path: {path}")
+
+    monkeypatch.setattr(ledger_mod, "_read_parquet_segment", boom)
+    assert missing_files(tbl) == []
+    assert integrity_report(tbl)["ok"]
+    cache = MetadataCache(spark, str(tmp_path / "cache"))
+    n = cache.refresh_entity(catalog, "main", "pseg_admin_proj", "snapshots").count()
+    assert n == 4
+
+
+def test_losing_commit_cleans_staged_segments(spark, catalog):
+    """Segments stage + merge BEFORE the commit lock (by design:
+    lock-hold stays O(1), writers merge in parallel) — so a writer
+    losing the optimistic head check must delete its own staged
+    segment files on the way out, not leave them for orphan GC's
+    age-out window. The winning ancestry is untouched."""
+    import pytest as _pytest
+
+    from lakehouse_admin_spark.sources.ledger import CommitConflictError
+
+    df = spark.range(5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    tbl = catalog.create_table("main", "pseg_conflict_gc", df.schema, [])
+    for i in range(2):
+        tbl.append(
+            spark.range(i * 5, i * 5 + 5)
+            .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+            .coalesce(1)
+        )
+    stale = tbl.snapshot(tbl.snapshots()[0].snapshot_id)  # not the head
+    before = set(_segments(tbl))
+    entry = {
+        "file_path": os.path.join(tbl.data_dir, "conflict.parquet"),
+        "partition": {},
+        "record_count": 1,
+        "file_size_in_bytes": 1,
+        "spec_id": 0,
+        "schema_id": 0,
+        "content": 0,
+        "file_format": "PARQUET",
+        "column_stats": {},
+        "null_counts": {},
+    }
+    with _pytest.raises(CommitConflictError):
+        tbl._commit_delta(
+            operation="append",
+            summary={"total-data-files": "3", "total-records": "11"},
+            added=[entry],
+            removed=[],
+            parent=stale,
+        )
+    assert set(_segments(tbl)) == before  # loser left zero litter
+    assert tbl.read().count() == 10  # winning ancestry intact
+    from lakehouse_admin_spark import maintenance as _m
+
+    assert _m.remove_orphan_files(tbl)["orphan_file_count"] == 0
