@@ -87,6 +87,7 @@ HEADLINE = [
     "ledger_pq_cell_lookup",  # r6: governed-PQ ADC lookup (partition-pruned)
     "ledger_range_scan",  # r8: recent-window scan via the interval index
     "repetition_quality",  # r8: Gopher-style duplicate-n-gram fractions
+    "token_entropy",  # r9: unigram information-density quality signal
     "curation_pipeline",  # r6: dedup->quality->budget end-to-end pass
     "multimodal_feature_ann",  # r6: payload featurize -> top-k cosine
     "skewed_event_rollup",  # r6: two-phase salted hot-key aggregate

@@ -964,3 +964,89 @@ def lang_id_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(cond, lang) if predicted is None else predicted.when(cond, lang)
         )
     return scored.withColumn("predicted", predicted).orderBy("doc_id")
+
+
+@query(
+    "token_entropy",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, len(w) AS n_tokens,
+               list_transform(list_distinct(w),
+                              tk -> len(list_filter(w, x -> x = tk))) AS cnts
+        FROM t WHERE len(w) > 0
+    ),
+    e AS (
+        SELECT doc_id, lang, n_tokens,
+               list_sum(list_transform(cnts,
+                   cnt -> -(cnt / CAST(n_tokens AS DOUBLE))
+                          * log2(cnt / CAST(n_tokens AS DOUBLE)))) AS ent
+        FROM c
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(ent, 4) AS entropy,
+           ROUND(CASE WHEN n_tokens > 1 THEN ent / log2(n_tokens)
+                      ELSE 0.0 END, 4) AS norm_entropy
+    FROM e
+    ORDER BY doc_id
+    """,
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram TOKEN ENTROPY — the information-density
+    quality signal (Gopher-family pipelines gate on it: near-zero =
+    degenerate repetition, near-max = random noise; natural prose sits
+    between). norm_entropy divides by log2(n_tokens) so documents of
+    different lengths compare on [0, 1].
+
+    Entirely JVM array expressions over one scan — sort the token
+    array once, then fold RUN LENGTHS through a struct accumulator
+    (each run = one distinct token's count): O(N log N) per document,
+    no explode, no shuffle beyond the final orderBy, so the plan is
+    embarrassingly parallel at 100 TB and stays safe on pathologically
+    long documents (a per-distinct filter-count would be O(V·N)). The
+    sum over distinct tokens is order-invariant, so Spark's run order
+    and DuckDB's distinct order agree at the pinned rounding."""
+    t = _doc_tokens(spark, sf_dir).filter(F.size("w") > 0)
+    n = F.size("w").cast("double")
+
+    def term(run):
+        p = run.cast("double") / n
+        return -p * F.log2(p)
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        closed = F.when(
+            acc["prev"].isNull() | same, F.lit(0.0)
+        ).otherwise(term(acc["run"]))
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            (acc["ent"] + closed).alias("ent"),
+        )
+
+    ent = F.aggregate(
+        F.array_sort("w"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("ent"),
+        ),
+        step,
+        lambda acc: acc["ent"]
+        + F.when(acc["run"] > 0, term(acc["run"])).otherwise(F.lit(0.0)),
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.round(ent, 4).alias("entropy"),
+        F.round(
+            F.when(F.size("w") > 1, ent / F.log2(n)).otherwise(F.lit(0.0)), 4
+        ).alias("norm_entropy"),
+    ).orderBy("doc_id")

@@ -97,6 +97,7 @@ def test_quality_separates_junk(spark, nl_dir):
         "bigram_lm_xent",
         "tf_idf",
         "bpe_token_counts",
+        "token_entropy",
     ],
 )
 def test_oracle_parity_on_real_text(spark, nl_dir, name):
@@ -154,3 +155,25 @@ def test_lang_id_lexicon_accuracy(spark, nl_dir):
     assert len(graded) == 5 * 40
     acc = sum(r["predicted"] == truth[r["doc_id"]] for r in graded) / len(graded)
     assert acc >= 0.9, f"lexicon lang-id accuracy {acc:.3f}"
+
+
+def test_token_entropy_separates_repetition_from_noise(spark, nl_dir):
+    """Unigram token entropy must order the tiers the quality gate
+    relies on: unique-token consonant soup (every token distinct) sits
+    at norm_entropy ~1, natural wordlist text (function words repeat)
+    clearly below it, and a degenerate one-token-repeated document at
+    exactly 0."""
+    import duckdb
+
+    rows = registry.QUERIES["token_entropy"].fn(spark, nl_dir).collect()
+    truth = dict(
+        duckdb.sql(
+            f"SELECT doc_id, lang FROM '{nl_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    real = [r["norm_entropy"] for r in rows if truth[r["doc_id"]] != "xx"]
+    junk = [r["norm_entropy"] for r in rows if truth[r["doc_id"]] == "xx"]
+    assert mean(junk) > 0.97  # all-distinct tokens: maximal entropy
+    assert mean(real) < mean(junk) - 0.05  # repetition lowers it
+    assert all(0.0 <= v <= 1.0001 for v in real + junk)

@@ -217,3 +217,157 @@ def test_combined_summary_sound_for_merged_segments(ea, eb, preds):
         for e in ea + eb:
             if e.get("content", 0) == 0:
                 assert not _residual_keeps(e, preds), (e, preds)
+
+
+# ---------------------------------------------------------------------------
+# Cold-plan + delete-lookup soundness over randomized segment CHAINS
+# (r9): re-adds, removals, and delete-content entries with HONEST
+# descriptor counts (n_deletes exact, readds = adds whose path an
+# earlier segment already added). The real planner must equal the full
+# materialization exactly — skipping may only ever save reads.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _segment_chain(draw):
+    n_segs = draw(st.integers(min_value=1, max_value=4))
+    chain = []
+    pool: list[str] = []  # paths added by earlier segments
+    fresh_i = 0
+    for _ in range(n_segs):
+        n_add = draw(st.integers(min_value=0, max_value=5))
+        added = []
+        for _ in range(n_add):
+            readd = pool and draw(st.booleans())
+            if readd:
+                path = draw(st.sampled_from(pool))
+            else:
+                path = f"/data/f{fresh_i}"
+                fresh_i += 1
+            lo = draw(st.integers(min_value=-20, max_value=20))
+            hi = lo + draw(st.integers(min_value=0, max_value=10))
+            added.append(
+                {
+                    "file_path": path,
+                    "partition": {},
+                    "record_count": 1,
+                    "file_size_in_bytes": 1,
+                    "spec_id": 0,
+                    "schema_id": 0,
+                    "content": draw(st.sampled_from([0, 0, 0, 1, 2])),
+                    "file_format": "PARQUET",
+                    "column_stats": {"x": [lo, hi]},
+                    "null_counts": {},
+                }
+            )
+        removed = draw(
+            st.lists(st.sampled_from(pool), max_size=3, unique=True)
+            if pool
+            else st.just([])
+        )
+        chain.append((added, removed))
+        pool = sorted(
+            (set(pool) | {e["file_path"] for e in added}) - set(removed)
+        )
+    preds = draw(
+        st.lists(
+            st.tuples(
+                st.just("x"),
+                st.sampled_from(["<", "<=", ">", ">=", "="]),
+                st.integers(min_value=-25, max_value=25),
+            ),
+            min_size=1,
+            max_size=2,
+        )
+    )
+    return chain, preds
+
+
+@settings(max_examples=60, deadline=None)
+@given(_segment_chain())
+def test_cold_plan_and_delete_lookup_equal_full_materialization(chain_preds):
+    import tempfile
+    import time as _time
+
+    from lakehouse_admin_spark.sources import ledger as ledger_mod
+    from lakehouse_admin_spark.sources.ledger import (
+        LedgerCatalog,
+        Snapshot,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    chain, preds = chain_preds
+    with tempfile.TemporaryDirectory() as wh:
+        cat = LedgerCatalog(None, wh)
+        tbl = cat.create_table(
+            "main", "prop_chain", StructType([StructField("x", LongType())])
+        )
+        descs = []
+        seen_adds: set[str] = set()
+        for i, (added, removed) in enumerate(chain):
+            for e in added:
+                e["sequence_number"] = i + 1
+            readds = sum(1 for e in added if e["file_path"] in seen_adds)
+            seen_adds |= {e["file_path"] for e in added}
+            descs.append(
+                tbl._write_segment(
+                    f"mseg-{i + 1}-prop{tbl._segment_ext()}",
+                    added,
+                    list(removed),
+                    readds=readds,
+                )
+            )
+        snap = Snapshot(
+            snapshot_id=len(chain),
+            parent_id=None,
+            committed_at_ms=int(_time.time() * 1000),
+            operation="append",
+            summary={},
+            added=[],
+            removed=[],
+            manifest_list=descs,
+            own_segment=descs[-1],
+        )
+        snap._table = tbl
+        tbl._commit(snap, expected_parent=None)
+
+        # ground truth: ordered replay of the whole chain
+        entries: dict[str, dict] = {}
+        for added, removed in chain:
+            for p in removed:
+                entries.pop(p, None)
+            for e in added:
+                entries[e["file_path"]] = e
+        live = list(entries.values())
+        want_plan = {
+            e["file_path"]
+            for e in live
+            if e.get("content", 0) == 0 and _residual_keeps(e, preds)
+        }
+        want_pos = {
+            e["file_path"] for e in live if e.get("content", 0) == 1
+        }
+        want_eq = {e["file_path"] for e in live if e.get("content", 0) == 2}
+
+        ledger_mod._SEGMENT_CACHE.clear()
+        ledger_mod._LIVE_FILES_CACHE.clear()
+        ledger_mod._EQ_INDEX_CACHE.clear()
+        ledger_mod._RANGE_INDEX_CACHE.clear()
+        cold = tbl.plan_files(preds)
+        assert {e["file_path"] for e in cold} == want_plan
+        # the COLD plan must also carry the SUPERSEDING entry version
+        # for every re-added path (sequence_number decides eq-delete
+        # visibility)
+        latest = {e["file_path"]: e["sequence_number"] for e in live}
+        for e in cold:
+            assert e["sequence_number"] == latest[e["file_path"]]
+
+        ledger_mod._SEGMENT_CACHE.clear()
+        ledger_mod._LIVE_FILES_CACHE.clear()
+        pos, eq = tbl._delete_entries(None)
+        assert {e["file_path"] for e in pos} == want_pos
+        assert {e["file_path"] for e in eq} == want_eq
+
+        # warm agrees with cold
+        warm = tbl.plan_files(preds)
+        assert {e["file_path"] for e in warm} == want_plan
