@@ -184,6 +184,15 @@ _LIVE_FILES_CACHE: "_OrderedDict[tuple, list]" = _OrderedDict()
 _LIVE_FILES_CACHE_MAX = 8
 _LIVE_FILES_CACHE_MAX_ENTRIES = 2_000_000
 
+# (table meta_dir, snapshot_id) -> the DATA-only (content == 0) subset
+# of the live list, sharing the same entry dicts (pointer list, not a
+# copy). Warm plan_files otherwise re-filters O(files) per call — at
+# 10^6 files that scan, not the index probe, dominates steady-state
+# plan latency.
+_DATA_FILES_CACHE: "_OrderedDict[tuple, list]" = _OrderedDict()
+_DATA_FILES_CACHE_MAX = 8
+_DATA_FILES_CACHE_MAX_ENTRIES = 2_000_000
+
 
 def _seg_weight(seg: dict) -> int:
     return len(seg.get("added", ())) + len(seg.get("removed", ()))
@@ -216,11 +225,14 @@ _RANGE_INDEX_CACHE_MAX = 32
 
 
 def invalidate_live_files_cache(meta_dir: str, snapshot_id: int) -> None:
-    """Drop one cached live-file list. Required when a snapshot JSON
-    is DELETED and its id may be re-assigned — an aborted transaction's
-    staged snapshot is the one such path (expired snapshots keep the
-    current head, so their ids never recycle)."""
-    _LIVE_FILES_CACHE.pop((os.path.abspath(meta_dir), snapshot_id), None)
+    """Drop one cached live-file list (and its derived data-only
+    subset). Required when a snapshot JSON is DELETED and its id may be
+    re-assigned — an aborted transaction's staged snapshot is the one
+    such path (expired snapshots keep the current head, so their ids
+    never recycle)."""
+    key = (os.path.abspath(meta_dir), snapshot_id)
+    _LIVE_FILES_CACHE.pop(key, None)
+    _DATA_FILES_CACHE.pop(key, None)
     for cache in (_EQ_INDEX_CACHE, _RANGE_INDEX_CACHE):
         stale = [
             k
@@ -2546,6 +2558,30 @@ class LedgerTable:
         )
         return files
 
+    def _data_files_for(self, snapshot_id: int | None) -> list[dict]:
+        """The snapshot's live DATA entries (content == 0), LRU-cached
+        as a pointer list into the live-file entries: warm plan_files
+        must not re-filter O(files) per call — at 10^6 files that scan
+        dominates the steady-state indexed plan. Treat as READ-ONLY."""
+        if snapshot_id is None:
+            return []
+        key = (os.path.abspath(self.meta_dir), snapshot_id)
+        hit = _DATA_FILES_CACHE.get(key)
+        if hit is not None:
+            _DATA_FILES_CACHE.move_to_end(key)
+            return hit
+        data = [
+            e for e in self.live_files(snapshot_id) if e.get("content", 0) == 0
+        ]
+        _DATA_FILES_CACHE[key] = data
+        _evict_lru(
+            _DATA_FILES_CACHE,
+            _DATA_FILES_CACHE_MAX,
+            _DATA_FILES_CACHE_MAX_ENTRIES,
+            len,
+        )
+        return data
+
     def _eq_index(
         self, snapshot_id: int | None, files: list[dict], col: str
     ) -> tuple[dict, list, type | None]:
@@ -2822,11 +2858,11 @@ class LedgerTable:
                     files = [e for e in pruned if e.get("content", 0) == 0]
                     full_list = False
         if full_list:
-            files = [
-                e for e in self.live_files(sid) if e.get("content", 0) == 0
-            ]
+            files = self._data_files_for(sid)
         if not predicates or not files:
-            return files
+            # fresh list: the cached data-only subset must never be
+            # exposed to caller mutation
+            return list(files)
         # Snapshot-keyed lookup indexes (the Iceberg
         # manifest-partition-summary analog), built once per (snapshot,
         # column) and LRU-cached. `col = v` narrows through the
