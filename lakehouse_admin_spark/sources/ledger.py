@@ -517,6 +517,42 @@ def _combine_summaries(a: dict | None, b: dict | None) -> dict | None:
     return {"n_data": a.get("n_data", 0) + b.get("n_data", 0), "cols": cols}
 
 
+def _entry_may_match(entry: dict, predicates: list[tuple]) -> bool:
+    """The residual per-entry pruning rule (plan_files' ground truth):
+    keep unless the entry's exact footer stats PROVE no row can match
+    every predicate. Unknown — missing stats, missing null counts,
+    incomparable probe types — always keeps."""
+    stats = entry.get("column_stats") or {}
+    nulls = entry.get("null_counts") or {}
+    for col, op, val in predicates:
+        if op in ("is_null", "not_null"):
+            nc = nulls.get(col)
+            if nc is None:
+                continue  # no null stats → cannot skip
+            if op == "is_null" and nc == 0:
+                return False
+            if op == "not_null" and nc >= entry["record_count"]:
+                return False
+            continue
+        rng = stats.get(col)
+        if rng is None:
+            continue  # no stats → cannot skip
+        lo, hi = rng
+        try:
+            possible = {
+                "<": lo < val,
+                "<=": lo <= val,
+                ">": hi > val,
+                ">=": hi >= val,
+                "=": lo <= val <= hi,
+            }[op]
+        except TypeError:
+            continue  # incomparable types → cannot skip
+        if not possible:
+            return False
+    return True
+
+
 def _combine_readds(a_desc: dict, b_desc: dict) -> int | None:
     """Upper bound on a merged segment's re-add count: the merged adds
     are a subset of the inputs' adds, and merging can only COLLAPSE
@@ -530,7 +566,12 @@ def _combine_readds(a_desc: dict, b_desc: dict) -> int | None:
     return int(ra) + int(rb)
 
 
-def _write_parquet_segment(path: str, added: list[dict], removed: list[str]) -> None:
+def _write_parquet_segment(
+    path: str,
+    added: list[dict],
+    removed: list[str],
+    stat_cols: "list[tuple[str, str]] | None" = None,
+) -> None:
     """Serialize one segment body as parquet: one row per added entry
     (kind=0) or removed path (kind=1). Two complementary layouts in
     one file:
@@ -539,6 +580,10 @@ def _write_parquet_segment(path: str, added: list[dict], removed: list[str]) -> 
       sequence_number) — a projected metadata read (e.g. "just the
       paths and sizes of a 10^6-file segment") scans a few MB of one
       column instead of decoding entries;
+    - TYPED per-column stat bounds (``slo_*``/``shi_*``, r9) — widened
+      [lo, hi] per table column, so a cold pruned plan masks rows
+      C-side and parses only candidate documents
+      (:meth:`LedgerTable._segment_matching_entries`);
     - ``entry_json`` — the COMPLETE entry as one ~300 B document, so
       the full decode is a single C-level ``json.loads`` per row-group
       batch with peak driver memory bounded by
@@ -563,6 +608,46 @@ def _write_parquet_segment(path: str, added: list[dict], removed: list[str]) -> 
         cols[key] = pa.array(
             [e.get(key) for e in added] + [None] * n_rem, pa.type_for_alias(typ)
         )
+    # TYPED per-row column stats (r9): for each data column whose
+    # footer stats are homogeneously numeric (resp. string) across the
+    # segment, write slo_n:/shi_n: float64 (resp. slo_s:/shi_s: string)
+    # columns. Numeric bounds are WIDENED by one ulp so double
+    # rounding of big int64s can only widen a file's range — a typed
+    # prefilter may then keep extra rows, never drop a match. These
+    # columns let a cold pruned plan mask rows C-side and json-parse
+    # ONLY the selected entry documents (see
+    # LedgerTable._segment_matching_entries); missing column ⇒ no
+    # constraint ⇒ keep, exactly the residual pruner's unknown rule.
+    import math
+
+    def _num_ok(v) -> bool:
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+    if stat_cols is None:
+        stat_cols = _classify_stat_columns(added)
+    for c, kind_ in stat_cols:
+        los, his = [], []
+        for e in added:
+            rng = (e.get("column_stats") or {}).get(c)
+            lo = hi = None
+            if rng is not None and rng[0] is not None and rng[1] is not None:
+                if kind_ == "n" and _num_ok(rng[0]) and _num_ok(rng[1]):
+                    try:
+                        lo = math.nextafter(float(rng[0]), -math.inf)
+                        hi = math.nextafter(float(rng[1]), math.inf)
+                    except OverflowError:
+                        lo = hi = None
+                elif (
+                    kind_ == "s"
+                    and isinstance(rng[0], str)
+                    and isinstance(rng[1], str)
+                ):
+                    lo, hi = rng[0], rng[1]
+            los.append(lo)
+            his.append(hi)
+        typ = pa.float64() if kind_ == "n" else pa.string()
+        cols[f"slo_{kind_}:{c}"] = pa.array(los + [None] * n_rem, typ)
+        cols[f"shi_{kind_}:{c}"] = pa.array(his + [None] * n_rem, typ)
     cols["entry_json"] = pa.array(
         [json.dumps(e, separators=(",", ":")) for e in added] + [None] * n_rem,
         pa.string(),
@@ -570,6 +655,37 @@ def _write_parquet_segment(path: str, added: list[dict], removed: list[str]) -> 
     pq.write_table(
         pa.table(cols), path, row_group_size=_SEGMENT_ROW_GROUP, compression="zstd"
     )
+
+
+def _classify_stat_columns(added: list[dict]) -> list[tuple[str, str]]:
+    """(column, "n"|"s") for every stats column whose non-null [lo, hi]
+    pairs are homogeneously numeric (int/float, bools excluded) or
+    homogeneously string across the segment's added entries. Mixed or
+    exotic types are omitted — omitted means no typed column, which the
+    prefilter treats as unskippable."""
+    kinds: dict[str, str] = {}
+    for e in added:
+        for c, rng in (e.get("column_stats") or {}).items():
+            if rng is None or rng[0] is None or rng[1] is None:
+                continue
+            lo, hi = rng
+            if (
+                isinstance(lo, (int, float))
+                and isinstance(hi, (int, float))
+                and not isinstance(lo, bool)
+                and not isinstance(hi, bool)
+            ):
+                k = "n"
+            elif isinstance(lo, str) and isinstance(hi, str):
+                k = "s"
+            else:
+                k = "x"
+            prev = kinds.get(c)
+            if prev is None:
+                kinds[c] = k
+            elif prev != k:
+                kinds[c] = "x"
+    return sorted((c, k) for c, k in kinds.items() if k != "x")
 
 
 def _read_parquet_segment(path: str) -> dict:
@@ -1139,6 +1255,35 @@ class LedgerTable:
         """Extension for NEW segment bodies (module-level switch)."""
         return ".parquet" if SEGMENT_FORMAT == "parquet" else ".json"
 
+    _NUM_STAT_TYPES = frozenset(
+        ("tinyint", "smallint", "int", "bigint", "float", "double")
+    )
+
+    def _stat_columns_for_schema(self) -> list[tuple[str, str]]:
+        """(column, "n"|"s") stat-column plan for parquet segment
+        bodies, derived from the TABLE schema (not segment content) so
+        every segment of a table carries the SAME typed-stat schema —
+        content-derived sets would drift between (e.g.) data and
+        delete-only segments and knock the Arrow merge fast path back
+        to the decoded fallback. Numeric columns → widened float64
+        bounds; string/date/timestamp columns → raw string bounds (ISO
+        strings order correctly lexicographically, matching the stats
+        the residual pruner compares). Booleans, binaries, decimals,
+        and nested types get no typed column = never prefiltered."""
+        out: list[tuple[str, str]] = []
+        for col in self.schema_string():
+            t = col["type"]
+            if t in self._NUM_STAT_TYPES:
+                out.append((col["name"], "n"))
+            elif (
+                t in ("string", "date")
+                or t.startswith("varchar")
+                or t.startswith("char")
+                or t.startswith("timestamp")
+            ):
+                out.append((col["name"], "s"))
+        return sorted(out)
+
     def _write_segment(
         self,
         name: str,
@@ -1159,7 +1304,9 @@ class LedgerTable:
         path = self._segment_path(name)
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
         if name.endswith(".parquet"):
-            _write_parquet_segment(tmp, added, removed)
+            _write_parquet_segment(
+                tmp, added, removed, stat_cols=self._stat_columns_for_schema()
+            )
         else:
             with open(tmp, "w") as fh:
                 json.dump({"added": added, "removed": removed}, fh)
@@ -1225,13 +1372,18 @@ class LedgerTable:
         )
         if removed:
             n = len(removed)
-            rem_cols: dict[str, pa.Array] = {
-                "kind": pa.array([1] * n, pa.int8()),
-                "file_path": pa.array(removed, pa.string()),
-            }
-            for key, typ in _SEGMENT_SCALARS:
-                rem_cols[key] = pa.array([None] * n, pa.type_for_alias(typ))
-            rem_cols["entry_json"] = pa.array([None] * n, pa.string())
+            # null-fill EVERY schema field generically (typed stat
+            # columns vary per segment) — a hand-kept field list here
+            # would silently knock the fast path back to the decoded
+            # merge whenever the schema grows
+            rem_cols: dict[str, pa.Array] = {}
+            for f in added.schema:
+                if f.name == "kind":
+                    rem_cols[f.name] = pa.array([1] * n, f.type)
+                elif f.name == "file_path":
+                    rem_cols[f.name] = pa.array(removed, f.type)
+                else:
+                    rem_cols[f.name] = pa.array([None] * n, f.type)
             out = pa.concat_tables(
                 [added, pa.table(rem_cols).cast(added.schema)]
             )
@@ -2688,12 +2840,110 @@ class LedgerTable:
                 and not self._segment_may_match(desc, predicates)
             ):
                 continue
-            seg = self._read_segment(desc["path"])
-            for p in seg.get("removed", []):
+            # Same readds == 0 proof unlocks ROW-level prefiltering of
+            # an unskippable segment: dropped rows can't be superseding
+            # a kept earlier entry, so filtering at decode time equals
+            # filtering after the merge.
+            if desc["path"].endswith(".parquet") and desc.get("readds") == 0:
+                added, removed = self._segment_matching_entries(
+                    desc["path"], predicates
+                )
+            else:
+                seg = self._read_segment(desc["path"])
+                added, removed = seg.get("added", []), seg.get("removed", [])
+            for p in removed:
                 entries.pop(p, None)
-            for e in seg.get("added", []):
+            for e in added:
                 entries[e["file_path"]] = e
         return list(entries.values())
+
+    def _segment_matching_entries(
+        self, name: str, predicates: list[tuple]
+    ) -> tuple[list[dict], list[str]]:
+        """(entries that MAY match ``predicates``, removed paths) from
+        one parquet segment body, json-parsing ONLY the candidate
+        rows: the typed widened stat columns (``slo_*``/``shi_*``,
+        written per table column) drive a C-side Arrow mask, so a
+        10^6-entry base segment yields a range window at the cost of a
+        typed column scan plus the selected entries' decode — not a
+        full entry-document parse. Null bounds, absent columns, and
+        null-op predicates keep the row (the residual pruner's
+        unknown rule); the returned entries still carry exact stats,
+        so plan_files' residual pass stays the ground truth.
+
+        Callers must hold the readds == 0 proof for this segment — a
+        dropped row must never be one that supersedes an earlier
+        segment's kept entry. A cached full body is filtered in Python
+        instead (no I/O beats a masked re-read)."""
+        import pyarrow.compute as pc
+
+        path = os.path.abspath(self._segment_path(name))
+        hit = _SEGMENT_CACHE.get(path)
+        if hit is not None:
+            _SEGMENT_CACHE.move_to_end(path)
+            return (
+                [
+                    e
+                    for e in hit.get("added", [])
+                    if _entry_may_match(e, predicates)
+                ],
+                list(hit.get("removed", [])),
+            )
+        pf = pq.ParquetFile(path)
+        try:
+            names = set(pf.schema_arrow.names)
+            specs: list[tuple[str, str, str, object]] = []
+            needed = {"kind", "file_path", "entry_json"}
+            for c, op, v in predicates:
+                if op in ("is_null", "not_null") or isinstance(v, bool):
+                    continue
+                if isinstance(v, (int, float)):
+                    lo, hi, vv = f"slo_n:{c}", f"shi_n:{c}", float(v)
+                elif isinstance(v, str):
+                    lo, hi, vv = f"slo_s:{c}", f"shi_s:{c}", v
+                else:
+                    continue
+                if lo in names and hi in names:
+                    specs.append((lo, hi, op, vv))
+                    needed |= {lo, hi}
+            added: list[dict] = []
+            removed: list[str] = []
+            for batch in pf.iter_batches(
+                batch_size=_SEGMENT_ROW_GROUP, columns=sorted(needed)
+            ):
+                kind = batch.column("kind")
+                keep = None
+                for lo, hi, op, vv in specs:
+                    lo_c, hi_c = batch.column(lo), batch.column(hi)
+                    if op == "<":
+                        m = pc.less(lo_c, vv)
+                    elif op == "<=":
+                        m = pc.less_equal(lo_c, vv)
+                    elif op == ">":
+                        m = pc.greater(hi_c, vv)
+                    elif op == ">=":
+                        m = pc.greater_equal(hi_c, vv)
+                    else:  # "=": lo <= v <= hi
+                        m = pc.and_(
+                            pc.less_equal(lo_c, vv), pc.greater_equal(hi_c, vv)
+                        )
+                    # null bounds (written as a pair) → unknown → keep
+                    m = pc.fill_null(m, True)
+                    keep = m if keep is None else pc.and_(keep, m)
+                is_rem = pc.equal(kind, 1)
+                if pc.any(is_rem).as_py():
+                    removed.extend(
+                        pc.filter(batch.column("file_path"), is_rem).to_pylist()
+                    )
+                sel = pc.equal(kind, 0)
+                if keep is not None:
+                    sel = pc.and_(sel, keep)
+                docs = pc.filter(batch.column("entry_json"), sel).to_pylist()
+                if docs:
+                    added.extend(json.loads("[" + ",".join(docs) + "]"))
+        finally:
+            pf.close()
+        return added, removed
 
     def _delete_entries(
         self, snapshot_id: int | None
@@ -2919,38 +3169,7 @@ class LedgerTable:
             if bloom_pruned:
                 files = [e for e in files if e["file_path"] not in bloom_pruned]
 
-        def may_match(entry: dict) -> bool:
-            stats = entry.get("column_stats") or {}
-            nulls = entry.get("null_counts") or {}
-            for col, op, val in predicates:
-                if op in ("is_null", "not_null"):
-                    nc = nulls.get(col)
-                    if nc is None:
-                        continue  # no null stats → cannot skip
-                    if op == "is_null" and nc == 0:
-                        return False
-                    if op == "not_null" and nc >= entry["record_count"]:
-                        return False
-                    continue
-                rng = stats.get(col)
-                if rng is None:
-                    continue  # no stats → cannot skip
-                lo, hi = rng
-                try:
-                    possible = {
-                        "<": lo < val,
-                        "<=": lo <= val,
-                        ">": hi > val,
-                        ">=": hi >= val,
-                        "=": lo <= val <= hi,
-                    }[op]
-                except TypeError:
-                    continue  # incomparable types → cannot skip
-                if not possible:
-                    return False
-            return True
-
-        return [e for e in files if may_match(e)]
+        return [e for e in files if _entry_may_match(e, predicates)]
 
     def _ancestry_range(
         self, from_snapshot_id: int | None, to_snapshot_id: int

@@ -621,14 +621,24 @@ def test_metadata_plane_heap_bound(tmp_path):
 
     cold, cold_peak = peak_of(lambda: tbl.plan_files(preds))
     assert len(cold) == 100
+    # r9 row prefilter: a cold window INSIDE the merged base must also
+    # stay selected-size, not inventory-size — typed stat columns mask
+    # rows C-side and only candidate entry documents parse
+    old_preds = [("k", ">=", 20_000 * 100), ("k", "<", 21_000 * 100)]
+    old, old_peak = peak_of(lambda: tbl.plan_files(old_preds))
+    assert len(old) == 1000
     live, full_peak = peak_of(lambda: tbl.live_files())
     assert len(live) == n + 100
-    # the pruned cold plan must not pay the full-inventory heap
+    # the pruned cold plans must not pay the full-inventory heap
     assert cold_peak < full_peak / 20, (cold_peak, full_peak)
     assert cold_peak < 8_000_000  # absolute ceiling: ~decode of 100 entries
-    # warm plan (indexes over the cached full list) agrees exactly
+    assert old_peak < full_peak / 10, (old_peak, full_peak)
+    # warm plans (indexes over the cached full list) agree exactly
     assert {e["file_path"] for e in tbl.plan_files(preds)} == {
         e["file_path"] for e in cold
+    }
+    assert {e["file_path"] for e in tbl.plan_files(old_preds)} == {
+        e["file_path"] for e in old
     }
 
 

@@ -260,14 +260,22 @@ def run_metadata(root: str, n_files: int = 1_000_000, batch: int = 10_000) -> No
 
     def segments_read(fn):
         reads: list[str] = []
-        real = ledger_mod.LedgerTable._read_segment
+        real_full = ledger_mod.LedgerTable._read_segment
+        real_match = ledger_mod.LedgerTable._segment_matching_entries
         ledger_mod.LedgerTable._read_segment = (
-            lambda self, name: (reads.append(name), real(self, name))[1]
+            lambda self, name: (reads.append(name), real_full(self, name))[1]
+        )
+        ledger_mod.LedgerTable._segment_matching_entries = (
+            lambda self, name, preds: (
+                reads.append(name),
+                real_match(self, name, preds),
+            )[1]
         )
         try:
             out = fn()
         finally:
-            ledger_mod.LedgerTable._read_segment = real
+            ledger_mod.LedgerTable._read_segment = real_full
+            ledger_mod.LedgerTable._segment_matching_entries = real_match
         return out, len(set(reads))
 
     def clear_caches():
