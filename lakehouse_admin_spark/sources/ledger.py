@@ -2996,10 +2996,17 @@ class LedgerTable:
                 and desc.get("readds") == 0
             ):
                 continue  # fresh data-only segment: no delete impact
-            seg = self._read_segment(desc["path"])
-            for p in seg.get("removed", []):
+            # readds == 0 also proves a segment's DATA rows can't
+            # supersede an earlier delete entry — so only its delete
+            # rows and tombstones need decoding (typed content mask)
+            if desc["path"].endswith(".parquet") and desc.get("readds") == 0:
+                added, removed = self._segment_delete_rows(desc["path"])
+            else:
+                seg = self._read_segment(desc["path"])
+                added, removed = seg.get("added", []), seg.get("removed", [])
+            for p in removed:
                 entries.pop(p, None)
-            for e in seg.get("added", []):
+            for e in added:
                 entries[e["file_path"]] = e
         live_deletes = [
             e for e in entries.values() if e.get("content", 0) != 0
@@ -3008,6 +3015,57 @@ class LedgerTable:
             [e for e in live_deletes if e.get("content", 0) == 1],
             [e for e in live_deletes if e.get("content", 0) == 2],
         )
+
+    def _segment_delete_rows(
+        self, name: str
+    ) -> tuple[list[dict], list[str]]:
+        """(delete-content entries, removed paths) from one parquet
+        segment via the typed ``content`` column — a MOR table's base
+        segment holds millions of data rows and a handful of delete
+        rows; only the latter's entry documents parse. Callers must
+        hold the readds == 0 proof (see
+        :meth:`_segment_matching_entries`). Cached bodies filter in
+        Python."""
+        import pyarrow.compute as pc
+
+        path = os.path.abspath(self._segment_path(name))
+        hit = _SEGMENT_CACHE.get(path)
+        if hit is not None:
+            _SEGMENT_CACHE.move_to_end(path)
+            return (
+                [
+                    e
+                    for e in hit.get("added", [])
+                    if e.get("content", 0) != 0
+                ],
+                list(hit.get("removed", [])),
+            )
+        pf = pq.ParquetFile(path)
+        added: list[dict] = []
+        removed: list[str] = []
+        try:
+            for batch in pf.iter_batches(
+                batch_size=_SEGMENT_ROW_GROUP,
+                columns=["kind", "file_path", "content", "entry_json"],
+            ):
+                kind = batch.column("kind")
+                is_rem = pc.equal(kind, 1)
+                if pc.any(is_rem).as_py():
+                    removed.extend(
+                        pc.filter(batch.column("file_path"), is_rem).to_pylist()
+                    )
+                sel = pc.and_(
+                    pc.equal(kind, 0),
+                    pc.not_equal(
+                        pc.fill_null(batch.column("content"), 0), 0
+                    ),
+                )
+                docs = pc.filter(batch.column("entry_json"), sel).to_pylist()
+                if docs:
+                    added.extend(json.loads("[" + ",".join(docs) + "]"))
+        finally:
+            pf.close()
+        return added, removed
 
     def _range_index(
         self, snapshot_id: int | None, files: list[dict], col: str

@@ -167,3 +167,132 @@ def test_diverged_entry_surfaced_not_silent(catalog, two_tables):
     assert catalog.table("main", "docs").current_snapshot_id() == indep.snapshot_id
     audit = list_transactions(catalog)
     assert audit[0]["state"] == "recovered-partial"
+
+
+def test_multiprocess_commit_storm_no_litter(tmp_path):
+    """Cross-PROCESS commit storm (flock is the real lock here, unlike
+    the in-process barrier tests): 6 writer processes x 6 synthetic
+    O(delta) appends each, racing on one table. Afterwards the head's
+    ancestry must contain every commit exactly once, the live set must
+    hold every added entry, and — the r9 conflict-cleanup pin under
+    real contention — every segment file on disk is referenced by some
+    retained snapshot: losing attempts deleted their own litter."""
+    import json
+    import multiprocessing as mp
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from lakehouse_admin_spark.sources.ledger import LedgerCatalog
+
+    wh = str(tmp_path / "wh_storm")
+    cat = LedgerCatalog(None, wh)
+    cat.create_table(
+        "main", "storm", StructType([StructField("k", LongType())])
+    )
+
+    n_procs, n_commits, per = 6, 6, 4
+
+    def worker(wid: int) -> None:
+        from lakehouse_admin_spark.sources.ledger import (
+            CommitConflictError,
+            LedgerCatalog as LC,
+        )
+
+        t = LC(None, wh).table("main", "storm")
+        for c in range(n_commits):
+            added = [
+                {
+                    "file_path": os.path.join(
+                        t.data_dir, f"w{wid}c{c}f{i}.parquet"
+                    ),
+                    "partition": {},
+                    "record_count": 10,
+                    "file_size_in_bytes": 1,
+                    "spec_id": 0,
+                    "schema_id": 0,
+                    "content": 0,
+                    "file_format": "PARQUET",
+                    "column_stats": {"k": [wid * 1000, wid * 1000 + 999]},
+                    "null_counts": {"k": 0},
+                }
+                for i in range(per)
+            ]
+            for _attempt in range(50):
+                cur = t.current_snapshot_id()
+                parent = t.snapshot(cur) if cur else None
+                prev_f = (
+                    int(parent.summary.get("total-data-files", 0))
+                    if parent
+                    else 0
+                )
+                prev_r = (
+                    int(parent.summary.get("total-records", 0))
+                    if parent
+                    else 0
+                )
+                try:
+                    t._commit_delta(
+                        operation="append",
+                        summary={
+                            "added-data-files": str(per),
+                            "added-records": str(per * 10),
+                            "total-data-files": str(prev_f + per),
+                            "total-records": str(prev_r + per * 10),
+                        },
+                        added=[dict(e) for e in added],
+                        removed=[],
+                        parent=parent,
+                    )
+                    break
+                except CommitConflictError:
+                    continue
+            else:
+                raise AssertionError(f"worker {wid} never committed")
+
+    procs = [
+        mp.get_context("fork").Process(target=worker, args=(w,))
+        for w in range(n_procs)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=300)
+        assert p.exitcode == 0
+
+    tbl = cat.table("main", "storm")
+    snaps = tbl.snapshots()
+    assert len(snaps) == n_procs * n_commits
+    # single unbroken ancestry from the head down to the root
+    chain = set()
+    sid = tbl.current_snapshot_id()
+    while sid is not None:
+        chain.add(sid)
+        sid = tbl.snapshot(sid).parent_id
+    assert chain == {s.snapshot_id for s in snaps}
+    head = tbl.snapshot(tbl.current_snapshot_id())
+    live = tbl.live_files()
+    assert len(live) == n_procs * n_commits * per
+    assert int(head.summary["total-data-files"]) == len(live)
+    assert int(head.summary["total-records"]) == len(live) * 10
+    # no segment litter: everything on disk is referenced by a snapshot
+    referenced = set()
+    for s in snaps:
+        for d in s.manifest_list or []:
+            referenced.add(d["path"])
+        if s.own_segment is not None:
+            referenced.add(s.own_segment["path"])
+    on_disk = {
+        fn
+        for fn in os.listdir(tbl.meta_dir)
+        if fn.startswith("mseg-") and not (".tmp-" in fn)
+    }
+    assert on_disk <= referenced, on_disk - referenced
+    # and every commit's entries survived into the live set
+    paths = {e["file_path"] for e in live}
+    for w in range(n_procs):
+        for c in range(n_commits):
+            for i in range(per):
+                assert os.path.join(
+                    tbl.data_dir, f"w{w}c{c}f{i}.parquet"
+                ) in paths
