@@ -91,6 +91,9 @@ HEADLINE = [
     "curation_pipeline",  # r6: dedup->quality->budget end-to-end pass
     "multimodal_feature_ann",  # r6: payload featurize -> top-k cosine
     "skewed_event_rollup",  # r6: two-phase salted hot-key aggregate
+    "ann_sq_topk",  # r9: SQ8 scalar-quantized asymmetric ANN scan
+    "cross_doc_ngram_dup",  # r9: exact cross-doc duplicated 8-grams
+    "source_quality_rollup",  # r9: domain-level quality gate (C4-style)
 ]
 
 

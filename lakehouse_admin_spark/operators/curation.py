@@ -378,6 +378,98 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Domain-level gate: a source survives when at least half its docs pass
+# the per-doc quality chain (C4/RefinedWeb-style URL/domain filtering —
+# aggregate quality, not per-doc, decides whole-domain drops)
+SOURCE_KEEP_SHARE = 0.5
+
+
+@query(
+    "source_quality_rollup",
+    oracle=rf"""
+    WITH m AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS BIGINT)
+                   AS n_tokens,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+               (regexp_matches(text, '{PII_EMAIL}')
+                OR regexp_matches(text, '{PII_PHONE}')) AS has_pii
+        FROM documents
+    ),
+    v AS (
+        SELECT source, n_tokens, alpha_ratio,
+               (n_tokens >= {MIN_TOKENS} AND alpha_ratio >= {MIN_ALPHA_RATIO}
+                AND NOT has_pii) AS kept
+        FROM m
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN kept THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4)
+               AS kept_share,
+           ROUND(AVG(CAST(n_tokens AS DOUBLE)), 2) AS avg_tokens,
+           ROUND(AVG(alpha_ratio), 4) AS avg_alpha,
+           (SUM(CASE WHEN kept THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE))
+               >= {SOURCE_KEEP_SHARE} AS source_kept
+    FROM v
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation rollup: per source, doc count, per-doc
+    quality-gate pass count/share (same chain as
+    :func:`quality_filter_pipeline`), mean token count, mean alphabetic
+    ratio, and the SOURCE-level keep decision (``kept_share >= 0.5``) —
+    the C4/RefinedWeb pattern where aggregate domain quality, not the
+    individual page, decides whole-domain drops.
+
+    Plan shape: one projection pass computes the per-doc measures, one
+    map-side-combinable groupBy(source) folds them; the keep decision
+    is exact integer arithmetic (n_kept/n_docs), so the boundary cannot
+    drift between engines. At 100 TB sources are the natural partition
+    key of a crawl corpus, so this agg shuffles tiny pre-combined
+    state, and the emitted blocklist is a broadcast-sized dim for the
+    follow-up filter join."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_expr(F.col("text"))).cast("long")
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.length(
+        "text"
+    ).cast("double")
+    has_pii = (F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0)) > 0) | (
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), 0)) > 0
+    )
+    kept = (
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("alpha_ratio") >= MIN_ALPHA_RATIO)
+        & ~F.col("has_pii")
+    )
+    v = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "source",
+            n_tokens.alias("n_tokens"),
+            alpha_ratio.alias("alpha_ratio"),
+            has_pii.alias("has_pii"),
+        )
+        .withColumn("kept", kept)
+    )
+    share = F.sum(F.when(F.col("kept"), 1).otherwise(0)) / F.count("*").cast("double")
+    return (
+        v.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.round(share, 4).alias("kept_share"),
+            F.round(F.avg(F.col("n_tokens").cast("double")), 2).alias("avg_tokens"),
+            F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha"),
+            (share >= SOURCE_KEEP_SHARE).alias("source_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "pii_counts",
     oracle=rf"""

@@ -256,6 +256,88 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_NGRAM_N = 8  # exact duplicated-span gram width (tokens)
+
+
+@query(
+    "cross_doc_ngram_dup",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - {DUP_NGRAM_N - 2}, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                     || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS shingles
+        FROM tok WHERE len(w) >= {DUP_NGRAM_N}
+    ),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS gram FROM sh WHERE len(shingles) > 0),
+    shared AS (SELECT gram FROM ex GROUP BY gram HAVING COUNT(*) >= 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM ex GROUP BY doc_id),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS n_dup_grams
+        FROM ex JOIN shared USING (gram) GROUP BY doc_id
+    )
+    SELECT h.doc_id, n_dup_grams, n_grams,
+           ROUND(n_dup_grams / CAST(n_grams AS DOUBLE), 4) AS dup_share
+    FROM hits h JOIN sizes s USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def cross_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document duplicated-n-gram report (the exact
+    substring-dedup signal of Lee et al., *Deduplicating Training Data
+    Makes Language Models Better*, at word-8-gram granularity): for
+    each document, how many of its distinct 8-grams appear verbatim in
+    at least one OTHER document, and that count's share of the doc's
+    grams. Only contaminated docs are emitted — the worklist an exact
+    span-removal pass consumes. Complements the SAMPLED winnow
+    fingerprints (textual.py) with the exact answer.
+
+    Plan shape: one posting list keyed on the gram. The doc-frequency
+    agg is map-side combinable; the shared-gram set (tiny by
+    construction — only planted duplicates survive ``HAVING >= 2``)
+    joins back on the gram key, never a doc pair, so shuffle volume is
+    the posting list, not |docs|². At 100 TB the posting list is the
+    same materialized inverted index the minhash tier reads, and AQE
+    turns the shared-gram probe into a broadcast join when the dup set
+    is small (the healthy-corpus case)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", tokens_expr(F.col("text")).alias("w"))
+        .filter(F.size("w") >= DUP_NGRAM_N)
+        .select(
+            "doc_id",
+            F.explode(shingles_expr(F.col("w"), n=DUP_NGRAM_N)).alias("gram"),
+        )
+    )
+    # shingles_expr is per-doc distinct → COUNT(*) per gram counts docs
+    shared = ex.groupBy("gram").agg(F.count("*").alias("n_docs")).filter(
+        F.col("n_docs") >= 2
+    ).select("gram")
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = ex.join(shared, "gram").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_grams")
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_dup_grams",
+            "n_grams",
+            F.round(
+                F.col("n_dup_grams") / F.col("n_grams").cast("double"), 4
+            ).alias("dup_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig array<string>) — deterministic md5-based minhash.
 

@@ -228,6 +228,160 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_topk(spark, sf_dir, restrict_cell=True)
 
 
+SQ_LEVELS = 255  # 8-bit scalar-quantizer code points (FAISS SQ8)
+
+_SQ_ORACLE = f"""
+    WITH stats AS (
+        SELECT i, MIN(CAST(v AS DOUBLE)) AS lo, MAX(CAST(v AS DOUBLE)) AS hi
+        FROM (SELECT generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding) AS v
+              FROM embeddings)
+        GROUP BY i
+    ),
+    cand_long AS (
+        SELECT vec_id AS cid, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    rec_long AS (
+        SELECT cid, c.i,
+               CASE WHEN s.hi = s.lo THEN s.lo
+                    ELSE s.lo
+                         + floor(least(greatest((c.v - s.lo) / (s.hi - s.lo), 0), 1)
+                                 * {SQ_LEVELS} + 0.5)
+                           / {SQ_LEVELS}.0 * (s.hi - s.lo)
+               END AS rv
+        FROM cand_long c JOIN stats s USING (i)
+    ),
+    rec AS (SELECT cid, list(rv ORDER BY i) AS ce FROM rec_long GROUP BY cid),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qe
+        FROM embeddings WHERE vec_id % {{stride}} = 0
+    ),
+    pairs AS (
+        SELECT q.qid, r.cid, q.qe, r.ce
+        FROM q JOIN rec r ON r.cid <> q.qid
+    ),
+    dots AS (
+        SELECT qid, cid,
+               list_sum(list_transform(list_zip(qe, ce),
+                        p -> CAST(p[1] AS DOUBLE) * p[2])) AS dot,
+               sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+               sqrt(list_sum(list_transform(ce, x -> x * x))) AS nc
+        FROM pairs
+    ),
+    sims AS (SELECT qid, cid, ROUND(dot / (nq * nc), 6) AS cosine FROM dots),
+    ranked AS (
+        SELECT qid AS query_id, cid AS neighbor_id, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {{k}}
+    ORDER BY query_id, rank
+"""
+
+
+# (id(spark), abspath(sf_dir)) -> (lo list, hi list): the trained scalar
+# quantizer is 2·d doubles — train once per tier, serve many (the
+# ivf_index pattern; no checkpoint to free, so a plain bounded dict)
+_SQ_STATS_CACHE: dict[tuple, tuple[list[float], list[float]]] = {}
+
+
+def sq_train_stats(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[float], list[float]]:
+    """Per-dimension [lo, hi] over the corpus — the SQ8 codebook. One
+    map-side-combinable aggregate; 2·d doubles of driver state."""
+    key = (id(spark), os.path.abspath(sf_dir.rstrip("/")))
+    hit = _SQ_STATS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("lo"),
+            F.max(F.col("v").cast("double")).alias("hi"),
+        )
+        .collect()
+    )
+    stats.sort(key=lambda r: r["pos"])
+    out = ([float(r["lo"]) for r in stats], [float(r["hi"]) for r in stats])
+    if len(_SQ_STATS_CACHE) >= 8:
+        _SQ_STATS_CACHE.pop(next(iter(_SQ_STATS_CACHE)))
+    _SQ_STATS_CACHE[key] = out
+    return out
+
+
+@query(
+    "ann_sq_topk",
+    oracle=_SQ_ORACLE.format(stride=QUERY_STRIDE, k=TOP_K),
+)
+def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) asymmetric ANN: per-dimension [lo, hi]
+    trained over the corpus, every candidate encoded to an 8-bit code
+    (``floor(clip((v-lo)/(hi-lo)) * 255 + 0.5)``), queries kept float,
+    scoring cosine(query, reconstructed candidate) — the FAISS
+    ``IndexScalarQuantizer`` (QT_8bit) serving shape between brute
+    float scan and PQ/ADC.
+
+    Scale shape: training is ONE map-side-combinable aggregate whose
+    whole state is 2·d doubles (collected and re-broadcast as literal
+    arrays, the IVF-centroid pattern); encoding is a pure projection.
+    At 100 TB the int8 codes are a persisted column 4× smaller than
+    float32 — the scan-side win this tier exists for — and the scoring
+    pass is the same broadcast-queries linear scan as
+    :func:`ann_topk_cosine`, just over quarter-width data. Decode +
+    dot product stay whole-stage-codegen JVM expressions (floor/ clip
+    arithmetic over ``transform``), no Python in the loop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo_vals, hi_vals = sq_train_stats(spark, sf_dir)
+    lo_arr = F.array(*[F.lit(x) for x in lo_vals])
+    hi_arr = F.array(*[F.lit(x) for x in hi_vals])
+
+    def recon(col: Column) -> Column:
+        # i is transform's 0-based index; element_at is 1-based
+        def one(x, i):
+            lo = F.element_at(lo_arr, i + 1)
+            hi = F.element_at(hi_arr, i + 1)
+            span = hi - lo
+            u = F.least(
+                F.greatest((x.cast("double") - lo) / span, F.lit(0.0)), F.lit(1.0)
+            )
+            code = F.floor(u * SQ_LEVELS + F.lit(0.5))
+            return F.when(span == 0, lo).otherwise(
+                lo + code / F.lit(float(SQ_LEVELS)) * span
+            )
+
+        return F.transform(col, one)
+
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"), recon(F.col("embedding")).alias("ce")
+    )
+    sims = (
+        F.broadcast(queries)
+        .crossJoin(cands)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 IVF_PROBES = 2  # multi-probe width: nearest cells searched per query
 IVF_ITERS = 2  # Lloyd update rounds for the coarse quantizer
 

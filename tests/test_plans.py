@@ -383,3 +383,66 @@ def test_ivf_index_cached_and_invalidatable(spark):
     assert c1 is c2, "second call must hit the cache"
     assert sim.invalidate_ivf_cache(SF_SMOKE) == 1
     assert len(sim._IVF_CACHE) == 0
+
+
+def test_sq_topk_recall_and_plan(spark):
+    """SQ8 asymmetric scan: same broadcast-queries linear-scan shape as
+    the float brute force (no CartesianProduct), and with 255 levels the
+    reconstruction error is so small that top-5 recall vs the exact
+    float scan must stay near-perfect (pinned ≥ 0.9)."""
+    df = q("ann_sq_topk")(spark, SF_SMOKE)
+    assert not has_cartesian(df)
+    sq = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q("ann_topk_cosine")(spark, SF_SMOKE).collect()
+    }
+    assert {q_ for q_, _ in sq} == {q_ for q_, _ in exact}
+    recall = len(sq & exact) / len(exact)
+    assert recall >= 0.9, f"SQ8 recall vs exact collapsed: {recall:.3f}"
+
+
+def test_cross_doc_ngram_dup_covers_near_dup_docs(spark):
+    """Soundness bounds (no doc reports more shared grams than grams)
+    plus a fixture-informed coverage pin: the planted near-duplicates
+    are contiguous copies, so every member of a 3-gram-Jaccard ≥ 0.5
+    pair (ngram_jaccard_pairs) must also surface in the exact 8-gram
+    duplication report — the sampled/approximate tiers may only ever
+    MISS docs the exact tier finds, never the reverse."""
+    rep = {r.doc_id: r for r in q("cross_doc_ngram_dup")(spark, SF_SMOKE).collect()}
+    assert rep, "fixture corpus plants near-dups; report must be non-empty"
+    for r in rep.values():
+        assert 0 < r.n_dup_grams <= r.n_grams
+        assert r.dup_share <= 1.0
+
+    pairs = q("ngram_jaccard_pairs")(spark, SF_SMOKE).collect()
+    near_dup_docs = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert near_dup_docs, "fixture must contain near-duplicate pairs"
+    missing = near_dup_docs - set(rep)
+    assert not missing, f"near-dup docs absent from exact 8-gram report: {sorted(missing)[:5]}"
+
+
+def test_source_quality_rollup_consistent_with_per_doc_gate(spark):
+    """The domain rollup's n_kept must equal the per-doc
+    quality_filter_pipeline verdicts folded by source, and the
+    source_kept decision must be exactly kept_share >= 0.5 (integer
+    arithmetic — no float drift can flip the boundary)."""
+    from collections import Counter
+
+    from lakehouse_admin_spark.sources.tables import load_table
+
+    per_doc = q("quality_filter_pipeline")(spark, SF_SMOKE).collect()
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, SF_SMOKE, "documents").select(
+            "doc_id", "source"
+        ).collect()
+    }
+    kept_by_src = Counter(src[r.doc_id] for r in per_doc if r.kept)
+    docs_by_src = Counter(src[r.doc_id] for r in per_doc)
+    roll = q("source_quality_rollup")(spark, SF_SMOKE).collect()
+    assert {r.source for r in roll} == set(docs_by_src)
+    for r in roll:
+        assert r.n_docs == docs_by_src[r.source]
+        assert r.n_kept == kept_by_src.get(r.source, 0)
+        assert r.source_kept == (r.n_kept / r.n_docs >= 0.5)
