@@ -94,6 +94,9 @@ HEADLINE = [
     "ann_sq_topk",  # r9: SQ8 scalar-quantized asymmetric ANN scan
     "cross_doc_ngram_dup",  # r9: exact cross-doc duplicated 8-grams
     "source_quality_rollup",  # r9: domain-level quality gate (C4-style)
+    "ann_filtered_topk",  # r9: pre-filtered vector search (RAG shape)
+    "quality_percentile_gate",  # r9: per-lang dynamic threshold gate
+    "bpe_learn_merges",  # r9: distributed BPE tokenizer training
 ]
 
 

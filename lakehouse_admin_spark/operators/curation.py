@@ -470,6 +470,75 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dynamic-threshold gate: keep docs at or above their language's 25th
+# percentile of alphabetic ratio ("keep the top 75% per language" — the
+# per-distribution cutoff pattern used for perplexity filtering, where a
+# single global threshold over-prunes whole languages)
+GATE_PCTL = 0.25
+
+
+@query(
+    "quality_percentile_gate",
+    oracle=rf"""
+    WITH m AS (
+        SELECT doc_id, lang,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / CAST(length(text) AS DOUBLE) AS alpha_ratio
+        FROM documents
+    ),
+    cut AS (
+        SELECT lang, quantile_cont(alpha_ratio, {GATE_PCTL}) AS cutoff
+        FROM m GROUP BY lang
+    )
+    SELECT m.doc_id, m.lang,
+           ROUND(m.alpha_ratio, 6) AS alpha_ratio,
+           ROUND(c.cutoff, 6) AS lang_cutoff,
+           m.alpha_ratio >= c.cutoff AS kept
+    FROM m JOIN cut c USING (lang)
+    ORDER BY m.doc_id
+    """,
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic per-language quality threshold: keep every document at
+    or above its language's 25th percentile of alphabetic ratio — the
+    per-distribution cutoff pattern (CCNet-style perplexity buckets)
+    that a single global threshold cannot express without over-pruning
+    whole languages whose signal distribution sits lower.
+
+    The cutoff is the EXACT interpolated percentile (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, both the (n-1)·p linear
+    interpolation), computed per language in one groupBy and broadcast
+    back — the per-group state is one sorted-summary per language, and
+    the keep decision compares the raw doubles (both engines derive
+    bit-identical ratios from the same integer lengths, so the boundary
+    cannot drift). At 100 TB exact percentile becomes
+    ``approx_percentile`` with a pinned accuracy — the plan shape
+    (tiny per-lang cutoff dim, broadcast gate join) is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id",
+        "lang",
+        (
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+            / F.length("text").cast("double")
+        ).alias("alpha_ratio"),
+    )
+    cut = m.groupBy("lang").agg(
+        F.expr(f"percentile(alpha_ratio, {GATE_PCTL})").alias("cutoff")
+    )
+    return (
+        m.join(F.broadcast(cut), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.round("alpha_ratio", 6).alias("alpha_ratio"),
+            F.round("cutoff", 6).alias("lang_cutoff"),
+            (F.col("alpha_ratio") >= F.col("cutoff")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "pii_counts",
     oracle=rf"""

@@ -382,6 +382,96 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FILTER_LANG = "en"  # metadata gate of the filtered-retrieval query
+
+
+@query(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH gated AS (
+        SELECT e.vec_id AS cid, e.embedding AS ce, d.source
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        WHERE d.lang = '{FILTER_LANG}'
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qe
+        FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+    ),
+    pairs AS (
+        SELECT q.qid, g.cid, q.qe, g.ce, g.source
+        FROM q JOIN gated g ON g.cid <> q.qid
+    ),
+    dots AS (
+        SELECT qid, cid, source,
+               list_sum(list_transform(list_zip(qe, ce),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+               sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nc
+        FROM pairs
+    ),
+    sims AS (SELECT qid, cid, source, ROUND(dot / (nq * nc), 6) AS cosine FROM dots),
+    ranked AS (
+        SELECT qid AS query_id, cid AS neighbor_id, source, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, source, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the RAG retrieval-with-metadata shape):
+    top-5 cosine neighbors per query among only the candidates whose
+    joined document passes a metadata gate (``lang = 'en'``), carrying
+    the document's ``source`` through to the result.
+
+    PRE-filter semantics — the gate applies before ranking, so every
+    query still gets k results from the eligible set (post-filtering a
+    global top-k can starve heavily-filtered queries; this is the
+    correctness trap of filtered ANN). Scale shape: the metadata gate
+    is a key-equality join against the documents dim — at 100 TB it
+    rides partition pruning / a broadcast of the gated id set into the
+    vector scan, so distance math only runs on eligible rows; the scan
+    itself is the same broadcast-queries linear pass as
+    :func:`ann_topk_cosine` and swaps in any of the IVF/PQ/graph
+    serving tiers unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("lang"), F.col("source")
+    )
+    gated = (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .filter(F.col("lang") == FILTER_LANG)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ce"),
+            "source",
+        )
+    )
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    sims = (
+        F.broadcast(queries)
+        .crossJoin(gated)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "source",
+            F.round(cosine_expr(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "source", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 IVF_PROBES = 2  # multi-probe width: nearest cells searched per query
 IVF_ITERS = 2  # Lloyd update rounds for the coarse quantizer
 

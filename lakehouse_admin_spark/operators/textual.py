@@ -526,6 +526,145 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+BPE_MERGES = 4  # learned merge rounds (unrolled verbatim in the oracle)
+
+
+def _bpe_oracle(rounds: int = BPE_MERGES) -> str:
+    """Unrolled DuckDB replay of :func:`bpe_learn_merges` (the
+    _kmeans_cte trick): per round, a pair-frequency CTE, an argmax CTE
+    (count DESC, then (a, b) lexicographic), and a sequence-rewrite CTE
+    applying the merge with the same double ``replace`` both engines
+    use. All-integer/string arithmetic — the hash comparison is exact,
+    no float convention needed."""
+    parts = [
+        r"""
+    WITH tok AS (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+        FROM documents
+    ),
+    wf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT UNNEST(w) AS word FROM tok)
+        WHERE regexp_matches(word, '^[a-z]+$')
+        GROUP BY word
+    ),
+    s0 AS (
+        SELECT freq, '|' || array_to_string(string_split(word, ''), '|') || '|' AS seq
+        FROM wf
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    , pr{r} AS (
+        SELECT freq,
+               UNNEST(list_transform(range(1, greatest(len(syms), 1)),
+                      i -> syms[i] || ' ' || syms[i+1])) AS pair
+        FROM (SELECT freq,
+                     list_filter(string_split(seq, '|'), x -> x != '') AS syms
+              FROM s{r - 1})
+    ),
+    m{r} AS (
+        SELECT string_split(pair, ' ')[1] AS a,
+               string_split(pair, ' ')[2] AS b,
+               SUM(freq) AS cnt
+        FROM pr{r} GROUP BY pair
+        ORDER BY SUM(freq) DESC, a, b LIMIT 1
+    ),
+    s{r} AS (
+        SELECT freq,
+               replace(replace(seq,
+                   (SELECT '|' || a || '|' || b || '|' FROM m{r}),
+                   (SELECT '|' || a || b || '|' FROM m{r})),
+                   (SELECT '|' || a || '|' || b || '|' FROM m{r}),
+                   (SELECT '|' || a || b || '|' FROM m{r})) AS seq
+        FROM s{r - 1}
+    )""")
+    selects = [
+        f"SELECT {r} AS rank, a AS left_sym, b AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects) + "\n    ORDER BY rank")
+    return "".join(parts)
+
+
+@query("bpe_learn_merges", oracle=_bpe_oracle())
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al.): learn the
+    first 4 merge rules from corpus word frequencies — per round, count
+    adjacent symbol pairs weighted by word frequency, pick the most
+    frequent pair (ties broken lexicographically), and apply the merge
+    to every word's symbol sequence. Output: (rank, left_sym,
+    right_sym, pair_count) — the merge table a tokenizer ships.
+
+    Scale shape: training state is the VOCABULARY (word, freq, symbol
+    sequence) — corpus-sized text collapses to a vocab-sized frame in
+    one map-side-combinable agg, exactly how SentencePiece/HF trainers
+    shard corpus counting. Each round is one pair-frequency aggregate
+    over the vocab plus a 1-row argmax (the learned merge — the model
+    itself, k rows total) broadcast back as a literal rewrite; the
+    symbol sequences stay strings rewritten by a codegen'd double
+    `replace` (left-to-right non-overlapping twice == BPE's
+    merge-everywhere application, same operator in DuckDB). ASCII
+    [a-z]+ words only, so the '|' delimiter can never collide with a
+    symbol."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(tokens_expr(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    seq0 = F.concat(
+        F.lit("|"),
+        F.concat_ws("|", F.filter(F.split("word", ""), lambda x: x != "")),
+        F.lit("|"),
+    )
+    base = wf.select("freq", seq0.alias("seq")).persist(StorageLevel.MEMORY_AND_DISK)
+    cur = base
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for r in range(1, BPE_MERGES + 1):
+            syms = F.filter(F.split("seq", r"\|"), lambda x: x != "")
+            # guard: sequence(1, 0) counts DOWN in Spark — emit no pairs
+            # for single-symbol words
+            pair_arr = F.when(
+                F.size(syms) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.concat(
+                        F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            top = (
+                cur.select("freq", F.explode(pair_arr).alias("pair"))
+                .groupBy("pair")
+                .agg(F.sum("freq").alias("cnt"))
+                .select(
+                    F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("a"),
+                    F.split_part(F.col("pair"), F.lit(" "), F.lit(2)).alias("b"),
+                    "cnt",
+                )
+                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+            merges.append((r, a, b, cnt))
+            pat, rep = F.lit(f"|{a}|{b}|"), F.lit(f"|{a}{b}|")
+            cur = cur.withColumn(
+                "seq", F.replace(F.replace(F.col("seq"), pat, rep), pat, rep)
+            )
+    finally:
+        base.unpersist()  # the result is the k-row merge table, not the vocab
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, pair_count bigint"
+    ).orderBy("rank")
+
+
 @query(
     "tf_idf",
     oracle=r"""

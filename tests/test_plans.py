@@ -446,3 +446,76 @@ def test_source_quality_rollup_consistent_with_per_doc_gate(spark):
         assert r.n_docs == docs_by_src[r.source]
         assert r.n_kept == kept_by_src.get(r.source, 0)
         assert r.source_kept == (r.n_kept / r.n_docs >= 0.5)
+
+
+def test_ann_filtered_topk_prefilter_semantics(spark):
+    """Filtered retrieval must PRE-filter: every neighbor's document
+    passes the lang gate, every query still gets k results from the
+    eligible set, and the result genuinely differs from post-filtering
+    the global top-k (neighbors outside the unfiltered top-5 appear —
+    the starvation post-filtering would cause)."""
+    from lakehouse_admin_spark.operators.similarity import FILTER_LANG, TOP_K
+    from lakehouse_admin_spark.sources.tables import load_table
+
+    df = q("ann_filtered_topk")(spark, SF_SMOKE)
+    assert not has_cartesian(df)
+    rows = df.collect()
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, SF_SMOKE, "documents").select(
+            "doc_id", "lang"
+        ).collect()
+    }
+    assert all(langs[r.neighbor_id] == FILTER_LANG for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, TOP_K + 1)) for v in per_q.values())
+    global_topk = {
+        (r.query_id, r.neighbor_id)
+        for r in q("ann_topk_cosine")(spark, SF_SMOKE).collect()
+    }
+    fresh = {(r.query_id, r.neighbor_id) for r in rows} - global_topk
+    assert fresh, "pre-filter must surface neighbors post-filtering would starve"
+
+
+def test_quality_percentile_gate_separation(spark):
+    """The dynamic gate is monotone by construction — within a
+    language every dropped doc's signal is strictly below every kept
+    doc's — and a 25th-percentile cutoff keeps at least ~70% of the
+    language (ties can only push the kept share UP)."""
+    rows = q("quality_percentile_gate")(spark, SF_SMOKE).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert by_lang
+    for lang, grp in by_lang.items():
+        kept = [r.alpha_ratio for r in grp if r.kept]
+        dropped = [r.alpha_ratio for r in grp if not r.kept]
+        assert kept, lang
+        if dropped:
+            assert max(dropped) < min(kept), lang
+        assert len(kept) / len(grp) >= 0.70, (lang, len(kept), len(grp))
+        cuts = {r.lang_cutoff for r in grp}
+        assert len(cuts) == 1, f"{lang}: cutoff must be constant per language"
+
+
+def test_bpe_learn_merges_invariants(spark):
+    """BPE training invariants: ranks 1..k; counts strictly positive
+    and NON-INCREASING (provable: any pair involving a round-r merged
+    symbol had at least as many occurrences in round r-1 as a
+    sub-pair, so the argmax can never rise); round 1 merges two single
+    chars; symbols stay lowercase-alpha (the [a-z]+ training filter)."""
+    import re
+
+    from lakehouse_admin_spark.operators.textual import BPE_MERGES
+
+    rows = q("bpe_learn_merges")(spark, SF_SMOKE).collect()
+    assert [r.rank for r in rows] == list(range(1, BPE_MERGES + 1))
+    counts = [r.pair_count for r in rows]
+    assert all(c > 0 for c in counts)
+    assert all(x >= y for x, y in zip(counts, counts[1:])), counts
+    assert len(rows[0].left_sym) == 1 and len(rows[0].right_sym) == 1
+    assert all(
+        re.fullmatch(r"[a-z]+", r.left_sym + r.right_sym) for r in rows
+    )

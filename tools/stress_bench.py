@@ -48,6 +48,13 @@ STRESS_QUERIES = [
     "curation_pipeline",
     "multimodal_feature_ann",
     "ledger_pq_cell_lookup",
+    # r9: new tiers
+    "ann_sq_topk",
+    "cross_doc_ngram_dup",
+    "source_quality_rollup",
+    "quality_percentile_gate",
+    "bpe_learn_merges",  # vocab saturates → expect sub-linear
+    "ann_filtered_topk",
 ]
 
 # Serving-tier queries take a QUERY WORKLOAD as input; the graded form
@@ -64,6 +71,8 @@ SERVING_QUERIES = {
     "ann_ivf_pq_topk",
     "ann_ivf_pq_rerank",
     "multimodal_feature_ann",  # doc-id stride queries, same workload rule
+    "ann_sq_topk",  # r9: same fixed-workload rule as the other ANN tiers
+    "ann_filtered_topk",
 }
 STRESS_NQ = 100
 
