@@ -97,6 +97,7 @@ HEADLINE = [
     "ann_filtered_topk",  # r9: pre-filtered vector search (RAG shape)
     "quality_percentile_gate",  # r9: per-lang dynamic threshold gate
     "bpe_learn_merges",  # r9: distributed BPE tokenizer training
+    "dedup_keep_list",  # r9: keep/drop verdict the corpus rewrite applies
 ]
 
 

@@ -993,6 +993,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_keep_list",
+    oracle=_ORACLE_SHINGLES.replace("WITH tok", "WITH RECURSIVE tok")
+    + _CLUSTER_LABEL_CTES
+    + """
+    , clusters AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS kept
+    FROM documents d LEFT JOIN clusters c USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION the training corpus actually consumes: every
+    document with its near-dup cluster id (its own id when it belongs
+    to no cluster) and ``kept`` — keep-lowest-id-per-cluster, so the
+    surviving corpus is singletons plus one representative per
+    near-dup component. Closes the loop from detection
+    (:func:`minhash_near_dup` → :func:`dedup_clusters`) to the
+    keep/drop verdict a rewrite pass applies.
+
+    Scale shape: the cluster frame is output-bounded (docs touched by
+    any near-dup pair, tiny on a healthy corpus), so the gate is a
+    broadcast LEFT join against the corpus scan — the same pattern as
+    the source blocklist; no new shuffles beyond the cluster chain."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = dedup_clusters(spark, sf_dir)
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return (
+        docs.join(F.broadcast(clusters), "doc_id", "left")
+        .select(
+            "doc_id",
+            cid.alias("cluster_id"),
+            (cid == F.col("doc_id")).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _TRIPLET_A, _TRIPLET_B, _TRIPLET_C = 48271, 1103, 9973
 
 

@@ -519,3 +519,23 @@ def test_bpe_learn_merges_invariants(spark):
     assert all(
         re.fullmatch(r"[a-z]+", r.left_sym + r.right_sym) for r in rows
     )
+
+
+def test_dedup_keep_list_consistent_with_clusters(spark):
+    """Keep-list algebra: kept == (doc_id == cluster_id); survivors =
+    |docs| − Σ(|cluster|−1); every cluster keeps exactly its minimum;
+    singletons are all kept."""
+    keep = q("dedup_keep_list")(spark, SF_SMOKE).collect()
+    clusters = {r.doc_id: r.cluster_id for r in q("dedup_clusters")(spark, SF_SMOKE).collect()}
+    n_docs = len(keep)
+    from collections import Counter
+
+    sizes = Counter(clusters.values())
+    expected_kept = n_docs - sum(s - 1 for s in sizes.values())
+    assert sum(r.kept for r in keep) == expected_kept
+    for r in keep:
+        assert r.kept == (r.doc_id == r.cluster_id)
+        if r.doc_id in clusters:
+            assert r.cluster_id == clusters[r.doc_id]
+        else:
+            assert r.cluster_id == r.doc_id and r.kept
