@@ -298,14 +298,16 @@ def cross_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-removal pass consumes. Complements the SAMPLED winnow
     fingerprints (textual.py) with the exact answer.
 
-    Plan shape: one posting list keyed on the gram. The doc-frequency
-    agg is map-side combinable; the shared-gram set (tiny by
-    construction — only planted duplicates survive ``HAVING >= 2``)
-    joins back on the gram key, never a doc pair, so shuffle volume is
-    the posting list, not |docs|². At 100 TB the posting list is the
-    same materialized inverted index the minhash tier reads, and AQE
-    turns the shared-gram probe into a broadcast join when the dup set
-    is small (the healthy-corpus case)."""
+    Plan shape: ONE tokenize+explode pass over the corpus. Doc
+    frequency per gram is a window count over the gram-partitioned
+    posting list (no per-gram doc lists — a boilerplate gram shared by
+    millions of docs streams through the window, it never collects),
+    then one groupBy(doc_id) folds both the gram total and the shared
+    count. Two shuffles total (gram, then doc_id) + the presentation
+    sort — never a doc-pair join, and no recomputation of the
+    tokenizer (the naive 3-consumer shape re-tokenized the corpus
+    three times). At 100 TB the posting list is the same materialized
+    inverted index the minhash tier reads."""
     docs = load_table(spark, sf_dir, "documents")
     ex = (
         docs.repartition(spark.sparkContext.defaultParallelism)
@@ -316,16 +318,19 @@ def cross_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(shingles_expr(F.col("w"), n=DUP_NGRAM_N)).alias("gram"),
         )
     )
-    # shingles_expr is per-doc distinct → COUNT(*) per gram counts docs
-    shared = ex.groupBy("gram").agg(F.count("*").alias("n_docs")).filter(
-        F.col("n_docs") >= 2
-    ).select("gram")
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    hits = ex.join(shared, "gram").groupBy("doc_id").agg(
-        F.count("*").alias("n_dup_grams")
-    )
+    # shingles_expr is per-doc distinct → count over the gram window
+    # counts DOCS; is_dup tags every posting of a cross-doc gram
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("gram")
+    tagged = ex.withColumn("is_dup", F.count("*").over(w) >= 2)
     return (
-        hits.join(sizes, "doc_id")
+        tagged.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup_grams"),
+            F.count("*").alias("n_grams"),
+        )
+        .filter(F.col("n_dup_grams") > 0)
         .select(
             "doc_id",
             "n_dup_grams",

@@ -55,6 +55,7 @@ STRESS_QUERIES = [
     "quality_percentile_gate",
     "bpe_learn_merges",  # vocab saturates → expect sub-linear
     "ann_filtered_topk",
+    "dedup_keep_list",
 ]
 
 # Serving-tier queries take a QUERY WORKLOAD as input; the graded form
