@@ -98,6 +98,7 @@ HEADLINE = [
     "quality_percentile_gate",  # r9: per-lang dynamic threshold gate
     "bpe_learn_merges",  # r9: distributed BPE tokenizer training
     "dedup_keep_list",  # r9: keep/drop verdict the corpus rewrite applies
+    "bpe_encode_token_counts",  # r9: encode pass of the trained tokenizer
 ]
 
 

@@ -529,13 +529,13 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 4  # learned merge rounds (unrolled verbatim in the oracle)
 
 
-def _bpe_oracle(rounds: int = BPE_MERGES) -> str:
-    """Unrolled DuckDB replay of :func:`bpe_learn_merges` (the
-    _kmeans_cte trick): per round, a pair-frequency CTE, an argmax CTE
-    (count DESC, then (a, b) lexicographic), and a sequence-rewrite CTE
-    applying the merge with the same double ``replace`` both engines
-    use. All-integer/string arithmetic — the hash comparison is exact,
-    no float convention needed."""
+def _bpe_cte_chain(rounds: int = BPE_MERGES) -> str:
+    """Shared DuckDB CTE chain replaying BPE training (the _kmeans_cte
+    trick): word-freq vocab, per round a pair-frequency CTE, an argmax
+    CTE (count DESC, then (a, b) lexicographic), and a sequence-rewrite
+    CTE applying the merge with the same double ``replace`` both
+    engines use. Ends at ``s{rounds}`` — the vocab with fully merged
+    symbol sequences, keyed by word. All-integer/string arithmetic."""
     parts = [
         r"""
     WITH tok AS (
@@ -549,7 +549,8 @@ def _bpe_oracle(rounds: int = BPE_MERGES) -> str:
         GROUP BY word
     ),
     s0 AS (
-        SELECT freq, '|' || array_to_string(string_split(word, ''), '|') || '|' AS seq
+        SELECT word, freq,
+               '|' || array_to_string(string_split(word, ''), '|') || '|' AS seq
         FROM wf
     )"""
     ]
@@ -571,7 +572,7 @@ def _bpe_oracle(rounds: int = BPE_MERGES) -> str:
         ORDER BY SUM(freq) DESC, a, b LIMIT 1
     ),
     s{r} AS (
-        SELECT freq,
+        SELECT word, freq,
                replace(replace(seq,
                    (SELECT '|' || a || '|' || b || '|' FROM m{r}),
                    (SELECT '|' || a || b || '|' FROM m{r})),
@@ -579,12 +580,20 @@ def _bpe_oracle(rounds: int = BPE_MERGES) -> str:
                    (SELECT '|' || a || b || '|' FROM m{r})) AS seq
         FROM s{r - 1}
     )""")
+    return "".join(parts)
+
+
+def _bpe_oracle(rounds: int = BPE_MERGES) -> str:
     selects = [
         f"SELECT {r} AS rank, a AS left_sym, b AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
         for r in range(1, rounds + 1)
     ]
-    parts.append("\n    " + "\n    UNION ALL ".join(selects) + "\n    ORDER BY rank")
-    return "".join(parts)
+    return (
+        _bpe_cte_chain(rounds)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY rank"
+    )
 
 
 @query("bpe_learn_merges", oracle=_bpe_oracle())
@@ -607,8 +616,21 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge-everywhere application, same operator in DuckDB). ASCII
     [a-z]+ words only, so the '|' delimiter can never collide with a
     symbol."""
-    from pyspark.storagelevel import StorageLevel
+    merges = _learn_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, pair_count bigint"
+    ).orderBy("rank")
 
+
+# (id(spark), abspath(sf_dir)) -> learned merge table: the model is k
+# rows — train once per tier, reuse for encoding (the sq_train_stats
+# pattern)
+_BPE_MERGE_CACHE: dict[tuple, list[tuple[int, str, str, int]]] = {}
+
+
+def _bpe_vocab_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, seq) — the vocab frame BPE trains on; seq is the
+    '|'-delimited symbol sequence."""
     docs = load_table(spark, sf_dir, "documents")
     wf = (
         docs.repartition(spark.sparkContext.defaultParallelism)
@@ -622,7 +644,29 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", F.filter(F.split("word", ""), lambda x: x != "")),
         F.lit("|"),
     )
-    base = wf.select("freq", seq0.alias("seq")).persist(StorageLevel.MEMORY_AND_DISK)
+    return wf.select("word", "freq", seq0.alias("seq"))
+
+
+def _apply_merge(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Rewrite every vocab sequence with one merge — double l-t-r
+    replace == BPE merge-everywhere (the DuckDB oracle uses the same
+    operator twice)."""
+    pat, rep = F.lit(f"|{a}|{b}|"), F.lit(f"|{a}{b}|")
+    return df.withColumn(
+        "seq", F.replace(F.replace(F.col("seq"), pat, rep), pat, rep)
+    )
+
+
+def _learn_merges(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, int]]:
+    import os as _os
+
+    from pyspark.storagelevel import StorageLevel
+
+    key = (id(spark), _os.path.abspath(sf_dir.rstrip("/")))
+    hit = _BPE_MERGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    base = _bpe_vocab_base(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     cur = base
     merges: list[tuple[int, str, str, int]] = []
     try:
@@ -654,15 +698,84 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
             merges.append((r, a, b, cnt))
-            pat, rep = F.lit(f"|{a}|{b}|"), F.lit(f"|{a}{b}|")
-            cur = cur.withColumn(
-                "seq", F.replace(F.replace(F.col("seq"), pat, rep), pat, rep)
-            )
+            cur = _apply_merge(cur, a, b)
     finally:
-        base.unpersist()  # the result is the k-row merge table, not the vocab
-    return spark.createDataFrame(
-        merges, "rank int, left_sym string, right_sym string, pair_count bigint"
-    ).orderBy("rank")
+        base.unpersist()  # the model is the k-row merge list
+    if len(_BPE_MERGE_CACHE) >= 8:
+        _BPE_MERGE_CACHE.pop(next(iter(_BPE_MERGE_CACHE)))
+    _BPE_MERGE_CACHE[key] = merges
+    return merges
+
+
+@query(
+    "bpe_encode_token_counts",
+    oracle=_bpe_cte_chain()
+    + f"""
+    , vocab AS (
+        SELECT word,
+               CAST(len(list_filter(string_split(seq, '|'), x -> x != '')) AS BIGINT)
+                   AS n_sym
+        FROM s{BPE_MERGES}
+    ),
+    dw AS (
+        SELECT doc_id, word
+        FROM (SELECT doc_id,
+                     UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x != '')) AS word
+              FROM documents)
+        WHERE regexp_matches(word, '^[a-z]+$')
+    )
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars,
+           ROUND(SUM(length(dw.word)) / CAST(SUM(v.n_sym) AS DOUBLE), 4)
+               AS chars_per_token
+    FROM dw JOIN vocab v USING (word)
+    GROUP BY dw.doc_id
+    ORDER BY dw.doc_id
+    """,
+)
+def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING pass with the learned merge table: apply the 4
+    trained merges to the vocabulary, then join each document's words
+    (with multiplicity) to their post-merge symbol counts — per doc,
+    word count, BPE token count, character count, and chars/token (the
+    compression a tokenizer buys). The train→encode round trip of a
+    tokenizer pipeline, both halves graded.
+
+    Scale shape: the merge table comes from the cached trainer (k rows
+    of driver state); encoding rewrites only the VOCAB (k sequential
+    `replace` projections), and the corpus-sized work is one word join
+    against that vocab — broadcast when the vocab is small, shuffle
+    otherwise — plus one groupBy(doc_id). [a-z]+ words only, as
+    trained; docs with no such words are absent (inner-join
+    semantics, same as the oracle)."""
+    merges = _learn_merges(spark, sf_dir)
+    vocab = _bpe_vocab_base(spark, sf_dir)
+    for _r, a, b, _cnt in merges:
+        vocab = _apply_merge(vocab, a, b)
+    syms = F.filter(F.split("seq", r"\|"), lambda x: x != "")
+    vocab = vocab.select("word", F.size(syms).cast("long").alias("n_sym"))
+    docs = load_table(spark, sf_dir, "documents")
+    dw = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+    )
+    return (
+        dw.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.round(
+                F.sum(F.length("word")) / F.sum("n_sym").cast("double"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(

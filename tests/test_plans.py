@@ -539,3 +539,24 @@ def test_dedup_keep_list_consistent_with_clusters(spark):
             assert r.cluster_id == clusters[r.doc_id]
         else:
             assert r.cluster_id == r.doc_id and r.kept
+
+
+def test_bpe_encode_bounds_and_cached_trainer(spark):
+    """Encoding bounds: n_words <= n_bpe_tokens <= n_chars for every
+    doc (merges shrink char sequences but never below one token per
+    word), chars_per_token >= 1; and the trainer is cached — the
+    encode pass must reuse the session's learned merge table, not
+    retrain."""
+    import lakehouse_admin_spark.operators.textual as tx
+
+    tx._BPE_MERGE_CACHE.clear()
+    rows = q("bpe_encode_token_counts")(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words <= r.n_bpe_tokens <= r.n_chars, r
+        assert r.chars_per_token >= 1.0
+    assert len(tx._BPE_MERGE_CACHE) == 1
+    cached = next(iter(tx._BPE_MERGE_CACHE.values()))
+    learned = [(r.rank, r.left_sym, r.right_sym, r.pair_count)
+               for r in q("bpe_learn_merges")(spark, SF_SMOKE).collect()]
+    assert learned == cached

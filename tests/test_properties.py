@@ -371,3 +371,37 @@ def test_cold_plan_and_delete_lookup_equal_full_materialization(chain_preds):
         # warm agrees with cold
         warm = tbl.plan_files(preds)
         assert {e["file_path"] for e in warm} == want_plan
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=2,
+        max_size=64,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_sq8_quantization_error_bound(vals):
+    """Pure replay of the ann_sq_topk quantizer: for any corpus column,
+    |reconstructed - v| <= span/(2*255) + interpolation slack for every
+    in-range value — the SQ8 error bound the recall pin rests on — and
+    reconstruction is idempotent (codes of reconstructed values map to
+    themselves)."""
+    import math
+
+    lo, hi = min(vals), max(vals)
+    span = hi - lo
+    for v in vals:
+        if span == 0:
+            rec = lo
+            assert rec == v
+            continue
+        u = min(max((v - lo) / span, 0.0), 1.0)
+        code = math.floor(u * 255 + 0.5)
+        rec = lo + code / 255.0 * span
+        assert abs(rec - v) <= span / (2 * 255) + 1e-9 * max(1.0, abs(span)), (
+            v, rec, span
+        )
+        # idempotence: re-encoding the reconstruction yields the same code
+        u2 = min(max((rec - lo) / span, 0.0), 1.0)
+        assert math.floor(u2 * 255 + 0.5) == code

@@ -54,6 +54,7 @@ STRESS_QUERIES = [
     "source_quality_rollup",
     "quality_percentile_gate",
     "bpe_learn_merges",  # vocab saturates → expect sub-linear
+    "bpe_encode_token_counts",
     "ann_filtered_topk",
     "dedup_keep_list",
 ]
