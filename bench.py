@@ -99,6 +99,7 @@ HEADLINE = [
     "bpe_learn_merges",  # r9: distributed BPE tokenizer training
     "dedup_keep_list",  # r9: keep/drop verdict the corpus rewrite applies
     "bpe_encode_token_counts",  # r9: encode pass of the trained tokenizer
+    "ann_filtered_ivf",  # r9: metadata-gated search on the indexed tier
 ]
 
 

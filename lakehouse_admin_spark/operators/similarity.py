@@ -844,6 +844,87 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_filtered_ivf",
+    oracle=f"""
+    WITH {{KMEANS}},
+    {{KPROBE}},
+    pairs AS (
+        SELECT q.qid, e.vec_id AS cid, q.qe, e.embedding AS ce, d.source
+        FROM q
+        JOIN probes p ON p.qid = q.qid
+        JOIN kcells kc ON kc.cl = p.cl
+        JOIN embeddings e ON e.vec_id = kc.vec_id AND e.vec_id <> q.qid
+        JOIN documents d ON d.doc_id = e.vec_id AND d.lang = '{FILTER_LANG}'
+    ),
+    dots AS (
+        SELECT qid, cid, source,
+               list_sum(list_transform(list_zip(qe, ce),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+               sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nc
+        FROM pairs
+    ),
+    sims AS (SELECT qid, cid, source, ROUND(dot / (nq * nc), 6) AS cosine FROM dots),
+    ranked AS (
+        SELECT qid AS query_id, cid AS neighbor_id, source, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, source, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """.replace("{KMEANS}", _kmeans_cte()).replace("{KPROBE}", _KPROBE_CTE),
+)
+def ann_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-gated search on the INDEXED tier: multi-probe IVF
+    (trained √n k-means cells) with the documents-dim lang gate applied
+    to the candidates inside the probed cells — the composition a
+    production filtered-vector-search serves (the brute
+    :func:`ann_filtered_topk` is its exactness floor). The gate rides
+    the cell-keyed candidate join, so probed mass shrinks by the filter
+    selectivity; probing itself stays query-only (FAISS semantics —
+    filters never move the centroids).
+
+    Queries whose probed cells hold fewer than k gated candidates
+    return fewer rows — the recall-vs-probes trade the IVF_PROBES knob
+    controls, identical in the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("lang"), F.col("source")
+    )
+    cells, cents = ivf_index(spark, sf_dir)
+    probes = _ivf_probes_kmeans(emb, cents).select("query_id", "qe", "cell")
+    cands = (
+        emb.join(cells, "vec_id")
+        .join(docs, emb.vec_id == docs.doc_id)
+        .filter(F.col("lang") == FILTER_LANG)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("fe"),
+            "cell",
+            "source",
+        )
+    )
+    sims = (
+        cands.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "source",
+            F.round(cosine_expr(F.col("qe"), F.col("fe")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "source", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
     "embedding_centroids",
     oracle="""
     WITH expl AS (

@@ -560,3 +560,36 @@ def test_bpe_encode_bounds_and_cached_trainer(spark):
     learned = [(r.rank, r.left_sym, r.right_sym, r.pair_count)
                for r in q("bpe_learn_merges")(spark, SF_SMOKE).collect()]
     assert learned == cached
+
+
+def test_filtered_ivf_consistent_with_filtered_brute(spark):
+    """Gated IVF composition: no cartesian against the corpus (only the
+    broadcast centroid probe may be a nested loop); every neighbor
+    passes the lang gate; wherever the probed search and the exact
+    gated brute force find the same pair, the cosine is identical; and
+    recall vs the gated brute floor beats the random probed-mass floor
+    (same 0.15 pin as the ungated multiprobe)."""
+    from lakehouse_admin_spark.operators.similarity import FILTER_LANG
+    from lakehouse_admin_spark.sources.tables import load_table
+
+    df = q("ann_filtered_ivf")(spark, SF_SMOKE)
+    assert not has_cartesian(df)
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastNestedLoopJoin") <= 1, strategies
+    rows = df.collect()
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, SF_SMOKE, "documents").select(
+            "doc_id", "lang"
+        ).collect()
+    }
+    assert all(langs[r.neighbor_id] == FILTER_LANG for r in rows)
+    probed = {(r.query_id, r.neighbor_id): r.cosine for r in rows}
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in q("ann_filtered_topk")(spark, SF_SMOKE).collect()
+    }
+    for key in probed.keys() & exact.keys():
+        assert probed[key] == exact[key]
+    recall = len(probed.keys() & exact.keys()) / len(exact)
+    assert recall >= 0.15, f"gated probed recall {recall} below trained-cell floor"
