@@ -100,6 +100,7 @@ HEADLINE = [
     "dedup_keep_list",  # r9: keep/drop verdict the corpus rewrite applies
     "bpe_encode_token_counts",  # r9: encode pass of the trained tokenizer
     "ann_filtered_ivf",  # r9: metadata-gated search on the indexed tier
+    "ledger_zorder_scan",  # r9: multi-dim box scan over z-clustered files
 ]
 
 

@@ -896,3 +896,81 @@ def ledger_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ts_day")
     )
+
+
+# z-order scan predicate box (inside every tier's data range; selective
+# on both dimensions so pruning has work to do)
+Z_USER_LO, Z_USER_HI, Z_VALUE_MIN = 0, 9, 50.0
+
+# (id(spark), tier name) -> z-order rewrite applied
+_ZORDER_DONE: set[tuple] = set()
+
+
+def _events_z_tbl(spark: SparkSession, sf_dir: str) -> LedgerTable:
+    """A SEPARATE events ledger clustered by a (user_id, value) z-order
+    rewrite — separate because compaction changes file counts, and the
+    shared fixture's file-count oracles must keep holding."""
+    from lakehouse_admin_spark.maintenance import rewrite_data_files_zorder
+
+    catalog = get_catalog(spark)
+    name = "events_z_" + sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    tbl = build_events_ledger(spark, sf_dir, catalog, name=name)
+    key = (id(spark), name)
+    if key not in _ZORDER_DONE:
+        # fixture-scale target size: split each day partition into
+        # several z-clustered files (the real 512 MiB default yields
+        # many files per partition at production bytes; one file per
+        # partition has no boxes to prune)
+        rewrite_data_files_zorder(
+            tbl, ["user_id", "value"], target_file_size_bytes=4096
+        )
+        tbl.write_manifest()
+        _ZORDER_DONE.add(key)
+    return tbl
+
+
+@query(
+    "ledger_zorder_scan",
+    oracle=_LIVE
+    + f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM live
+    WHERE user_id BETWEEN {Z_USER_LO} AND {Z_USER_HI} AND value >= {Z_VALUE_MIN}
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ledger_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional box scan over a Z-ORDER-clustered table
+    (Delta OPTIMIZE ZORDER BY / Iceberg sort-strategy rewrite): after
+    :func:`maintenance.rewrite_data_files_zorder` range-clusters files
+    on the interleaved (user_id, value) z-value, every file covers a
+    small hyper-rectangle of that space, so the manifest min/max stats
+    prune on BOTH predicate dimensions — a single-column sort order
+    prunes only its leading key. ``read(predicates=...)`` plans through
+    the same stat pruning the range scan uses; predicates re-apply as
+    Spark filters for row exactness (pruning is only ever a superset).
+    Oracle recomputes the box from raw rows."""
+    tbl = _events_z_tbl(spark, sf_dir)
+    df = tbl.read(
+        predicates=[
+            ("user_id", ">=", Z_USER_LO),
+            ("user_id", "<=", Z_USER_HI),
+            ("value", ">=", Z_VALUE_MIN),
+        ]
+    )
+    return (
+        df.filter(
+            (F.col("user_id") >= Z_USER_LO)
+            & (F.col("user_id") <= Z_USER_HI)
+            & (F.col("value") >= Z_VALUE_MIN)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -2589,3 +2589,36 @@ def test_expire_racing_commits_keeps_ancestry_intact(spark, catalog):
     maintenance.expire_snapshots(tbl, older_than_ms=int(2e15))
     assert tbl.read().count() == 5 + 30
     assert not missing_files(tbl)
+
+
+def test_ledger_zorder_scan_prunes_both_dimensions(spark):
+    """After the (user_id, value) z-order rewrite, the box predicate
+    must prune FILES on both dimensions (each clustered file covers a
+    small hyper-rectangle, so most fall wholly outside the box), and
+    file-level pruning must be a SUPERSET of the exact rows: every
+    in-box row survives (parity covers values; this pins the plan)."""
+    from lakehouse_admin_spark.operators.ledger_ops import (
+        Z_USER_HI,
+        Z_USER_LO,
+        Z_VALUE_MIN,
+        _events_z_tbl,
+    )
+
+    tbl = _events_z_tbl(spark, SF_SMOKE)
+    live = [e for e in tbl.live_files() if e.get("content", 0) == 0]
+    preds = [
+        ("user_id", ">=", Z_USER_LO),
+        ("user_id", "<=", Z_USER_HI),
+        ("value", ">=", Z_VALUE_MIN),
+    ]
+    planned = tbl.plan_files(preds)
+    assert len(planned) < len(live), (
+        f"z-order box scan planned {len(planned)} of {len(live)} files — no pruning"
+    )
+    # single-dimension predicates must each prune too (z-order covers
+    # ANY of the z-columns, not just the leading one); tail predicates,
+    # since with ~3 z-files per day only range EDGES fall wholly
+    # outside a one-sided cut
+    for dim_preds in ([("user_id", ">=", 12)], [("value", ">=", 300.0)]):
+        p = tbl.plan_files(dim_preds)
+        assert len(p) < len(live), f"{dim_preds}: no pruning on this dimension"
