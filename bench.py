@@ -138,6 +138,9 @@ def main() -> None:
         "ann_ivf_pq_topk",
         "ann_ivf_pq_rerank",
         "ann_incremental_assign",
+        "ledger_zorder_scan",  # r9: z-order rewrite of the fixture table
+        "ann_filtered_ivf",  # r9: shares the IVF index build when first
+        "bpe_encode_token_counts",  # r9: merge-table training on first run
     }
     errors: dict[str, str] = {}
     builds: dict[str, float] = {}
