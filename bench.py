@@ -101,6 +101,7 @@ HEADLINE = [
     "bpe_encode_token_counts",  # r9: encode pass of the trained tokenizer
     "ann_filtered_ivf",  # r9: metadata-gated search on the indexed tier
     "ledger_zorder_scan",  # r9: multi-dim box scan over z-clustered files
+    "perplexity_buckets",  # r9: CCNet head/middle/tail per-lang terciles
 ]
 
 

@@ -1302,3 +1302,84 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.size("w") > 1, ent / F.log2(n)).otherwise(F.lit(0.0)), 4
         ).alias("norm_entropy"),
     ).orderBy("doc_id")
+
+
+@query(
+    "perplexity_buckets",
+    oracle=r"""
+    WITH docs2 AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(2, len(w) + 1),
+                                     i -> {'w1': w[i-1], 'w2': w[i]})) AS b
+        FROM docs2 WHERE len(w) >= 2
+    ),
+    bigf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM big),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bigf GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bigf GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS v
+          FROM (SELECT UNNEST(w) AS tok FROM docs2)),
+    xent AS (
+        SELECT bigf.doc_id,
+               ROUND(AVG(-ln((c2.c2 + 1.0) / (c1.c1 + v.v))), 6) AS xent
+        FROM bigf JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT x.doc_id, d.lang, x.xent
+        FROM xent x JOIN documents d USING (doc_id)
+    ),
+    cuts AS (
+        SELECT lang,
+               quantile_cont(xent, 0.3333333333333333) AS t1,
+               quantile_cont(xent, 0.6666666666666666) AS t2
+        FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.xent,
+           CASE WHEN s.xent <= c.t1 THEN 'head'
+                WHEN s.xent <= c.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN cuts c USING (lang)
+    ORDER BY s.doc_id
+    """,
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: per LANGUAGE, tercile the
+    bigram-LM cross-entropy (:func:`bigram_lm_xent`) and label each
+    document head (lowest perplexity third — the cleanest text),
+    middle, or tail — the bucket assignment CCNet uses to weight (or
+    drop) crawl data per language instead of one global threshold.
+
+    Scale shape: scoring is the existing LM plan; the cutoffs are one
+    exact interpolated percentile pair per language (Spark
+    ``percentile`` == DuckDB ``quantile_cont``) broadcast back — the
+    quality_percentile_gate mechanics, driven by a learned signal
+    instead of a surface ratio. Buckets compare the 6dp-ROUNDED score
+    on both sides, so engine summation order cannot flip a boundary.
+    At 100 TB the tercile becomes ``approx_percentile`` with pinned
+    accuracy; the plan shape (tiny per-lang cutoff dim, broadcast
+    gate join) is unchanged."""
+    xent = bigram_lm_xent(spark, sf_dir).select("doc_id", "xent")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = xent.join(docs, "doc_id")
+    cuts = scored.groupBy("lang").agg(
+        # double literals, NOT 1.0/3: Spark SQL parses 1.0 as DECIMAL, so
+        # 1.0/3 is decimal division (0.333333) while DuckDB's is a double —
+        # the cutoff position would differ between engines
+        F.expr("percentile(xent, 0.3333333333333333)").alias("t1"),
+        F.expr("percentile(xent, 0.6666666666666666)").alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("xent") <= F.col("t1"), "head")
+        .when(F.col("xent") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select("doc_id", "lang", "xent", bucket.alias("bucket"))
+        .orderBy("doc_id")
+    )

@@ -593,3 +593,22 @@ def test_filtered_ivf_consistent_with_filtered_brute(spark):
         assert probed[key] == exact[key]
     recall = len(probed.keys() & exact.keys()) / len(exact)
     assert recall >= 0.15, f"gated probed recall {recall} below trained-cell floor"
+
+
+def test_perplexity_buckets_tercile_separation(spark):
+    """CCNet head/middle/tail: within each language the buckets are
+    strictly ordered by score (ties sit in the lower bucket by the <=
+    rule), and each holds a nontrivial share — a tercile can't be
+    empty or engulf the language."""
+    rows = q("perplexity_buckets")(spark, SF_SMOKE).collect()
+    by_lang: dict[str, dict[str, list]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(r.xent)
+    assert by_lang
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}, (lang, set(buckets))
+        assert max(buckets["head"]) < min(buckets["middle"]), lang
+        assert max(buckets["middle"]) < min(buckets["tail"]), lang
+        n = sum(len(v) for v in buckets.values())
+        for name, v in buckets.items():
+            assert len(v) >= n // 5, (lang, name, len(v), n)

@@ -55,6 +55,7 @@ STRESS_QUERIES = [
     "quality_percentile_gate",
     "bpe_learn_merges",  # vocab saturates → expect sub-linear
     "bpe_encode_token_counts",
+    "perplexity_buckets",
     "ann_filtered_topk",
     "dedup_keep_list",
 ]
