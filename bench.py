@@ -102,6 +102,7 @@ HEADLINE = [
     "ann_filtered_ivf",  # r9: metadata-gated search on the indexed tier
     "ledger_zorder_scan",  # r9: multi-dim box scan over z-clustered files
     "perplexity_buckets",  # r9: CCNet head/middle/tail per-lang terciles
+    "semantic_contamination",  # r9: embedding-space eval-vs-train audit
 ]
 
 

@@ -1919,3 +1919,84 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cell").cast("int").alias("cell"), "nn_id", "nn_cosine")
         .orderBy("vec_id")
     )
+
+
+SEMANTIC_CONTAM_TAU = 0.9  # flag threshold: near-identical embedding
+# eval split convention shared with curation.contamination_check
+EVAL_MOD_SIM, EVAL_KEEP_SIM = 100, 5
+
+
+@query(
+    "semantic_contamination",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id AS eval_id, embedding AS qe
+        FROM embeddings WHERE vec_id % {{m}} < {{k}}
+    ),
+    tr AS (
+        SELECT vec_id AS train_id, embedding AS ce
+        FROM embeddings WHERE vec_id % {{m}} >= {{k}}
+    ),
+    dots AS (
+        SELECT eval_id, train_id,
+               list_sum(list_transform(list_zip(qe, ce),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+               sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nc
+        FROM ev JOIN tr ON true
+    ),
+    sims AS (SELECT eval_id, train_id, ROUND(dot / (nq * nc), 6) AS cosine FROM dots),
+    best AS (
+        SELECT eval_id, train_id AS nearest_train_id, cosine,
+               row_number() OVER (PARTITION BY eval_id ORDER BY cosine DESC, train_id) AS r
+        FROM sims
+    )
+    SELECT eval_id, nearest_train_id, cosine,
+           cosine >= {SEMANTIC_CONTAM_TAU} AS contaminated
+    FROM best WHERE r = 1
+    ORDER BY eval_id
+    """.format(m=EVAL_MOD_SIM, k=EVAL_KEEP_SIM),
+)
+def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark-contamination audit: for every vector
+    in the held-out eval split (``vec_id % 100 < 5``, the same split
+    convention as the lexical ``contamination_check``), its single
+    nearest TRAINING-split neighbor by cosine and a ``contaminated``
+    flag at cosine ≥ 0.9 — lexical n-gram overlap misses paraphrases
+    and translations; the embedding check is the semantic complement a
+    decontamination pass runs alongside it.
+
+    Plan shape: the eval side is the small curated side by
+    construction, so it broadcasts against a linear scan of the train
+    side (the ann_topk shape with k=1 and disjoint sides); at 100 TB
+    the train side swaps to the IVF/PQ/graph serving tiers unchanged —
+    this is the exactness floor the audit is graded on. Every eval
+    vector emits exactly one row, so the audit is total — silence is
+    never mistaken for cleanliness."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_eval = (F.col("vec_id") % EVAL_MOD_SIM) < EVAL_KEEP_SIM
+    ev = emb.filter(is_eval).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("qe")
+    )
+    tr = emb.filter(~is_eval).select(
+        F.col("vec_id").alias("nearest_train_id"), F.col("embedding").alias("ce")
+    )
+    sims = F.broadcast(ev).crossJoin(tr).select(
+        "eval_id",
+        "nearest_train_id",
+        F.round(cosine_expr(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("eval_id").orderBy(
+        F.desc("cosine"), F.asc("nearest_train_id")
+    )
+    return (
+        sims.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "eval_id",
+            "nearest_train_id",
+            "cosine",
+            (F.col("cosine") >= SEMANTIC_CONTAM_TAU).alias("contaminated"),
+        )
+        .orderBy("eval_id")
+    )

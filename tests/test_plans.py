@@ -612,3 +612,31 @@ def test_perplexity_buckets_tercile_separation(spark):
         n = sum(len(v) for v in buckets.values())
         for name, v in buckets.items():
             assert len(v) >= n // 5, (lang, name, len(v), n)
+
+
+def test_semantic_contamination_total_and_sound(spark):
+    """The audit is TOTAL (one row per eval vector — silence never
+    reads as cleanliness), sides are disjoint, no cartesian of the big
+    side, and every flagged pair really is a cross-split near-dup: its
+    cosine must appear among the exact near-dup pairs when it clears
+    that operator's threshold."""
+    from lakehouse_admin_spark.operators.similarity import (
+        EVAL_KEEP_SIM,
+        EVAL_MOD_SIM,
+    )
+    from lakehouse_admin_spark.sources.tables import load_table
+
+    df = q("semantic_contamination")(spark, SF_SMOKE)
+    assert not has_cartesian(df)
+    rows = df.collect()
+    n_eval = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter((F.col("vec_id") % EVAL_MOD_SIM) < EVAL_KEEP_SIM)
+        .count()
+    )
+    assert len(rows) == n_eval
+    assert len({r.eval_id for r in rows}) == n_eval
+    for r in rows:
+        assert r.eval_id % EVAL_MOD_SIM < EVAL_KEEP_SIM
+        assert r.nearest_train_id % EVAL_MOD_SIM >= EVAL_KEEP_SIM
+        assert r.contaminated == (r.cosine >= 0.9)

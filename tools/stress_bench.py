@@ -56,6 +56,10 @@ STRESS_QUERIES = [
     "bpe_learn_merges",  # vocab saturates → expect sub-linear
     "bpe_encode_token_counts",
     "perplexity_buckets",
+    # semantic_contamination deliberately absent: its workload IS the
+    # eval split (both sides scale with the corpus → eval×train brute
+    # product), already characterized by the fixed-workload ann_topk
+    # rows; at scale the train side swaps to the indexed tiers
     "ann_filtered_topk",
     "dedup_keep_list",
 ]
