@@ -693,7 +693,8 @@ def ledger_cell_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_admin_spark.operators.similarity import (
         IVF_PROBES,
         TOP_K,
-        cosine_expr,
+        cosine_from_norms,
+        norm_expr,
     )
     from lakehouse_admin_spark.sources.fixtures import build_vector_cells_ledger
     from pyspark.sql.window import Window
@@ -703,13 +704,21 @@ def ledger_cell_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl, ctbl = build_vector_cells_ledger(
         spark, sf_dir, catalog, name=f"vector_cells_{tag}"
     )
+    # norms precomputed per side — cosine_from_norms folds one dot per
+    # pair instead of re-deriving both norms (similarity.py pattern)
     queries = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            norm_expr(F.col("embedding")).alias("nq"),
+        )
     )
-    cents = ctbl.read()
-    pcos = F.round(cosine_expr(F.col("qe"), F.col("ce")), 6)
+    cents = ctbl.read().withColumn("ncell", norm_expr(F.col("ce")))
+    pcos = F.round(
+        cosine_from_norms(F.col("qe"), F.col("ce"), F.col("nq"), F.col("ncell")), 6
+    )
     pw = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("cell"))
     probed = [
         int(r["cell"])
@@ -727,11 +736,17 @@ def ledger_cell_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = p if part is None else part.unionByName(p)
     sims = (
         part.filter(F.col("vec_id") != 0)
+        .withColumn("nc", norm_expr(F.col("embedding")))
         .crossJoin(F.broadcast(queries))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_expr(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+            F.round(
+                cosine_from_norms(
+                    F.col("qe"), F.col("embedding"), F.col("nq"), F.col("nc")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -778,7 +793,8 @@ def ledger_pq_cell_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         IVF_PROBES,
         TOP_K,
         _pq_index,
-        cosine_expr,
+        cosine_from_norms,
+        norm_expr,
     )
     from lakehouse_admin_spark.sources.fixtures import (
         build_vector_codes_ledger,
@@ -795,11 +811,16 @@ def ledger_pq_cell_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctbl = catalog.table("main", cells_name + "_centroids")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm_expr(F.col("embedding")).alias("nq"),
     )
-    # probe selection from the k-row centroid table (index metadata)
-    cents = ctbl.read()
-    pcos = F.round(cosine_expr(F.col("qe"), F.col("ce")), 6)
+    # probe selection from the k-row centroid table (index metadata);
+    # per-side norms — one dot fold per (query, centroid) pair
+    cents = ctbl.read().withColumn("ncell", norm_expr(F.col("ce")))
+    pcos = F.round(
+        cosine_from_norms(F.col("qe"), F.col("ce"), F.col("nq"), F.col("ncell")), 6
+    )
     pw = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("cell"))
     probed = [
         int(r["cell"])
@@ -902,7 +923,10 @@ def ledger_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on both dimensions so pruning has work to do)
 Z_USER_LO, Z_USER_HI, Z_VALUE_MIN = 0, 9, 50.0
 
-# (id(spark), tier name) -> z-order rewrite applied
+# (applicationId, tier name) -> z-order rewrite applied (applicationId
+# is unique per SparkContext — id(spark) can be reused by CPython after
+# a session is GC'd, which would silently skip the rewrite and break
+# the pruning pin)
 _ZORDER_DONE: set[tuple] = set()
 
 
@@ -915,7 +939,7 @@ def _events_z_tbl(spark: SparkSession, sf_dir: str) -> LedgerTable:
     catalog = get_catalog(spark)
     name = "events_z_" + sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
     tbl = build_events_ledger(spark, sf_dir, catalog, name=name)
-    key = (id(spark), name)
+    key = (spark.sparkContext.applicationId, name)
     if key not in _ZORDER_DONE:
         # fixture-scale target size: split each day partition into
         # several z-clustered files (the real 512 MiB default yields

@@ -393,28 +393,39 @@ def multimodal_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matches the oracle's literal)
     from lakehouse_admin_spark.operators import similarity as _sim
 
-    q = feats.filter(F.col("doc_id") % _sim.QUERY_STRIDE == 0).select(
-        F.col("doc_id").alias("query_id"), F.col("feat").alias("qf")
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    # norms folded once PER SIDE before the pair join (cosine inside
+    # the pair projection would re-derive both norms per pair — the
+    # r9 semantic_contamination fix, similarity.cosine_from_norms)
+    featsn = feats.withColumn("nf", nrm(F.col("feat")))
+    # the query subtree re-runs the featurize kernel (Spark does not
+    # dedupe common subplans), so gate the PAYLOADS by the stride
+    # first — the kernel then encodes nq rows, not the whole corpus
+    q = (
+        payloads.filter(F.col("doc_id") % _sim.QUERY_STRIDE == 0)
+        .mapInPandas(featurize, "doc_id bigint, feat array<double>")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("feat").alias("qf"),
+            nrm(F.col("feat")).alias("nq"),
+        )
     )
     dot = F.aggregate(
         F.zip_with(F.col("qf"), F.col("feat"), lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
     sims = (
-        feats.crossJoin(F.broadcast(q))
+        featsn.crossJoin(F.broadcast(q))
         .filter(F.col("doc_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("doc_id").alias("neighbor_id"),
-            F.round(dot / (nrm(F.col("qf")) * nrm(F.col("feat"))), 6).alias(
-                "cosine"
-            ),
+            F.round(dot / (F.col("nq") * F.col("nf")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -118,6 +118,18 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with the per-side L2 norms already materialized as
+    columns: the per-pair projection folds ONE array (the dot product)
+    instead of three. ``cosine_expr`` inside a pair join re-derives
+    both norms for every pair — ~3× the necessary hot-loop arithmetic;
+    precomputing per side took semantic_contamination 5.2 s → 2.2 s at
+    sf0.1 (commit 9d22975). Values are bit-identical: the norm folds
+    see the same arrays, and the division order (dot / (na·nb))
+    matches ``cosine_expr``."""
+    return dot_expr(a, b) / (na * nb)
+
+
 @query(
     "embedding_norms",
     oracle="""
@@ -173,11 +185,13 @@ def _ann_topk(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("qlabel"),
+        norm_expr(F.col("embedding")).alias("nq"),
     )
     cands = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         F.col("label").alias("clabel"),
+        norm_expr(F.col("embedding")).alias("nc"),
     )
     cond = F.col("neighbor_id") != F.col("query_id")
     if restrict_cell:
@@ -194,7 +208,9 @@ def _ann_topk(
     sims = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+        F.round(
+            cosine_from_norms(F.col("qe"), F.col("ce"), F.col("nq"), F.col("nc")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -228,7 +244,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_topk(spark, sf_dir, restrict_cell=True)
 
 
-SQ_LEVELS = 255  # 8-bit scalar-quantizer code points (FAISS SQ8)
+SQ_LEVELS = 255  # 8-bit scalar quantizer (FAISS SQ8): max code / divisor —
+# floor(u*255+0.5) yields codes 0..255, i.e. 256 code points
 
 _SQ_ORACLE = f"""
     WITH stats AS (
@@ -282,10 +299,23 @@ _SQ_ORACLE = f"""
 """
 
 
-# (id(spark), abspath(sf_dir)) -> (lo list, hi list): the trained scalar
-# quantizer is 2·d doubles — train once per tier, serve many (the
-# ivf_index pattern; no checkpoint to free, so a plain bounded dict)
+# (applicationId, abspath(sf_dir)) -> (lo list, hi list): the trained
+# scalar quantizer is 2·d doubles — train once per tier, serve many
+# (the ivf_index pattern: applicationId is unique per SparkContext,
+# unlike id(spark), which CPython can reuse after a session is GC'd;
+# no checkpoint to free, so a plain bounded dict)
 _SQ_STATS_CACHE: dict[tuple, tuple[list[float], list[float]]] = {}
+
+
+def invalidate_sq_cache(sf_dir: str | None = None) -> int:
+    """Drop cached SQ8 codebooks — all, or one tier's (call after
+    rewriting its embeddings, same contract as
+    :func:`invalidate_ivf_cache`). Returns the number evicted."""
+    norm = None if sf_dir is None else os.path.abspath(sf_dir.rstrip("/"))
+    keys = [k for k in _SQ_STATS_CACHE if norm is None or k[1] == norm]
+    for k in keys:
+        del _SQ_STATS_CACHE[k]
+    return len(keys)
 
 
 def sq_train_stats(
@@ -293,7 +323,7 @@ def sq_train_stats(
 ) -> tuple[list[float], list[float]]:
     """Per-dimension [lo, hi] over the corpus — the SQ8 codebook. One
     map-side-combinable aggregate; 2·d doubles of driver state."""
-    key = (id(spark), os.path.abspath(sf_dir.rstrip("/")))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir.rstrip("/")))
     hit = _SQ_STATS_CACHE.get(key)
     if hit is not None:
         return hit
@@ -358,11 +388,13 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.transform(col, one)
 
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm_expr(F.col("embedding")).alias("nq"),
     )
     cands = emb.select(
         F.col("vec_id").alias("neighbor_id"), recon(F.col("embedding")).alias("ce")
-    )
+    ).withColumn("nc", norm_expr(F.col("ce")))
     sims = (
         F.broadcast(queries)
         .crossJoin(cands)
@@ -370,7 +402,10 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+            F.round(
+                cosine_from_norms(F.col("qe"), F.col("ce"), F.col("nq"), F.col("nc")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -447,10 +482,13 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("ce"),
             "source",
+            norm_expr(F.col("embedding")).alias("nc"),
         )
     )
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm_expr(F.col("embedding")).alias("nq"),
     )
     sims = (
         F.broadcast(queries)
@@ -460,7 +498,10 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "source",
-            F.round(cosine_expr(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+            F.round(
+                cosine_from_norms(F.col("qe"), F.col("ce"), F.col("nq"), F.col("nc")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -755,16 +796,21 @@ def _ivf_probes_kmeans(
     stride query, ranked by query-to-centroid cosine. Centroids are k
     rows broadcast against the query set — metadata-scale work."""
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm_expr(F.col("embedding")).alias("nq"),
     )
-    pcos = F.round(cosine_expr(F.col("qe"), F.col("ce")), 6)
+    cents_n = cents_df.withColumn("ncell", norm_expr(F.col("ce")))
+    pcos = F.round(
+        cosine_from_norms(F.col("qe"), F.col("ce"), F.col("nq"), F.col("ncell")), 6
+    )
     pw = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("cell"))
     return (
-        queries.crossJoin(F.broadcast(cents_df))
+        queries.crossJoin(F.broadcast(cents_n))
         .withColumn("pcos", pcos)
         .withColumn("pr", F.row_number().over(pw))
         .filter(F.col("pr") <= probes)
-        .select("query_id", "qe", "cell")
+        .select("query_id", "qe", "nq", "cell")
     )
 
 
@@ -819,11 +865,12 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     k/probes times below brute force."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cells, cents = ivf_index(spark, sf_dir)
-    probes = _ivf_probes_kmeans(emb, cents).select("query_id", "qe", "cell")
+    probes = _ivf_probes_kmeans(emb, cents).select("query_id", "qe", "nq", "cell")
     cands = emb.join(cells, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("fe"),
         "cell",
+        norm_expr(F.col("embedding")).alias("nf"),
     )
     sims = (
         cands.join(F.broadcast(probes), "cell")
@@ -831,7 +878,10 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qe"), F.col("fe")), 6).alias("cosine"),
+            F.round(
+                cosine_from_norms(F.col("qe"), F.col("fe"), F.col("nq"), F.col("nf")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -893,7 +943,7 @@ def ann_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), F.col("lang"), F.col("source")
     )
     cells, cents = ivf_index(spark, sf_dir)
-    probes = _ivf_probes_kmeans(emb, cents).select("query_id", "qe", "cell")
+    probes = _ivf_probes_kmeans(emb, cents).select("query_id", "qe", "nq", "cell")
     cands = (
         emb.join(cells, "vec_id")
         .join(docs, emb.vec_id == docs.doc_id)
@@ -903,6 +953,7 @@ def ann_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("fe"),
             "cell",
             "source",
+            norm_expr(F.col("embedding")).alias("nf"),
         )
     )
     sims = (
@@ -912,7 +963,10 @@ def ann_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "source",
-            F.round(cosine_expr(F.col("qe"), F.col("fe")), 6).alias("cosine"),
+            F.round(
+                cosine_from_norms(F.col("qe"), F.col("fe"), F.col("nq"), F.col("nf")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -1726,18 +1780,28 @@ def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directly (re-deriving it FROM `short` would execute the whole
     # ADC subtree twice: Spark does not dedupe common subplans)
     qe = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm_expr(F.col("embedding")).alias("nq"),
     )
     ne = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
     )
+    # nn is derived AFTER the shortlist semi-join (norms only for the
+    # nq×PQ_SHORTLIST survivors, not the full corpus) but BEFORE the
+    # query join, so the broadcast query side's nq is folded once per
+    # query instead of once per pair
     rer = (
         ne.join(F.broadcast(short), "neighbor_id")
+        .withColumn("nn", norm_expr(F.col("ne")))
         .join(F.broadcast(qe), "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qe"), F.col("ne")), 6).alias("cosine"),
+            F.round(
+                cosine_from_norms(F.col("qe"), F.col("ne"), F.col("nq"), F.col("nn")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -1896,11 +1960,17 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dassign = delta.mapInPandas(assign, assign_schema)
     dq = dassign.join(delta, "vec_id").select(
-        F.col("vec_id").alias("dvec"), "cell", F.col("embedding").alias("qe")
+        F.col("vec_id").alias("dvec"),
+        "cell",
+        F.col("embedding").alias("qe"),
+        norm_expr(F.col("embedding")).alias("nq"),
     )
     exist_cells = spark.read.parquet(cells_path)  # (vec_id, cell) of corpus
     ne = exist_cells.join(emb, "vec_id").select(
-        F.col("vec_id").alias("nn_id"), "cell", F.col("embedding").alias("ce")
+        F.col("vec_id").alias("nn_id"),
+        "cell",
+        F.col("embedding").alias("ce"),
+        norm_expr(F.col("embedding")).alias("nc"),
     )
     w = Window.partitionBy("dvec").orderBy(F.desc("nn_cosine"), F.asc("nn_id"))
     top1 = (
@@ -1908,7 +1978,10 @@ def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "dvec",
             "nn_id",
-            F.round(cosine_expr(F.col("qe"), F.col("ce")), 6).alias("nn_cosine"),
+            F.round(
+                cosine_from_norms(F.col("qe"), F.col("ce"), F.col("nq"), F.col("nc")),
+                6,
+            ).alias("nn_cosine"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -622,10 +622,24 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
-# (id(spark), abspath(sf_dir)) -> learned merge table: the model is k
-# rows — train once per tier, reuse for encoding (the sq_train_stats
-# pattern)
+# (applicationId, abspath(sf_dir)) -> learned merge table: the model is
+# k rows — train once per tier, reuse for encoding (the sq_train_stats
+# pattern; applicationId is unique per SparkContext, unlike id(spark),
+# which CPython can reuse after a session is GC'd)
 _BPE_MERGE_CACHE: dict[tuple, list[tuple[int, str, str, int]]] = {}
+
+
+def invalidate_bpe_cache(sf_dir: str | None = None) -> int:
+    """Drop cached BPE merge tables — all, or one tier's (call after
+    rewriting its documents; same contract as
+    ``similarity.invalidate_ivf_cache``). Returns the number evicted."""
+    import os as _os
+
+    norm = None if sf_dir is None else _os.path.abspath(sf_dir.rstrip("/"))
+    keys = [k for k in _BPE_MERGE_CACHE if norm is None or k[1] == norm]
+    for k in keys:
+        del _BPE_MERGE_CACHE[k]
+    return len(keys)
 
 
 def _bpe_vocab_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,7 +676,10 @@ def _learn_merges(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str,
 
     from pyspark.storagelevel import StorageLevel
 
-    key = (id(spark), _os.path.abspath(sf_dir.rstrip("/")))
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(sf_dir.rstrip("/")),
+    )
     hit = _BPE_MERGE_CACHE.get(key)
     if hit is not None:
         return hit

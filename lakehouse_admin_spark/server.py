@@ -25,11 +25,13 @@ from __future__ import annotations
 
 import datetime as dt
 import decimal
+import inspect
 import json
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
+from urllib.parse import parse_qs
 
 from pyspark.sql import DataFrame
 
@@ -53,7 +55,7 @@ def df_rows(df: DataFrame) -> list[dict]:
 
 
 class _Route:
-    __slots__ = ("method", "pattern", "fn")
+    __slots__ = ("method", "pattern", "fn", "takes_query")
 
     def __init__(self, method: str, template: str, fn):
         self.method = method
@@ -61,6 +63,13 @@ class _Route:
             "^" + re.sub(r":(\w+)", r"(?P<\1>[^/]+)", template) + "$"
         )
         self.fn = fn
+        # handlers that bind query-string ("form") params declare a
+        # ``query`` kwarg — mirrors the reference's form tags
+        # (handler_tasks.go:34-47); lambdas without it never see the qs
+        try:
+            self.takes_query = "query" in inspect.signature(fn).parameters
+        except (TypeError, ValueError):
+            self.takes_query = False
 
 
 class AdminHTTPServer:
@@ -87,12 +96,16 @@ class AdminHTTPServer:
                     n = int(self.headers.get("Content-Length") or 0)
                     if n:
                         body = json.loads(self.rfile.read(n))
+                    path, _, qstr = self.path.partition("?")
                     for route in outer.routes:
                         if route.method != method:
                             continue
-                        m = route.pattern.match(self.path.split("?", 1)[0])
+                        m = route.pattern.match(path)
                         if m:
-                            result = route.fn(body, **m.groupdict())
+                            kwargs = m.groupdict()
+                            if route.takes_query:
+                                kwargs["query"] = parse_qs(qstr)
+                            result = route.fn(body, **kwargs)
                             self._reply(200, result)
                             return
                     self._reply(404, {"err": f"no route {method} {self.path}"})
@@ -152,8 +165,28 @@ class AdminHTTPServer:
     def _build_routes(self) -> list[_Route]:
         a = self.admin
 
-        def task_page(body, database=None, table=None):
-            page, total = a.tasks.list(database=database, table=table)
+        def task_page(body, database=None, table=None, query=None):
+            # query-param binding mirrors the reference's form tags
+            # (handler_tasks.go:34-47): repeated kind=/status= keys
+            # (gin []string binding; kind[]= accepted too), table from
+            # the query string on the per-database route, limit<=0 →
+            # default page 20 and offset<0 → 0 exactly like the service
+            # (service_task_queue.go:461-468; TaskQueue.list applies
+            # the same floors)
+            q = query or {}
+            kinds = (q.get("kind") or q.get("kind[]")) or None
+            statuses = (q.get("status") or q.get("status[]")) or None
+            table = table or (q.get("table") or [None])[0]
+            limit = int((q.get("limit") or [0])[0])
+            offset = int((q.get("offset") or [0])[0])
+            page, total = a.tasks.list(
+                database=database,
+                table=table,
+                kinds=kinds,
+                statuses=statuses,
+                limit=limit if limit > 0 else 20,
+                offset=max(offset, 0),
+            )
             return {"tasks": [t.to_json() for t in page], "total": total}
 
         def optimize(body, database, table):

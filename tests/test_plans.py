@@ -494,7 +494,10 @@ def test_quality_percentile_gate_separation(spark):
         dropped = [r.alpha_ratio for r in grp if not r.kept]
         assert kept, lang
         if dropped:
-            assert max(dropped) < min(kept), lang
+            # <= not <: alpha_ratio is 6dp-rounded in the output, so a
+            # dropped/kept pair straddling the cutoff within 5e-7 can
+            # round EQUAL; the monotone law on raw values still holds
+            assert max(dropped) <= min(kept), lang
         assert len(kept) / len(grp) >= 0.70, (lang, len(kept), len(grp))
         cuts = {r.lang_cutoff for r in grp}
         assert len(cuts) == 1, f"{lang}: cutoff must be constant per language"
@@ -640,3 +643,22 @@ def test_semantic_contamination_total_and_sound(spark):
         assert r.eval_id % EVAL_MOD_SIM < EVAL_KEEP_SIM
         assert r.nearest_train_id % EVAL_MOD_SIM >= EVAL_KEEP_SIM
         assert r.contaminated == (r.cosine >= 0.9)
+    # cross-operator: any audit pair clearing embedding_near_dup's 0.4
+    # threshold (which includes every contaminated pair — 0.9 > 0.4)
+    # must appear in that operator's exact pair set with the SAME 6dp
+    # cosine; near-orthogonal fixtures may flag nothing at 0.9, but
+    # the 0.4 tail keeps this pin non-vacuous
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in q("embedding_near_dup")(spark, SF_SMOKE).collect()
+    }
+    checked = 0
+    for r in rows:
+        if r.cosine >= 0.4:
+            key = (
+                min(r.eval_id, r.nearest_train_id),
+                max(r.eval_id, r.nearest_train_id),
+            )
+            assert exact.get(key) == r.cosine, (key, r.cosine)
+            checked += 1
+    assert checked, "0.4-tail pairs must exist for the cross-check to bite"

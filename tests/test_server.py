@@ -253,3 +253,59 @@ def test_settings_refresh_integrity(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _req(base, "GET", "/api/nope")
     assert e.value.code == 404
+
+
+def test_task_list_query_params(served):
+    """GET /api/tasks{,/:database} binds kind/status/limit/offset/table
+    query params like the reference's form tags (handler_tasks.go:34-47,
+    SQL filters + floors in service_task_queue.go:461-507)."""
+    base, admin = served
+    admin.tasks.flush()
+    ids = {}
+    # failed optimize FIRST (claim takes the oldest queued task)
+    t = admin.tasks.enqueue("main", "events_ledger", "optimize", {})
+    claimed = admin.tasks.claim()
+    assert claimed.id == t.id
+    admin.tasks.complete(t.id, error="boom")
+    ids[("optimize", "error")] = str(t.id)
+    for kind in ["optimize", "expire_snapshots"]:
+        t = admin.tasks.enqueue("main", "events_ledger", kind, {})
+        ids[(kind, "queued")] = str(t.id)
+    other = admin.tasks.enqueue("otherdb", "tbl2", "optimize", {})
+
+    # kind filter (repeated keys — gin []string binding)
+    _, page = _req(base, "GET", "/api/tasks?kind=expire_snapshots")
+    assert page["total"] == 1
+    assert page["tasks"][0]["id"] == ids[("expire_snapshots", "queued")]
+    # kind[] spelling accepted too
+    _, page = _req(base, "GET", "/api/tasks?kind[]=expire_snapshots")
+    assert page["total"] == 1
+    # status filter composes with kind
+    _, page = _req(base, "GET", "/api/tasks?kind=optimize&status=error")
+    assert page["total"] == 1
+    assert page["tasks"][0]["id"] == ids[("optimize", "error")]
+    # multiple statuses OR together
+    _, page = _req(base, "GET", "/api/tasks?status=queued&status=error")
+    assert page["total"] == 4
+    # per-database route + table from the QUERY string (form, not uri)
+    _, page = _req(base, "GET", "/api/tasks/otherdb?table=tbl2")
+    assert page["total"] == 1 and page["tasks"][0]["id"] == str(other.id)
+    _, page = _req(base, "GET", "/api/tasks/otherdb?table=nope")
+    assert page["total"] == 0
+    # limit/offset paginate the started_at DESC order; total stays full
+    _, p1 = _req(base, "GET", "/api/tasks?limit=2&offset=0")
+    _, p2 = _req(base, "GET", "/api/tasks?limit=2&offset=2")
+    assert p1["total"] == p2["total"] == 4
+    assert len(p1["tasks"]) == 2 and len(p2["tasks"]) == 2
+    assert {t["id"] for t in p1["tasks"]}.isdisjoint(
+        t["id"] for t in p2["tasks"]
+    )
+    # reference floors: limit<=0 → 20, offset<0 → 0
+    _, page = _req(base, "GET", "/api/tasks?limit=0&offset=-5")
+    assert len(page["tasks"]) == 4 and page["total"] == 4
+    # non-numeric limit → 400 (gin binding error)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "GET", "/api/tasks?limit=abc")
+    assert e.value.code == 400
+    admin.tasks.flush()
+    admin.tasks.flush(database="otherdb")
