@@ -428,6 +428,9 @@ def multimodal_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot / (F.col("nq") * F.col("nf")), 6).alias("cosine"),
         )
     )
+    # partition-local top-k before the rank exchange (brute scan shape
+    # — similarity.local_topk_prune, ≤k rows per (query, partition))
+    sims = _sim.local_topk_prune(sims, "query_id", "cosine", "neighbor_id", _MM_ANN_TOPK)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

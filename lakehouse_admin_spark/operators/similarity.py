@@ -130,6 +130,43 @@ def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return dot_expr(a, b) / (na * nb)
 
 
+def local_topk_prune(
+    df: DataFrame, key_col: str, val_col: str, tie_col: str, k: int
+) -> DataFrame:
+    """Partition-local top-k pre-aggregation under the total order
+    (``val_col`` DESC, ``tie_col`` ASC) — the same order the global
+    rank window uses, so pruning never discards a global winner: a row
+    dropped here has ≥k better rows in its own partition, hence ≥k
+    better rows globally. The rank window's exchange then carries at
+    most k rows per (key, input-partition) instead of every scored
+    pair — a |candidates|/k shuffle-volume cut for the brute ANN scans
+    (the knn_graph tile kernel's shape, applied to JVM-scored pairs).
+
+    Memory is bounded: the kernel folds batches into a running
+    ≤(keys×k)-row frame. Schema passes through unchanged."""
+    k = int(k)
+    schema = df.schema
+
+    # nested so cloudpickle ships it BY VALUE (foreign-cwd drivers)
+    def prune(batches):
+        import pandas as _pd
+
+        acc = None
+        for pdf in batches:
+            if acc is not None:
+                pdf = _pd.concat([acc, pdf], ignore_index=True)
+            pdf = pdf.sort_values(
+                [key_col, val_col, tie_col],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            acc = pdf.groupby(key_col, sort=False).head(k)
+        if acc is not None and len(acc):
+            yield acc
+
+    return df.mapInPandas(prune, schema)
+
+
 @query(
     "embedding_norms",
     oracle="""
@@ -212,6 +249,13 @@ def _ann_topk(
             cosine_from_norms(F.col("qe"), F.col("ce"), F.col("nq"), F.col("nc")), 6
         ).alias("cosine"),
     )
+    if not restrict_cell:
+        # partition-local top-k before the rank window: the exchange
+        # then carries ≤k rows per (query, partition), not all n_q×n
+        # scored pairs. Brute path only — the cell-restricted join's
+        # pair volume is already ~n_q·n/k, and the Arrow round-trip
+        # measured a 25% regression there (0.60→0.75 s at sf0.1)
+        sims = local_topk_prune(sims, "query_id", "cosine", "neighbor_id", TOP_K)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
@@ -408,6 +452,9 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+    # partition-local top-k: the rank exchange carries ≤k rows per
+    # (query, partition) instead of the full n_q×n pair set
+    sims = local_topk_prune(sims, "query_id", "cosine", "neighbor_id", TOP_K)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
@@ -504,6 +551,8 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+    # partition-local top-k before the rank exchange (gated-brute scan)
+    sims = local_topk_prune(sims, "query_id", "cosine", "neighbor_id", TOP_K)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
@@ -2076,6 +2125,9 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot_expr(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nc")), 6
         ).alias("cosine"),
     )
+    # partition-local top-1 before the rank exchange: each train
+    # partition emits one candidate per eval vector, not every pair
+    sims = local_topk_prune(sims, "eval_id", "cosine", "nearest_train_id", 1)
     w = Window.partitionBy("eval_id").orderBy(
         F.desc("cosine"), F.asc("nearest_train_id")
     )
