@@ -103,6 +103,7 @@ HEADLINE = [
     "ledger_zorder_scan",  # r9: multi-dim box scan over z-clustered files
     "perplexity_buckets",  # r9: CCNet head/middle/tail per-lang terciles
     "semantic_contamination",  # r9: embedding-space eval-vs-train audit
+    "semdedup",  # r10: in-cell semantic dedup on the trained IVF index
 ]
 
 

@@ -2142,3 +2142,102 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eval_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication inside trained k-means cells
+# ---------------------------------------------------------------------------
+SEMDEDUP_TAU = 0.4  # in-cell drop threshold — the fixture's embeddings are
+# near-orthogonal (true semantic dups don't exist), so the 0.4 tail of the
+# cosine distribution stands in, same convention as embedding_near_dup
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH {{KMEANS}},
+    nrm AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv
+        FROM embeddings
+    ),
+    members AS (
+        SELECT k.cl AS cell, n.vec_id, n.embedding, n.nv
+        FROM kcells k JOIN nrm n USING (vec_id)
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM members a JOIN members b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ROUND(
+            list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+            / (a.nv * b.nv), 6) >= {SEMDEDUP_TAU}
+    )
+    SELECT m.vec_id, CAST(m.cell AS INT) AS cell,
+           (d.vec_id IS NULL) AS kept
+    FROM members m LEFT JOIN dropped d ON d.vec_id = m.vec_id
+    ORDER BY m.vec_id
+    """.replace("{KMEANS}", _kmeans_cte())
+
+
+@query("semdedup", oracle=_semdedup_oracle())
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication that only compares INSIDE trained k-means clusters —
+    embeddings cluster near-duplicates together, so the quadratic pair
+    term is bounded by the cell size instead of the corpus. A vector is
+    dropped when a LOWER-id member of its own cell has 6dp cosine ≥
+    SEMDEDUP_TAU (keep-lowest-id, the engine's dedup convention; the
+    paper keeps one representative per duplicate group — the id rule
+    makes that choice deterministic and SQL-replayable). Output is a
+    total verdict — one (vec_id, cell, kept) row per vector, the same
+    keep-list shape ``dedup_keep_list`` feeds a corpus rewrite with.
+
+    Scale shape: the coarse quantizer is the SAME session-cached
+    √n-cell index every IVF tier serves from (:func:`ivf_index` — at
+    100 TB SemDeDup rides an index that already exists); the pair join
+    is keyed on the cell id, so the shuffle carries each vector once
+    per side and in-cell pairs are ~n·(n/k)=n^1.5 worst-case, the
+    published bound. Per-side norms precomputed; the oracle replays
+    k-means + in-cell pairs + the EXISTS-drop end to end."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cells, _ = ivf_index(spark, sf_dir)
+    members = emb.join(cells, "vec_id").select(
+        "vec_id", "cell", "embedding", norm_expr(F.col("embedding")).alias("nv")
+    )
+    a = members.select(
+        F.col("vec_id").alias("vec_a"),
+        "cell",
+        F.col("embedding").alias("ea"),
+        F.col("nv").alias("na"),
+    )
+    b = members.select(
+        F.col("vec_id").alias("vec_b"),
+        "cell",
+        F.col("embedding").alias("eb"),
+        F.col("nv").alias("nb"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            F.round(
+                cosine_from_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")),
+                6,
+            )
+            >= SEMDEDUP_TAU
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("d", F.lit(True))
+    )
+    return (
+        members.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.col("d").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

@@ -662,3 +662,37 @@ def test_semantic_contamination_total_and_sound(spark):
             assert exact.get(key) == r.cosine, (key, r.cosine)
             checked += 1
     assert checked, "0.4-tail pairs must exist for the cross-check to bite"
+
+
+def test_semdedup_laws(spark):
+    """SemDeDup verdict laws: total (one row per vector); the lowest id
+    in every cell is always kept; every dropped vector really has a
+    lower-id in-cell partner at 6dp cosine >= tau (cross-checked against
+    embedding_near_dup's exact pair set, whose 0.4 threshold equals
+    SEMDEDUP_TAU); drops are non-vacuous at this fixture."""
+    from lakehouse_admin_spark.operators.similarity import SEMDEDUP_TAU
+    from lakehouse_admin_spark.sources.tables import load_table
+
+    rows = q("semdedup")(spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert len(rows) == n and len({r.vec_id for r in rows}) == n
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, grp in by_cell.items():
+        lowest = min(grp, key=lambda r: r.vec_id)
+        assert lowest.kept, f"cell {cell}: lowest id must be kept"
+    cell_of = {r.vec_id: r.cell for r in rows}
+    assert SEMDEDUP_TAU == 0.4  # the cross-check leans on the equality
+    pairs = {
+        (r.vec_a, r.vec_b)
+        for r in q("embedding_near_dup")(spark, SF_SMOKE).collect()
+    }  # all pairs with 6dp cosine >= 0.4
+    dropped = [r.vec_id for r in rows if not r.kept]
+    assert dropped, "fixture must produce drops for the laws to bite"
+    for v in dropped:
+        assert any(
+            (a, v) in pairs and cell_of[a] == cell_of[v]
+            for a in range(0, v)
+            if a in cell_of
+        ), f"{v} dropped without an in-cell lower-id near-dup"
