@@ -104,6 +104,7 @@ HEADLINE = [
     "perplexity_buckets",  # r9: CCNet head/middle/tail per-lang terciles
     "semantic_contamination",  # r9: embedding-space eval-vs-train audit
     "semdedup",  # r10: in-cell semantic dedup on the trained IVF index
+    "dsir_importance",  # r10: hashed-ngram importance weights (DSIR)
 ]
 
 

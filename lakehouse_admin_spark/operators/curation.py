@@ -819,3 +819,154 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw-pool document by how much a bag of
+# hashed n-gram features looks like a curated TARGET corpus, then keep
+# the top slice. The published estimator: bucket unigrams+bigrams into B
+# hash buckets, fit Laplace-smoothed bucket LMs over target and raw, and
+# weight each doc by sum_b count_db * log(p_target(b) / p_raw(b)).
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 512  # hashed feature dimension B
+DSIR_KEEP_PCTL = 0.75  # keep the top 25% of the raw pool by importance
+# target split: a deterministic curated slice (English docs in the low
+# doc_id stripe); the raw pool is everything else, including other langs
+_DSIR_TARGET = "lang = 'en' AND doc_id % 10 < 2"
+
+
+@query(
+    "dsir_importance",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, ({_DSIR_TARGET}) AS is_target,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, is_target, UNNEST(toks) AS g FROM tok
+        UNION ALL
+        SELECT doc_id, is_target,
+               UNNEST(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS g
+        FROM tok
+    ),
+    hb AS (
+        SELECT doc_id, is_target,
+               CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT)
+                   % {DSIR_BUCKETS} AS bucket
+        FROM grams
+    ),
+    bc AS (
+        SELECT bucket,
+               SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+               SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+        FROM hb GROUP BY bucket
+    ),
+    tots AS (
+        SELECT SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS nt,
+               SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS nr
+        FROM hb
+    ),
+    db AS (
+        SELECT doc_id, bucket, COUNT(*) AS cdb
+        FROM hb WHERE NOT is_target GROUP BY doc_id, bucket
+    ),
+    w AS (
+        SELECT db.doc_id,
+               CAST(SUM(cdb) AS BIGINT) AS n_grams,
+               ROUND(SUM(cdb * ln(((bc.ct + 1.0) / (tots.nt + {DSIR_BUCKETS}.0))
+                         / ((bc.cr + 1.0) / (tots.nr + {DSIR_BUCKETS}.0)))), 4)
+                   AS logw
+        FROM db JOIN bc USING (bucket) CROSS JOIN tots
+        GROUP BY db.doc_id
+    ),
+    cut AS (SELECT quantile_cont(logw, {DSIR_KEEP_PCTL}) AS cutoff FROM w)
+    SELECT w.doc_id, w.n_grams, w.logw, w.logw >= c.cutoff AS selected
+    FROM w CROSS JOIN cut c
+    ORDER BY w.doc_id
+    """,
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): per-document importance
+    weight of every RAW-pool doc against a curated TARGET split, from
+    Laplace-smoothed hashed-n-gram bucket LMs —
+    ``logw = Σ_b c_db · ln(p_tgt(b)/p_raw(b))`` over B=512 md5 buckets
+    of unigrams+bigrams — plus a ``selected`` verdict keeping the top
+    25% by weight (the resampling budget; the deterministic
+    top-percentile rule stands in for the paper's Gumbel draw so both
+    engines agree bit-for-bit).
+
+    Scale shape: ONE tokenize+explode pass over the corpus with a
+    broadcastable B-row bucket LM pair — the per-doc weight is a join
+    on the bucket id and a map-side-combinable sum, so the only
+    corpus-sized shuffle keys are (bucket) and (doc_id, bucket). The
+    cutoff is the exact interpolated percentile over 4dp-ROUNDED
+    weights (rounding before the cutoff makes both engines interpolate
+    identical inputs — per-doc float sums are order-sensitive in the
+    last ulp); at 100 TB it swaps to ``approx_percentile`` with the
+    plan shape unchanged, and the bucket LMs train once per target."""
+    docs = load_table(spark, sf_dir, "documents")
+    B = DSIR_BUCKETS
+    toks = tokens_expr(F.col("text"))
+    base = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id",
+        F.expr(_DSIR_TARGET).alias("is_target"),
+        toks.alias("toks"),
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat(
+                F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(
+        "doc_id",
+        "is_target",
+        F.explode(F.concat(F.col("toks"), bigrams)).alias("g"),
+    ).withColumn(
+        "bucket",
+        F.pmod(F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long"), F.lit(B)),
+    )
+    bc = g.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
+    )
+    tot = g.agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("nr"),
+    ).collect()[0]  # two scalars of LM mass — index metadata
+    nt, nr = float(tot["nt"]), float(tot["nr"])
+    db = (
+        g.filter(~F.col("is_target"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cdb"))
+    )
+    rb = F.log(
+        ((F.col("ct") + 1.0) / F.lit(nt + B))
+        / ((F.col("cr") + 1.0) / F.lit(nr + B))
+    )
+    w = (
+        db.join(F.broadcast(bc), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cdb").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("cdb") * rb), 4).alias("logw"),
+        )
+    )
+    cut = w.agg(F.expr(f"percentile(logw, {DSIR_KEEP_PCTL})").alias("cutoff"))
+    return (
+        w.crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            "n_grams",
+            "logw",
+            (F.col("logw") >= F.col("cutoff")).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )

@@ -696,3 +696,30 @@ def test_semdedup_laws(spark):
             for a in range(0, v)
             if a in cell_of
         ), f"{v} dropped without an in-cell lower-id near-dup"
+
+
+def test_dsir_importance_laws(spark):
+    """DSIR estimator laws: total over the raw pool (one verdict per
+    non-target doc); the selected share matches the top-25% budget up
+    to ties; and the estimator actually ranks target-like data up —
+    raw ENGLISH docs (the target is an English slice) average a higher
+    importance weight than non-English docs."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_admin_spark.sources.tables import load_table
+
+    rows = q("dsir_importance")(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    raw = docs.filter(~F.expr("lang = 'en' AND doc_id % 10 < 2"))
+    n_raw = raw.count()
+    assert len(rows) == n_raw
+    assert len({r.doc_id for r in rows}) == n_raw
+    share = sum(1 for r in rows if r.selected) / len(rows)
+    assert 0.20 <= share <= 0.35, share
+    lang_of = {r.doc_id: r.lang for r in raw.select("doc_id", "lang").collect()}
+    en = [r.logw for r in rows if lang_of[r.doc_id] == "en"]
+    other = [r.logw for r in rows if lang_of[r.doc_id] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other), (
+        "English raw docs must outscore non-English against an English target"
+    )
