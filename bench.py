@@ -105,6 +105,7 @@ HEADLINE = [
     "semantic_contamination",  # r9: embedding-space eval-vs-train audit
     "semdedup",  # r10: in-cell semantic dedup on the trained IVF index
     "dsir_importance",  # r10: hashed-ngram importance weights (DSIR)
+    "d4_prototype_prune",  # r10: per-cell prototypical-core pruning (D4)
 ]
 
 

@@ -2241,3 +2241,89 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D4 prototype pruning — diversify after dedup (Tirumala et al. 2023)
+# ---------------------------------------------------------------------------
+D4_DROP_PCTL = 0.2  # per-cell fraction of most-prototypical points dropped
+
+
+def _d4_oracle() -> str:
+    d2 = (
+        "list_sum(list_transform(list_zip(e.embedding, c.ce), "
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+    )
+    return f"""
+    WITH {{KMEANS}},
+    m AS (
+        SELECT k.vec_id, k.cl AS cell, ROUND({d2}, 6) AS d2
+        FROM kcells k
+        JOIN embeddings e ON e.vec_id = k.vec_id
+        JOIN kcent c ON c.cl = k.cl
+    ),
+    cut AS (
+        SELECT cell, quantile_cont(d2, {D4_DROP_PCTL}) AS cutoff
+        FROM m GROUP BY cell
+    )
+    SELECT m.vec_id, CAST(m.cell AS INT) AS cell, m.d2,
+           ROUND(c.cutoff, 6) AS cell_cutoff,
+           m.d2 >= c.cutoff AS kept
+    FROM m JOIN cut c USING (cell)
+    ORDER BY m.vec_id
+    """.replace("{KMEANS}", _kmeans_cte())
+
+
+@query("d4_prototype_prune", oracle=_d4_oracle())
+def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 diversification (Tirumala et al. 2023, arXiv:2308.12284):
+    after semantic dedup, DROP the most PROTOTYPICAL points of every
+    k-means cluster — the ``D4_DROP_PCTL`` fraction closest to their
+    own centroid by squared L2 — because dense cluster cores carry
+    redundant training signal while the cell's periphery carries the
+    diversity. ``kept = d2 >= per-cell 20th percentile`` (ties keep,
+    so singleton cells always survive). One total (vec_id, cell, d2,
+    cell_cutoff, kept) verdict per vector — composable with
+    :func:`semdedup` exactly as the paper chains them.
+
+    Scale shape: rides the SAME session-cached √n-cell quantizer as
+    every IVF tier (:func:`ivf_index`); d2-to-own-centroid is a
+    broadcast join against the k-row centroid table and one array fold
+    per vector (linear scan, no pairs at all — cheaper than semdedup);
+    the per-cell cutoff is an exact interpolated percentile over
+    6dp-rounded d2 (identical fold both engines, the ivf assign
+    convention) that swaps to ``approx_percentile`` at 100 TB with the
+    plan unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cells, cents = ivf_index(spark, sf_dir)
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                _as_double(F.col("embedding")),
+                F.col("ce"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    m = (
+        emb.join(cells, "vec_id")
+        .join(F.broadcast(cents), "cell")
+        .select("vec_id", "cell", d2.alias("d2"))
+    )
+    cut = m.groupBy("cell").agg(
+        F.expr(f"percentile(d2, {D4_DROP_PCTL})").alias("cutoff")
+    )
+    return (
+        m.join(F.broadcast(cut), "cell")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            "d2",
+            F.round("cutoff", 6).alias("cell_cutoff"),
+            (F.col("d2") >= F.col("cutoff")).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

@@ -723,3 +723,32 @@ def test_dsir_importance_laws(spark):
     assert sum(en) / len(en) > sum(other) / len(other), (
         "English raw docs must outscore non-English against an English target"
     )
+
+
+def test_d4_prototype_prune_laws(spark):
+    """D4 pruning laws: total (one verdict per vector, cells matching
+    semdedup's assignment — both ride ivf_index); within every cell
+    each dropped point sits at or below every kept point's d2 (the
+    most-prototypical-first rule; <= because d2 is 6dp-rounded);
+    singleton cells are kept; drops are non-vacuous and near the 20%
+    budget overall."""
+    rows = q("d4_prototype_prune")(spark, SF_SMOKE).collect()
+    sd = {r.vec_id: r.cell for r in q("semdedup")(spark, SF_SMOKE).collect()}
+    assert len(rows) == len(sd)
+    assert all(sd[r.vec_id] == r.cell for r in rows)
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    dropped_total = 0
+    for cell, grp in by_cell.items():
+        kept = [r.d2 for r in grp if r.kept]
+        dropped = [r.d2 for r in grp if not r.kept]
+        assert kept, f"cell {cell} lost every member"
+        if len(grp) == 1:
+            assert grp[0].kept
+        if dropped:
+            assert max(dropped) <= min(kept), cell
+        assert len({r.cell_cutoff for r in grp}) == 1
+        dropped_total += len(dropped)
+    share = dropped_total / len(rows)
+    assert 0.05 <= share <= 0.25, share
