@@ -106,6 +106,7 @@ HEADLINE = [
     "semdedup",  # r10: in-cell semantic dedup on the trained IVF index
     "dsir_importance",  # r10: hashed-ngram importance weights (DSIR)
     "d4_prototype_prune",  # r10: per-cell prototypical-core pruning (D4)
+    "embedding_covariance",  # r10: distributed Gram/covariance pass (PCA/OPQ)
 ]
 
 

@@ -2327,3 +2327,103 @@ def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed covariance — the training pass of PCA-whitening / OPQ
+# ---------------------------------------------------------------------------
+EMB_DIM = 64  # fixture embedding dimensionality
+
+
+@query(
+    "embedding_covariance",
+    oracle=f"""
+    WITH mu AS (
+        SELECT i, AVG(CAST(v AS DOUBLE)) AS m
+        FROM (SELECT generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding) AS v
+              FROM embeddings)
+        GROUP BY i
+    ),
+    cent AS (
+        SELECT e.vec_id, t.i,
+               CAST(e.embedding[t.i] AS DOUBLE) - mu.m AS c
+        FROM embeddings e
+        CROSS JOIN (SELECT UNNEST(range(1, {EMB_DIM + 1})) AS i) t
+        JOIN mu ON mu.i = t.i
+    ),
+    n AS (SELECT COUNT(*) AS n FROM embeddings)
+    SELECT CAST(a.i AS INT) AS dim_i, CAST(b.i AS INT) AS dim_j,
+           ROUND(SUM(a.c * b.c) / n.n, 6) AS cov
+    FROM cent a
+    JOIN cent b ON a.vec_id = b.vec_id AND a.i <= b.i
+    CROSS JOIN n
+    GROUP BY a.i, b.i, n.n
+    ORDER BY dim_i, dim_j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix of the embedding corpus — the
+    one-job training pass every linear preprocessing of a vector index
+    starts from (PCA dimensionality reduction, whitening, FAISS's OPQ
+    rotation: all eigen-decompose THIS matrix, a d×d driver-side
+    solve). Upper triangle only ((d²+d)/2 rows), two-pass centered
+    estimator: per-dim means first, then Σ(x−μ)(x−μ)ᵀ/n.
+
+    Scale shape: the kernel is a per-partition BLAS rank-k update —
+    each Arrow batch contributes one dense (d,d) Gram of its centered
+    rows, so the shuffle carries (d²+d)/2 partial rows PER PARTITION
+    (a few KB) regardless of corpus size, and the final reduce is a
+    tiny groupBy sum. The mean pass is a map-side-combinable aggregate
+    (2·d doubles of driver state, broadcast into the kernel). This is
+    the exact-arithmetic floor of the streaming/minibatch covariance
+    sketches; the oracle replays both passes relationally."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    mu_rows = (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .collect()
+    )  # d doubles of model state
+    mu = np.zeros(EMB_DIM, dtype=np.float64)
+    for r in mu_rows:
+        mu[r["pos"]] = float(r["m"])
+    bc = spark.sparkContext.broadcast(mu)
+    out_schema = StructType(
+        [
+            StructField("dim_i", IntegerType()),
+            StructField("dim_j", IntegerType()),
+            StructField("partial", DoubleType()),
+        ]
+    )
+    iu = np.triu_indices(EMB_DIM)
+
+    # nested so cloudpickle ships it BY VALUE (foreign-cwd drivers)
+    def gram(batches):
+        m = bc.value
+        acc = np.zeros((EMB_DIM, EMB_DIM), dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            ) - m[None, :]
+            acc += x.T @ x  # one BLAS rank-k update per Arrow batch
+            seen = True
+        if seen:
+            yield pd.DataFrame(
+                {
+                    "dim_i": (iu[0] + 1).astype(np.int32),
+                    "dim_j": (iu[1] + 1).astype(np.int32),
+                    "partial": acc[iu],
+                }
+            )
+
+    return (
+        emb.mapInPandas(gram, out_schema)
+        .groupBy("dim_i", "dim_j")
+        .agg(F.round(F.sum("partial") / F.lit(float(n)), 6).alias("cov"))
+        .orderBy("dim_i", "dim_j")
+    )

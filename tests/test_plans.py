@@ -752,3 +752,32 @@ def test_d4_prototype_prune_laws(spark):
         dropped_total += len(dropped)
     share = dropped_total / len(rows)
     assert 0.05 <= share <= 0.25, share
+
+
+def test_embedding_covariance_is_psd(spark):
+    """The covariance output reassembled into a dense matrix must be
+    symmetric PSD (eigvals >= -1e-9 after 6dp rounding), its diagonal
+    non-negative, and its trace must equal the sum of per-dim
+    variances computed independently — the algebraic signature that
+    the distributed Gram kernel really computed E[(x-mu)(x-mu)^T]."""
+    import numpy as np
+
+    from lakehouse_admin_spark.operators.similarity import EMB_DIM
+    from lakehouse_admin_spark.sources.tables import load_table
+
+    rows = q("embedding_covariance")(spark, SF_SMOKE).collect()
+    assert len(rows) == EMB_DIM * (EMB_DIM + 1) // 2
+    c = np.zeros((EMB_DIM, EMB_DIM))
+    for r in rows:
+        c[r.dim_i - 1, r.dim_j - 1] = r.cov
+        c[r.dim_j - 1, r.dim_i - 1] = r.cov
+    assert (np.diag(c) >= 0).all()
+    assert np.linalg.eigvalsh(c).min() >= -1e-9
+    emb = np.stack(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+        ]
+    )
+    var = ((emb - emb.mean(axis=0)) ** 2).mean(axis=0)
+    assert abs(np.trace(c) - var.sum()) < 1e-4
