@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -2427,3 +2428,78 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("partial") / F.lit(float(n)), 6).alias("cov"))
         .orderBy("dim_i", "dim_j")
     )
+
+
+PCA_COMPONENTS = 8  # whitened components kept (top eigenvalues)
+
+
+@query("pca_whiten_project")  # no SQL oracle: eigen-decomposition is not
+# relationally expressible; laws pinned in tests/test_plans.py
+def pca_whiten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening projection — the serving half of the
+    :func:`embedding_covariance` training pass: eigen-decompose the
+    d×d covariance ON THE DRIVER (a constant-size solve, the same
+    place FAISS trains its OPQ rotation), keep the top
+    ``PCA_COMPONENTS`` eigenpairs, and project every embedding through
+    ``Λ^(-1/2)·Vᵀ·(x−μ)`` so downstream similarity runs in a
+    decorrelated, unit-variance space at 1/8 the dimensionality.
+    Eigenvector signs are canonicalized (largest-|coordinate| positive)
+    so the output is deterministic across BLAS builds.
+
+    Scale shape: training state is the (d²+d)/2-row covariance (flat
+    in corpus size, see embedding_covariance) plus a d×R matrix
+    broadcast into an Arrow-batch kernel; the projection itself is one
+    BLAS GEMM per batch — embarrassingly parallel, no shuffle at all
+    beyond the final ORDER BY."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cov_rows = embedding_covariance(spark, sf_dir).collect()  # (d²+d)/2 —
+    # model state, not data
+    c = np.zeros((EMB_DIM, EMB_DIM))
+    for r in cov_rows:
+        c[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov"]
+        c[r["dim_j"] - 1, r["dim_i"] - 1] = r["cov"]
+    mu_rows = (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .collect()
+    )
+    mu = np.zeros(EMB_DIM)
+    for r in mu_rows:
+        mu[r["pos"]] = float(r["m"])
+    evals, evecs = np.linalg.eigh(c)  # ascending
+    idx = np.argsort(evals)[::-1][:PCA_COMPONENTS]
+    lam, v = evals[idx], evecs[:, idx]
+    # sign canonicalization: the max-|coordinate| of each eigenvector
+    # is made positive (eigh's sign is BLAS-dependent)
+    for j in range(v.shape[1]):
+        k = int(np.argmax(np.abs(v[:, j])))
+        if v[k, j] < 0:
+            v[:, j] = -v[:, j]
+    w = v / np.sqrt(np.maximum(lam, 1e-12))[None, :]  # (d, R): x @ w whitens
+    bc = spark.sparkContext.broadcast((mu, w))
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("component", ArrayType(DoubleType())),
+        ]
+    )
+
+    # nested so cloudpickle ships it BY VALUE (foreign-cwd drivers)
+    def project(batches):
+        m, ww = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            ) - m[None, :]
+            y = np.round(x @ ww, 6)  # one GEMM per Arrow batch
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "component": list(y),
+                }
+            )
+
+    return emb.mapInPandas(project, out_schema).orderBy("vec_id")

@@ -781,3 +781,25 @@ def test_embedding_covariance_is_psd(spark):
     )
     var = ((emb - emb.mean(axis=0)) ** 2).mean(axis=0)
     assert abs(np.trace(c) - var.sum()) < 1e-4
+
+
+def test_pca_whiten_project_laws(spark):
+    """Whitening laws (no SQL oracle — eigen isn't relational): the
+    projected components have ~zero mean, IDENTITY covariance on the
+    kept subspace (unit variances, ~zero cross-covariances), output is
+    total, and dimensionality equals PCA_COMPONENTS."""
+    import numpy as np
+
+    from lakehouse_admin_spark.operators.similarity import PCA_COMPONENTS
+    from lakehouse_admin_spark.sources.tables import load_table
+
+    rows = q("pca_whiten_project")(spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert len(rows) == n
+    y = np.stack([np.asarray(r.component) for r in rows])
+    assert y.shape == (n, PCA_COMPONENTS)
+    assert np.abs(y.mean(axis=0)).max() < 1e-4
+    cov = (y - y.mean(axis=0)).T @ (y - y.mean(axis=0)) / n
+    assert np.abs(np.diag(cov) - 1.0).max() < 1e-3
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 1e-3

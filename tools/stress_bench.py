@@ -62,6 +62,11 @@ STRESS_QUERIES = [
     # rows; at scale the train side swaps to the indexed tiers
     "ann_filtered_topk",
     "dedup_keep_list",
+    # r10: new tiers
+    "semdedup",  # in-cell pairs on the √n-cell index → ~n^1.5 worst case
+    "dsir_importance",  # one tokenize pass + bucket-keyed joins → ~linear
+    "d4_prototype_prune",  # linear scan + broadcast centroid join
+    "embedding_covariance",  # per-partition Gram → linear, flat shuffle
 ]
 
 # Serving-tier queries take a QUERY WORKLOAD as input; the graded form
