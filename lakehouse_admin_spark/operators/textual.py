@@ -671,6 +671,33 @@ def _apply_merge(df: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
+def _pair_counts(cur: DataFrame) -> DataFrame:
+    """(a, b, cnt) — adjacent-symbol pair frequencies over the vocab
+    frame's current sequences (one map-side-combinable aggregate)."""
+    syms = F.filter(F.split("seq", r"\|"), lambda x: x != "")
+    # guard: sequence(1, 0) counts DOWN in Spark — emit no pairs
+    # for single-symbol words
+    pair_arr = F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.concat(
+                F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        cur.select("freq", F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .select(
+            F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("a"),
+            F.split_part(F.col("pair"), F.lit(" "), F.lit(2)).alias("b"),
+            "cnt",
+        )
+    )
+
+
 def _learn_merges(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, int]]:
     import os as _os
 
@@ -688,27 +715,8 @@ def _learn_merges(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str,
     merges: list[tuple[int, str, str, int]] = []
     try:
         for r in range(1, BPE_MERGES + 1):
-            syms = F.filter(F.split("seq", r"\|"), lambda x: x != "")
-            # guard: sequence(1, 0) counts DOWN in Spark — emit no pairs
-            # for single-symbol words
-            pair_arr = F.when(
-                F.size(syms) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(syms) - 1),
-                    lambda i: F.concat(
-                        F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
             top = (
-                cur.select("freq", F.explode(pair_arr).alias("pair"))
-                .groupBy("pair")
-                .agg(F.sum("freq").alias("cnt"))
-                .select(
-                    F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("a"),
-                    F.split_part(F.col("pair"), F.lit(" "), F.lit(2)).alias("b"),
-                    "cnt",
-                )
+                _pair_counts(cur)
                 .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
                 .limit(1)
                 .collect()
@@ -1400,3 +1408,160 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "xent", bucket.alias("bucket"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched BPE — the 50k-merge production shape: top-N disjoint merges
+# per round instead of one, so a full tokenizer train needs k/N rounds
+# ---------------------------------------------------------------------------
+BPE_BATCH_ROUNDS = 2  # aggregation rounds (each = one Spark job wave)
+BPE_BATCH_N = 3  # merges adopted per round (symbol-disjoint greedy)
+BPE_BATCH_WINDOW = 16  # candidate window ranked per round (model state)
+
+
+def _bpe_batch_cte_chain(
+    rounds: int = BPE_BATCH_ROUNDS,
+    n: int = BPE_BATCH_N,
+    w: int = BPE_BATCH_WINDOW,
+) -> str:
+    """DuckDB chain replaying the BATCHED trainer round for round: pair
+    counts, a ranked top-``w`` window, ``n`` greedy symbol-disjoint
+    selections (each g-CTE = "first window pair sharing no symbol with
+    any earlier selection"), and one rewrite applying all selected
+    merges (disjoint symbols ⇒ the double-replaces commute). COALESCE
+    guards make an empty selection an identity replace ('~' can never
+    appear in [a-z]+ symbols)."""
+    parts = [
+        r"""
+    WITH tok AS (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+        FROM documents
+    ),
+    wf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT UNNEST(w) AS word FROM tok)
+        WHERE regexp_matches(word, '^[a-z]+$')
+        GROUP BY word
+    ),
+    s0 AS (
+        SELECT word, freq,
+               '|' || array_to_string(string_split(word, ''), '|') || '|' AS seq
+        FROM wf
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    , pr{r} AS MATERIALIZED (
+        SELECT freq,
+               UNNEST(list_transform(range(1, greatest(len(syms), 1)),
+                      i -> syms[i] || ' ' || syms[i+1])) AS pair
+        FROM (SELECT freq,
+                     list_filter(string_split(seq, '|'), x -> x != '') AS syms
+              FROM s{r - 1})
+    ),
+    tw{r} AS MATERIALIZED (
+        SELECT a, b, cnt, rn FROM (
+            SELECT a, b, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+            FROM (
+                SELECT string_split(pair, ' ')[1] AS a,
+                       string_split(pair, ' ')[2] AS b,
+                       SUM(freq) AS cnt
+                FROM pr{r} GROUP BY pair
+            )
+        ) WHERE rn <= {w}
+    ),
+    g{r}_1 AS MATERIALIZED (SELECT a, b, cnt, rn FROM tw{r} WHERE rn = 1)""")
+        for i in range(2, n + 1):
+            excl = " UNION ".join(
+                f"SELECT a AS s FROM g{r}_{j} UNION SELECT b AS s FROM g{r}_{j}"
+                for j in range(1, i)
+            )
+            parts.append(f""",
+    g{r}_{i} AS MATERIALIZED (
+        SELECT a, b, cnt, rn FROM tw{r} t
+        WHERE t.a NOT IN (SELECT s FROM ({excl}))
+          AND t.b NOT IN (SELECT s FROM ({excl}))
+        ORDER BY t.rn LIMIT 1
+    )""")
+        expr = "seq"
+        for i in range(1, n + 1):
+            pat = f"COALESCE((SELECT '|' || a || '|' || b || '|' FROM g{r}_{i}), '|~|')"
+            rep = f"COALESCE((SELECT '|' || a || b || '|' FROM g{r}_{i}), '|~|')"
+            expr = f"replace(replace({expr},\n            {pat},\n            {rep}),\n            {pat},\n            {rep})"
+        parts.append(f""",
+    s{r} AS MATERIALIZED (
+        SELECT word, freq,
+        {expr} AS seq
+        FROM s{r - 1}
+    )""")
+    return "".join(parts)
+
+
+def _bpe_batch_oracle() -> str:
+    selects = [
+        f"SELECT CAST({r} AS INT) AS round, CAST({i} AS INT) AS pos, "
+        f"a AS left_sym, b AS right_sym, CAST(cnt AS BIGINT) AS pair_count "
+        f"FROM g{r}_{i}"
+        for r in range(1, BPE_BATCH_ROUNDS + 1)
+        for i in range(1, BPE_BATCH_N + 1)
+    ]
+    return (
+        _bpe_batch_cte_chain()
+        + "\n    SELECT round, pos, left_sym, right_sym, pair_count FROM (\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ) ORDER BY round, pos"
+    )
+
+
+@query("bpe_batch_learn_merges", oracle=_bpe_batch_oracle())
+def bpe_batch_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED BPE training — the shape a production 50k-merge
+    tokenizer run needs: each aggregation round ranks a top-W candidate
+    window and adopts the N best SYMBOL-DISJOINT pairs greedily (pairs
+    sharing no symbol cannot create or destroy each other's
+    adjacencies, so their merge-everywhere rewrites commute — applying
+    them in one pass is exact), cutting the number of corpus-touching
+    rounds from k to ~k/N. The recorded count of a later in-round pick
+    is its PRE-BATCH frequency — the standard batched-BPE bookkeeping
+    (counts refresh at the next round's aggregate).
+
+    Scale shape: identical per-round plan to :func:`bpe_learn_merges`
+    (one map-side-combinable pair aggregate over the vocab-sized
+    frame), but the driver pulls a W-row ranked window instead of a
+    1-row argmax — still model-state-sized — and the rewrite applies N
+    codegen'd double-replaces per round. The oracle unrolls every
+    round: ranked window, N greedy exclusion CTEs, COALESCE-guarded
+    identity replaces for short selections; all-integer/string → exact
+    hash."""
+    from pyspark.storagelevel import StorageLevel
+
+    base = _bpe_vocab_base(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    cur = base
+    rows: list[tuple[int, int, str, str, int]] = []
+    try:
+        for r in range(1, BPE_BATCH_ROUNDS + 1):
+            top = (
+                _pair_counts(cur)
+                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+                .limit(BPE_BATCH_WINDOW)
+                .collect()
+            )  # W rows of model state
+            used: set[str] = set()
+            chosen: list[tuple[str, str, int]] = []
+            for t in top:
+                if len(chosen) >= BPE_BATCH_N:
+                    break
+                if t["a"] in used or t["b"] in used:
+                    continue
+                chosen.append((t["a"], t["b"], int(t["cnt"])))
+                used.update((t["a"], t["b"]))
+            for pos, (a, b, cnt) in enumerate(chosen, 1):
+                rows.append((r, pos, a, b, cnt))
+            for a, b, _cnt in chosen:
+                cur = _apply_merge(cur, a, b)
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(
+        rows, "round int, pos int, left_sym string, right_sym string, pair_count bigint"
+    ).orderBy("round", "pos")

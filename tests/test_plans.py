@@ -803,3 +803,36 @@ def test_pca_whiten_project_laws(spark):
     assert np.abs(np.diag(cov) - 1.0).max() < 1e-3
     off = cov - np.diag(np.diag(cov))
     assert np.abs(off).max() < 1e-3
+
+
+def test_bpe_batch_laws(spark):
+    """Batched-BPE laws: round-1 pick-1 equals the sequential trainer's
+    first merge (identical pre-merge corpus); within a round, symbols
+    of the selected pairs are pairwise disjoint (the commutation
+    precondition) and recorded counts are non-increasing by pos; at
+    most BPE_BATCH_N picks per round; round 2 exists (the corpus has
+    plenty of pairs)."""
+    from lakehouse_admin_spark.operators.textual import (
+        BPE_BATCH_N,
+        BPE_BATCH_ROUNDS,
+    )
+
+    rows = q("bpe_batch_learn_merges")(spark, SF_SMOKE).collect()
+    seq = q("bpe_learn_merges")(spark, SF_SMOKE).collect()
+    first = [r for r in rows if r.round == 1 and r.pos == 1][0]
+    assert (first.left_sym, first.right_sym, first.pair_count) == (
+        seq[0].left_sym,
+        seq[0].right_sym,
+        seq[0].pair_count,
+    )
+    by_round: dict[int, list] = {}
+    for r in rows:
+        by_round.setdefault(r.round, []).append(r)
+    assert set(by_round) == set(range(1, BPE_BATCH_ROUNDS + 1))
+    for rnd, grp in by_round.items():
+        grp.sort(key=lambda r: r.pos)
+        assert len(grp) <= BPE_BATCH_N
+        syms = [s for r in grp for s in (r.left_sym, r.right_sym)]
+        assert len(syms) == len(set(syms)), f"round {rnd} symbols overlap"
+        counts = [r.pair_count for r in grp]
+        assert counts == sorted(counts, reverse=True), counts

@@ -67,6 +67,7 @@ STRESS_QUERIES = [
     "dsir_importance",  # one tokenize pass + bucket-keyed joins → ~linear
     "d4_prototype_prune",  # linear scan + broadcast centroid join
     "embedding_covariance",  # per-partition Gram → linear, flat shuffle
+    "bpe_batch_learn_merges",  # vocab-sized rounds → saturates like bpe_learn
 ]
 
 # Serving-tier queries take a QUERY WORKLOAD as input; the graded form
