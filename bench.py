@@ -108,6 +108,7 @@ HEADLINE = [
     "d4_prototype_prune",  # r10: per-cell prototypical-core pruning (D4)
     "embedding_covariance",  # r10: distributed Gram/covariance pass (PCA/OPQ)
     "bpe_batch_learn_merges",  # r10: top-N disjoint merges per round
+    "collocations_pmi",  # r10: PMI collocation mining (SGNS matrix)
 ]
 
 

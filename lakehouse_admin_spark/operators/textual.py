@@ -13,6 +13,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from lakehouse_admin_spark.operators.dedup import tokens_expr
 from lakehouse_admin_spark.registry import query
 from lakehouse_admin_spark.sources.tables import load_table
@@ -1565,3 +1566,129 @@ def bpe_batch_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "round int, pos int, left_sym string, right_sym string, pair_count bigint"
     ).orderBy("round", "pos")
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — corpus-level association mining
+# ---------------------------------------------------------------------------
+PMI_MIN_COUNT = 5  # bigram count floor (PMI is noise below small counts)
+PMI_TOP = 50  # collocations reported
+
+
+@query(
+    "collocations_pmi",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+        FROM (SELECT UNNEST(toks) AS w FROM tok) GROUP BY w
+    ),
+    tot AS (SELECT SUM(cu) AS t FROM uni),
+    big AS (
+        SELECT string_split(pair, ' ')[1] AS a,
+               string_split(pair, ' ')[2] AS b,
+               CAST(COUNT(*) AS BIGINT) AS cb
+        FROM (
+            SELECT UNNEST(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS pair
+            FROM tok
+        ) GROUP BY pair
+    ),
+    btot AS (SELECT SUM(cb) AS tb FROM big),
+    pmi AS (
+        SELECT big.a, big.b, big.cb,
+               ROUND(ln((big.cb / CAST(btot.tb AS DOUBLE))
+                        / ((ua.cu / CAST(tot.t AS DOUBLE))
+                           * (ub.cu / CAST(tot.t AS DOUBLE)))), 4) AS pmi
+        FROM big
+        JOIN uni ua ON ua.w = big.a
+        JOIN uni ub ON ub.w = big.b
+        CROSS JOIN tot CROSS JOIN btot
+        WHERE big.cb >= {PMI_MIN_COUNT}
+    )
+    SELECT a AS left_tok, b AS right_tok, cb AS pair_count, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, a, b) AS INT) AS rank
+    FROM pmi
+    ORDER BY rank LIMIT {PMI_TOP}
+    """,
+)
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{50} collocations by pointwise mutual information —
+    ``PMI(a,b) = ln(p(a,b) / (p(a)p(b)))`` over adjacent token pairs
+    with a count floor (the classic collocation-extraction /
+    phrase-mining signal; word2vec's SGNS objective factorizes exactly
+    this matrix, Levy & Goldberg 2014). All probabilities derive from
+    exact integer counts, so both engines compute bit-identical
+    doubles before the 4dp round.
+
+    Scale shape: two map-side-combinable aggregates (unigrams,
+    bigrams) over one tokenize pass; the PMI join is keyed on the
+    token (vocab-sized, zipf-friendly — the count floor prunes the
+    heavy tail before the join); the final top-50 ranks only the
+    floored pair set (vocab-bounded), never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    base = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        toks.alias("toks")
+    )
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    pair_arr = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat(
+                F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = (
+        base.select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cb"))
+        .select(
+            F.split_part("pair", F.lit(" "), F.lit(1)).alias("a"),
+            F.split_part("pair", F.lit(" "), F.lit(2)).alias("b"),
+            "cb",
+        )
+        .filter(F.col("cb") >= PMI_MIN_COUNT)
+    )
+    t = uni.agg(F.sum("cu")).collect()[0][0]  # exact scalar totals —
+    tb_row = (
+        base.select(
+            F.sum(F.greatest(F.size("toks") - 1, F.lit(0))).alias("tb")
+        ).collect()[0]
+    )
+    tb = tb_row["tb"]
+    ua = uni.select(F.col("w").alias("a"), F.col("cu").alias("ca"))
+    ub = uni.select(F.col("w").alias("b"), F.col("cu").alias("cbu"))
+    pmi = F.round(
+        F.log(
+            (F.col("cb") / F.lit(float(tb)))
+            / ((F.col("ca") / F.lit(float(t))) * (F.col("cbu") / F.lit(float(t))))
+        ),
+        4,
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    return (
+        big.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .withColumn("pmi", pmi)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= PMI_TOP)
+        .select(
+            F.col("a").alias("left_tok"),
+            F.col("b").alias("right_tok"),
+            F.col("cb").alias("pair_count"),
+            "pmi",
+            "rank",
+        )
+        .orderBy("rank")
+    )

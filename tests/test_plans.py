@@ -836,3 +836,49 @@ def test_bpe_batch_laws(spark):
         assert len(syms) == len(set(syms)), f"round {rnd} symbols overlap"
         counts = [r.pair_count for r in grp]
         assert counts == sorted(counts, reverse=True), counts
+
+
+def test_collocations_pmi_laws(spark):
+    """PMI laws: ranks contiguous from 1, non-increasing pmi, every
+    pair at/above the count floor, and the top pair's PMI reproduces
+    from raw unigram/bigram counts computed independently."""
+    import math
+
+    from lakehouse_admin_spark.operators.dedup import tokens_expr
+    from lakehouse_admin_spark.operators.textual import PMI_MIN_COUNT
+    from lakehouse_admin_spark.sources.tables import load_table
+
+    rows = q("collocations_pmi")(spark, SF_SMOKE).collect()
+    assert rows and [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    assert all(r.pair_count >= PMI_MIN_COUNT for r in rows)
+    toks = [
+        r.t
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select(F.explode(tokens_expr(F.col("text"))).alias("t"))
+        .collect()
+    ]
+    uni: dict[str, int] = {}
+    big: dict[tuple, int] = {}
+    for t in toks:
+        uni[t] = uni.get(t, 0) + 1
+    docs_toks = [
+        r.ts
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select(tokens_expr(F.col("text")).alias("ts"))
+        .collect()
+    ]
+    tb = 0
+    for ts in docs_toks:
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            tb += 1
+    top = rows[0]
+    t_tot = len(toks)
+    expect = math.log(
+        (big[(top.left_tok, top.right_tok)] / tb)
+        / ((uni[top.left_tok] / t_tot) * (uni[top.right_tok] / t_tot))
+    )
+    assert abs(expect - top.pmi) < 5e-4
+    assert big[(top.left_tok, top.right_tok)] == top.pair_count

@@ -68,6 +68,7 @@ STRESS_QUERIES = [
     "d4_prototype_prune",  # linear scan + broadcast centroid join
     "embedding_covariance",  # per-partition Gram → linear, flat shuffle
     "bpe_batch_learn_merges",  # vocab-sized rounds → saturates like bpe_learn
+    "collocations_pmi",  # two vocab-keyed aggregates → ~linear
 ]
 
 # Serving-tier queries take a QUERY WORKLOAD as input; the graded form
