@@ -109,6 +109,7 @@ HEADLINE = [
     "embedding_covariance",  # r10: distributed Gram/covariance pass (PCA/OPQ)
     "bpe_batch_learn_merges",  # r10: top-N disjoint merges per round
     "collocations_pmi",  # r10: PMI collocation mining (SGNS matrix)
+    "knn_pagerank",  # r10: centrality over the semantic k-NN graph
 ]
 
 

@@ -1049,3 +1049,101 @@ def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the semantic k-NN graph — graph centrality for selection
+# ---------------------------------------------------------------------------
+PR_ITERS = 3  # power-iteration rounds (unrolled in the oracle)
+PR_DAMP = 0.85  # standard damping
+
+
+def _knn_pagerank_oracle() -> str:
+    pairs = f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+               (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT src, dst,
+               row_number() OVER (
+                   PARTITION BY src ORDER BY ROUND(cos, 6) DESC, dst
+               ) AS rank
+        FROM pairs
+    ),
+    edges AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rank <= {KNN_K}),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+    pr0 AS MATERIALIZED (
+        SELECT DISTINCT src AS v, (SELECT 1.0 / n FROM nn) AS r FROM edges
+    )"""
+    rounds = []
+    for t in range(1, PR_ITERS + 1):
+        rounds.append(f""",
+    pr{t} AS MATERIALIZED (
+        SELECT p.v,
+               (SELECT {1.0 - PR_DAMP} / n FROM nn)
+               + {PR_DAMP} * COALESCE(c.s, 0.0) AS r
+        FROM pr0 p LEFT JOIN (
+            SELECT e.dst AS v, SUM(q.r / {KNN_K}) AS s
+            FROM edges e JOIN pr{t - 1} q ON q.v = e.src
+            GROUP BY e.dst
+        ) c ON c.v = p.v
+    )""")
+    return (
+        pairs
+        + "".join(rounds)
+        + f"""
+    SELECT v AS vec_id, ROUND(r, 8) AS pagerank
+    FROM pr{PR_ITERS} ORDER BY vec_id
+    """
+    )
+
+
+@query("knn_pagerank", oracle=_knn_pagerank_oracle())
+def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the exact cosine k-NN graph — the
+    graph-based representativeness score coreset/selection methods
+    rank documents by (a vector's mass grows when many vectors' nearest
+    lists point at it). Three unrolled power-iteration rounds with
+    standard 0.85 damping; out-degree is exactly KNN_K for every
+    vertex, so each round is one edge join + one groupBy(dst) — the
+    textbook distributed PageRank step.
+
+    Scale shape: the edge list is n·k rows built once by the
+    block-matrix :func:`knn_graph` kernel and persisted across rounds;
+    each iteration shuffles at most n·k contribution rows on the dst
+    key and n rank rows on the vertex key. Scores are deterministic to
+    8dp across engines (sums of ≤n doubles, relative error 1e-16);
+    the oracle unrolls all rounds over its own replayed k-NN edges."""
+    edges = (
+        knn_graph(spark, sf_dir).select("src", "dst").persist()
+    )  # n·k rows, reused by every round
+    n = float(
+        load_table(spark, sf_dir, "embeddings").select("vec_id").count()
+    )
+    nodes = edges.select(F.col("src").alias("v")).distinct()
+    ranks = nodes.select("v", F.lit(1.0 / n).alias("r"))
+    for _t in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["v"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.lit(float(KNN_K))).alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["v"] == contrib["dst"], "left")
+            .select(
+                "v",
+                (
+                    F.lit((1.0 - PR_DAMP) / n)
+                    + F.lit(PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("v").alias("vec_id"), F.round("r", 8).alias("pagerank")
+    ).orderBy("vec_id")

@@ -882,3 +882,22 @@ def test_collocations_pmi_laws(spark):
     )
     assert abs(expect - top.pmi) < 5e-4
     assert big[(top.left_tok, top.right_tok)] == top.pair_count
+
+
+def test_knn_pagerank_laws(spark):
+    """PageRank laws: total (one score per vector); scores form a
+    probability-like distribution (sum ~1 — k-NN graphs have no
+    dangling nodes, every vertex has exactly k out-edges); every score
+    >= the teleport floor (1-d)/n; mass concentrates above uniform for
+    some vertices (non-degenerate graph)."""
+    from lakehouse_admin_spark.operators.graph_ann import PR_DAMP
+    from lakehouse_admin_spark.sources.tables import load_table
+
+    rows = q("knn_pagerank")(spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert len(rows) == n
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-4, total
+    floor = (1.0 - PR_DAMP) / n
+    assert all(r.pagerank >= floor - 1e-9 for r in rows)
+    assert max(r.pagerank for r in rows) > 1.0 / n
