@@ -925,28 +925,38 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = base.select(
-        "doc_id",
-        "is_target",
-        F.explode(F.concat(F.col("toks"), bigrams)).alias("g"),
-    ).withColumn(
-        "bucket",
-        F.pmod(F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long"), F.lit(B)),
+    # ONE tokenize+explode pass: fold to (doc_id, is_target, bucket)
+    # counts and persist — bc / totals / per-doc frames all re-aggregate
+    # this bounded frame (≤ docs×B rows) instead of re-running the
+    # explode three times (Spark does not dedupe common subplans)
+    from pyspark.storagelevel import StorageLevel
+
+    g = (
+        base.select(
+            "doc_id",
+            "is_target",
+            F.explode(F.concat(F.col("toks"), bigrams)).alias("g"),
+        )
+        .withColumn(
+            "bucket",
+            F.pmod(
+                F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long"), F.lit(B)
+            ),
+        )
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count("*").alias("cdb"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bc = g.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
+        F.sum(F.when(F.col("is_target"), F.col("cdb")).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(F.col("cdb"))).alias("cr"),
     )
     tot = g.agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("nt"),
-        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("nr"),
+        F.sum(F.when(F.col("is_target"), F.col("cdb")).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(F.col("cdb"))).alias("nr"),
     ).collect()[0]  # two scalars of LM mass — index metadata
     nt, nr = float(tot["nt"]), float(tot["nr"])
-    db = (
-        g.filter(~F.col("is_target"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.count("*").alias("cdb"))
-    )
+    db = g.filter(~F.col("is_target")).select("doc_id", "bucket", "cdb")
     rb = F.log(
         ((F.col("ct") + 1.0) / F.lit(nt + B))
         / ((F.col("cr") + 1.0) / F.lit(nr + B))
