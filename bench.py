@@ -110,6 +110,8 @@ HEADLINE = [
     "bpe_batch_learn_merges",  # r10: top-N disjoint merges per round
     "collocations_pmi",  # r10: PMI collocation mining (SGNS matrix)
     "knn_pagerank",  # r10: centrality over the semantic k-NN graph
+    "funnel_counts",  # r10: ordered view->click->purchase funnel
+    "events_gap_fill",  # r10: dense calendar rollup (gap-fill)
 ]
 
 

@@ -561,3 +561,145 @@ def skewed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 2).alias("total_value"),
         F.round("max_value", 2).alias("max_value"),
     ).orderBy("event_type")
+
+
+@query(
+    "funnel_counts",
+    oracle="""
+    WITH tv AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    tc AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN tv ON tv.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > tv.t_view
+        GROUP BY e.user_id
+    ),
+    tp AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN tc ON tc.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > tc.t_click
+        GROUP BY e.user_id
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n FROM events),
+    stages AS (
+        SELECT 1 AS stage_no, 'all_users' AS stage,
+               (SELECT COUNT(DISTINCT user_id) FROM events) AS users
+        UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM tv)
+        UNION ALL SELECT 3, 'click_after_view', (SELECT COUNT(*) FROM tc)
+        UNION ALL SELECT 4, 'purchase_after_click', (SELECT COUNT(*) FROM tp)
+    )
+    SELECT CAST(stage_no AS INT) AS stage_no, stage,
+           CAST(users AS BIGINT) AS users,
+           ROUND(users / (SELECT n FROM tot), 4) AS share
+    FROM stages ORDER BY stage_no
+    """,
+)
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis — view → click-after-view →
+    purchase-after-click, the product-analytics staple: each stage's
+    entry time is the user's FIRST qualifying event strictly after the
+    previous stage's entry (so reordered events never count), and the
+    report is per-stage user counts with share-of-all-users.
+
+    Scale shape: three conditional min-aggregates keyed on user_id,
+    each joined back to the (per-user, tiny) previous stage frame —
+    the per-user state is one timestamp per stage, never an event
+    list; shuffle keys are all user_id. The timestamps are exact
+    microsecond integers, so both engines agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    tv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    tc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    tp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_all = ev.select("user_id").distinct().count()
+    counts = [
+        (1, "all_users", n_all),
+        (2, "view", tv.count()),
+        (3, "click_after_view", tc.count()),
+        (4, "purchase_after_click", tp.count()),
+    ]
+    rows = [
+        (sn, st, int(u), round(u / float(n_all), 4)) for sn, st, u in counts
+    ]
+    return spark.createDataFrame(
+        rows, "stage_no int, stage string, users bigint, share double"
+    ).orderBy("stage_no")
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+        FROM events
+    ),
+    cal AS (
+        SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT c.day, t.event_type, COALESCE(d.n_events, 0) AS n_events,
+           (d.n_events IS NULL) AS gap_filled
+    FROM cal c CROSS JOIN types t
+    LEFT JOIN daily d ON d.day = c.day AND d.event_type = t.event_type
+    ORDER BY c.day, t.event_type
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill — the hypertable/time-series rollup shape: a
+    dense (day × event_type) grid over the corpus's [min, max] day
+    range with zero rows materialized for missing days (a time-series
+    chart or downstream window function needs the gaps EXPLICIT; a
+    plain GROUP BY silently drops them) plus a ``gap_filled`` marker.
+
+    Scale shape: the daily rollup is one partial aggregate (shuffle =
+    |days×types| rows); the calendar spine is generated from the
+    2-value bounds row via ``sequence`` — never a scan — and the spine
+    × types frame is metadata-sized, broadcast against the rollup.
+    This is the dense-fill pattern of gap-filling rollups (TimescaleDB
+    ``time_bucket_gapfill``) expressed as pure DataFrame ops."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        cal.crossJoin(types)
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+            F.col("n_events").isNull().alias("gap_filled"),
+        )
+        .orderBy("day", "event_type")
+    )

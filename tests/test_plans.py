@@ -901,3 +901,34 @@ def test_knn_pagerank_laws(spark):
     floor = (1.0 - PR_DAMP) / n
     assert all(r.pagerank >= floor - 1e-9 for r in rows)
     assert max(r.pagerank for r in rows) > 1.0 / n
+
+
+def test_funnel_counts_laws(spark):
+    """Funnel laws: stage user counts are non-increasing (each stage
+    requires the previous), stage-1 share is exactly 1.0, and the
+    view stage matches an independent distinct-user count."""
+    rows = q("funnel_counts")(spark, SF_SMOKE).collect()
+    assert [r.stage_no for r in rows] == [1, 2, 3, 4]
+    users = [r.users for r in rows]
+    assert users == sorted(users, reverse=True)
+    assert rows[0].share == 1.0
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_view = (
+        ev.filter(F.col("event_type") == "view").select("user_id").distinct().count()
+    )
+    assert rows[1].users == n_view
+
+
+def test_events_gap_fill_laws(spark):
+    """Gap-fill laws: the grid is dense (|days| x |types| rows,
+    consecutive days with no holes), counts fold back to the exact
+    corpus total, and gap_filled marks exactly the zero rows."""
+    rows = q("events_gap_fill")(spark, SF_SMOKE).collect()
+    days = sorted({r.day for r in rows})
+    types = {r.event_type for r in rows}
+    assert len(rows) == len(days) * len(types)
+    assert (days[-1] - days[0]).days + 1 == len(days), "calendar has holes"
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    for r in rows:
+        assert r.gap_filled == (r.n_events == 0)
