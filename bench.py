@@ -112,6 +112,7 @@ HEADLINE = [
     "knn_pagerank",  # r10: centrality over the semantic k-NN graph
     "funnel_counts",  # r10: ordered view->click->purchase funnel
     "events_gap_fill",  # r10: dense calendar rollup (gap-fill)
+    "cohort_retention",  # r10: weekly signup-cohort retention triangle
 ]
 
 

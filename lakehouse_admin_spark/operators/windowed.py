@@ -703,3 +703,87 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH su AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT e.user_id,
+               CAST(date_trunc('week', e.ts) AS DATE) AS act_week
+        FROM events e
+    ),
+    joined AS (
+        SELECT su.cohort_week,
+               CAST((act.act_week - su.cohort_week) / 7 AS INT) AS week_offset,
+               act.user_id
+        FROM su JOIN act ON act.user_id = su.user_id
+        WHERE act.act_week >= su.cohort_week
+    ),
+    size_ AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+        FROM su GROUP BY cohort_week
+    )
+    SELECT j.cohort_week, j.week_offset,
+           CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS active_users,
+           s.cohort_users,
+           ROUND(COUNT(DISTINCT j.user_id) / CAST(s.cohort_users AS DOUBLE), 4)
+               AS retention
+    FROM joined j JOIN size_ s USING (cohort_week)
+    GROUP BY j.cohort_week, j.week_offset, s.cohort_users
+    ORDER BY j.cohort_week, j.week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — users grouped by the ISO week of
+    their FIRST signup event, and for every later week-offset the
+    share of the cohort active in that week (any event type counts as
+    activity; pre-signup activity is excluded). The classic retention
+    triangle every product-analytics warehouse materializes.
+
+    Scale shape: the cohort dim is one min-aggregate keyed on user_id;
+    activity is a DISTINCT (user, week) rollup (partial-aggregatable);
+    the retention join is user-keyed then folds to |cohorts×offsets|
+    rows. Week truncation is ISO-Monday on both engines and offsets
+    are exact integer day arithmetic, so the grid is bit-identical."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+    ).distinct()
+    joined = (
+        su.join(act, "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+    )
+    size_ = su.groupBy("cohort_week").agg(F.count("*").alias("cohort_users"))
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .join(F.broadcast(size_), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_users",
+            F.round(
+                F.col("active_users") / F.col("cohort_users").cast("double"), 4
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

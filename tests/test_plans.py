@@ -932,3 +932,21 @@ def test_events_gap_fill_laws(spark):
     assert sum(r.n_events for r in rows) == ev.count()
     for r in rows:
         assert r.gap_filled == (r.n_events == 0)
+
+
+def test_cohort_retention_laws(spark):
+    """Retention-triangle laws: every cohort has an offset-0 row with
+    retention exactly 1.0 (the signup event itself is activity in the
+    cohort week), retention never exceeds 1, offsets are non-negative,
+    and active_users <= cohort_users everywhere."""
+    rows = q("cohort_retention")(spark, SF_SMOKE).collect()
+    assert rows
+    cohorts = {r.cohort_week for r in rows}
+    zero = {r.cohort_week: r for r in rows if r.week_offset == 0}
+    assert set(zero) == cohorts
+    for r in zero.values():
+        assert r.retention == 1.0 and r.active_users == r.cohort_users
+    for r in rows:
+        assert r.week_offset >= 0
+        assert 0 < r.active_users <= r.cohort_users
+        assert r.retention <= 1.0
