@@ -113,6 +113,8 @@ HEADLINE = [
     "funnel_counts",  # r10: ordered view->click->purchase funnel
     "events_gap_fill",  # r10: dense calendar rollup (gap-fill)
     "cohort_retention",  # r10: weekly signup-cohort retention triangle
+    "events_anomaly_zscore",  # r10: z-score monitor over the dense grid
+    "dsir_gumbel_topk",  # r10: seeded Gumbel-top-k importance resampling
 ]
 
 

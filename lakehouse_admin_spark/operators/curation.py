@@ -836,9 +836,7 @@ DSIR_KEEP_PCTL = 0.75  # keep the top 25% of the raw pool by importance
 _DSIR_TARGET = "lang = 'en' AND doc_id % 10 < 2"
 
 
-@query(
-    "dsir_importance",
-    oracle=rf"""
+_DSIR_W_CTE = rf"""
     WITH tok AS (
         SELECT doc_id, ({_DSIR_TARGET}) AS is_target,
                list_filter(string_split_regex(lower(text), '\s+'),
@@ -882,7 +880,14 @@ _DSIR_TARGET = "lang = 'en' AND doc_id % 10 < 2"
                    AS logw
         FROM db JOIN bc USING (bucket) CROSS JOIN tots
         GROUP BY db.doc_id
-    ),
+    )
+    """
+
+
+@query(
+    "dsir_importance",
+    oracle=_DSIR_W_CTE
+    + rf""",
     cut AS (SELECT quantile_cont(logw, {DSIR_KEEP_PCTL}) AS cutoff FROM w)
     SELECT w.doc_id, w.n_grams, w.logw, w.logw >= c.cutoff AS selected
     FROM w CROSS JOIN cut c
@@ -908,6 +913,23 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical inputs — per-doc float sums are order-sensitive in the
     last ulp); at 100 TB it swaps to ``approx_percentile`` with the
     plan shape unchanged, and the bucket LMs train once per target."""
+    w = _dsir_weights(spark, sf_dir)
+    cut = w.agg(F.expr(f"percentile(logw, {DSIR_KEEP_PCTL})").alias("cutoff"))
+    return (
+        w.crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            "n_grams",
+            "logw",
+            (F.col("logw") >= F.col("cutoff")).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, logw) — the DSIR estimator frame over the raw
+    pool (shared by the percentile gate and the Gumbel resampler)."""
     docs = load_table(spark, sf_dir, "documents")
     B = DSIR_BUCKETS
     toks = tokens_expr(F.col("text"))
@@ -961,7 +983,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("ct") + 1.0) / F.lit(nt + B))
         / ((F.col("cr") + 1.0) / F.lit(nr + B))
     )
-    w = (
+    return (
         db.join(F.broadcast(bc), "bucket")
         .groupBy("doc_id")
         .agg(
@@ -969,14 +991,58 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("cdb") * rb), 4).alias("logw"),
         )
     )
-    cut = w.agg(F.expr(f"percentile(logw, {DSIR_KEEP_PCTL})").alias("cutoff"))
+
+
+DSIR_SAMPLE_K = 100  # resampled budget (Gumbel-top-k draw size)
+_GUMBEL_DENOM = float((1 << 48) + 1)  # md5-48-bit → uniform in (0,1)
+
+
+@query(
+    "dsir_gumbel_topk",
+    oracle=_DSIR_W_CTE
+    + rf""",
+    keyed AS (
+        SELECT doc_id, logw,
+               ROUND(logw - ln(-ln(
+                   (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                         AS BIGINT) + 1) / {_GUMBEL_DENOM}
+               )), 4) AS gumbel_key
+        FROM w
+    )
+    SELECT doc_id, logw, gumbel_key,
+           CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS INT)
+               AS draw_rank
+    FROM keyed
+    ORDER BY draw_rank LIMIT {DSIR_SAMPLE_K}
+    """,
+)
+def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLING half of DSIR, faithful to the paper: a
+    Gumbel-top-k draw of {100} documents proportional to their
+    importance weights — ``key = logw + Gumbel(0,1)``, take the k
+    largest — with the Gumbel noise derived from a SEEDED md5 uniform
+    (``u = (h48(doc_id)+1)/(2^48+1)``, ``g = −ln(−ln u)``) so the
+    "random" draw is deterministic, re-executable after stage retries,
+    and bit-replayable by the oracle (the same property every sampling
+    op in this engine has). The percentile gate in
+    :func:`dsir_importance` is the deterministic-budget variant; this
+    is the stochastic-sampling variant — both consume the same
+    :func:`_dsir_weights` frame.
+
+    Scale shape: the weights frame is the DSIR estimator (one
+    tokenize pass, broadcast bucket LMs); the draw adds one projection
+    and a top-k — TakeOrdered over n keys, never a global sort of
+    anything larger."""
+    w = _dsir_weights(spark, sf_dir)
+    h48 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    u = (h48 + F.lit(1)) / F.lit(_GUMBEL_DENOM)
+    key = F.round(F.col("logw") - F.log(-F.log(u)), 4)
+    win = Window.orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
     return (
-        w.crossJoin(F.broadcast(cut))
-        .select(
-            "doc_id",
-            "n_grams",
-            "logw",
-            (F.col("logw") >= F.col("cutoff")).alias("selected"),
-        )
-        .orderBy("doc_id")
+        w.select("doc_id", "logw", key.alias("gumbel_key"))
+        .withColumn("draw_rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("draw_rank") <= DSIR_SAMPLE_K)
+        .orderBy("draw_rank")
     )

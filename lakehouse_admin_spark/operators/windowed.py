@@ -787,3 +787,86 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+        FROM events
+    ),
+    cal AS (
+        SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT c.day, t.event_type, COALESCE(d.n_events, 0) AS n
+        FROM cal c CROSS JOIN types t
+        LEFT JOIN daily d ON d.day = c.day AND d.event_type = t.event_type
+    ),
+    stats AS (
+        SELECT event_type,
+               AVG(CAST(n AS DOUBLE)) AS mu,
+               stddev_pop(CAST(n AS DOUBLE)) AS sd
+        FROM dense GROUP BY event_type
+    )
+    SELECT d.day, d.event_type, CAST(d.n AS BIGINT) AS n_events,
+           ROUND((d.n - s.mu) / s.sd, 4) AS zscore,
+           ABS((d.n - s.mu) / s.sd) >= 3.0 AS anomaly
+    FROM dense d JOIN stats s USING (event_type)
+    ORDER BY d.day, d.event_type
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type anomaly scores over the GAP-FILLED series — the
+    z-score monitor every ingestion pipeline hangs off its rollups:
+    computing μ/σ on the dense grid (zeros included) is what makes a
+    silent-ingest day score as an anomaly instead of silently
+    vanishing from the partial GROUP BY. |z| ≥ 3 flags.
+
+    Scale shape: same dense-grid build as :func:`events_gap_fill` (one
+    partial daily aggregate + metadata-sized calendar spine), then a
+    per-type μ/σ aggregate (|types| rows, broadcast back). Population
+    σ from exact integer counts — both engines derive identical
+    doubles before the 4dp round."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("*").alias("n_raw")
+    )
+    dense = (
+        cal.crossJoin(types)
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("n_raw"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    stats = dense.groupBy("event_type").agg(
+        F.avg(F.col("n").cast("double")).alias("mu"),
+        F.stddev_pop(F.col("n").cast("double")).alias("sd"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        dense.join(F.broadcast(stats), "event_type")
+        .select(
+            "day",
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.round(z, 4).alias("zscore"),
+            (F.abs(z) >= 3.0).alias("anomaly"),
+        )
+        .orderBy("day", "event_type")
+    )

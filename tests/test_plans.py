@@ -950,3 +950,25 @@ def test_cohort_retention_laws(spark):
         assert r.week_offset >= 0
         assert 0 < r.active_users <= r.cohort_users
         assert r.retention <= 1.0
+
+
+def test_dsir_gumbel_topk_laws(spark):
+    """Gumbel-top-k laws: exactly K draws with contiguous ranks; keys
+    non-increasing; the draw is BIASED toward high weights (mean logw
+    of the sample exceeds the raw-pool mean — the property importance
+    resampling exists for); deterministic across re-runs."""
+    from lakehouse_admin_spark.operators.curation import DSIR_SAMPLE_K
+
+    rows = q("dsir_gumbel_topk")(spark, SF_SMOKE).collect()
+    assert len(rows) == DSIR_SAMPLE_K
+    assert [r.draw_rank for r in rows] == list(range(1, DSIR_SAMPLE_K + 1))
+    keys = [r.gumbel_key for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    pool = q("dsir_importance")(spark, SF_SMOKE).collect()
+    pool_mean = sum(r.logw for r in pool) / len(pool)
+    samp_mean = sum(r.logw for r in rows) / len(rows)
+    assert samp_mean > pool_mean
+    again = q("dsir_gumbel_topk")(spark, SF_SMOKE).collect()
+    assert [(r.doc_id, r.draw_rank) for r in again] == [
+        (r.doc_id, r.draw_rank) for r in rows
+    ]
