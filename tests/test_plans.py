@@ -972,3 +972,24 @@ def test_dsir_gumbel_topk_laws(spark):
     assert [(r.doc_id, r.draw_rank) for r in again] == [
         (r.doc_id, r.draw_rank) for r in rows
     ]
+
+
+def test_sq_and_bpe_caches_invalidatable(spark):
+    """The r10 invalidation helpers mirror invalidate_ivf_cache: train
+    once → cache hit (same object) → targeted invalidation evicts
+    exactly the tier's entry so a fixture rewrite can't serve a stale
+    quantizer or merge table."""
+    import lakehouse_admin_spark.operators.similarity as sim
+    import lakehouse_admin_spark.operators.textual as tex
+
+    sim.invalidate_sq_cache()
+    s1 = sim.sq_train_stats(spark, SF_SMOKE)
+    assert sim.sq_train_stats(spark, SF_SMOKE) is s1, "must hit the cache"
+    assert sim.invalidate_sq_cache(SF_SMOKE) == 1
+    assert sim.invalidate_sq_cache(SF_SMOKE) == 0
+
+    tex.invalidate_bpe_cache()
+    m1 = tex._learn_merges(spark, SF_SMOKE)
+    assert tex._learn_merges(spark, SF_SMOKE) is m1, "must hit the cache"
+    assert tex.invalidate_bpe_cache(SF_SMOKE) == 1
+    assert tex.invalidate_bpe_cache(SF_SMOKE) == 0
