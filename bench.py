@@ -115,6 +115,7 @@ HEADLINE = [
     "cohort_retention",  # r10: weekly signup-cohort retention triangle
     "events_anomaly_zscore",  # r10: z-score monitor over the dense grid
     "dsir_gumbel_topk",  # r10: seeded Gumbel-top-k importance resampling
+    "dsir_incremental",  # r10: delta scoring vs the frozen base LM
 ]
 
 

@@ -22,6 +22,9 @@ DuckDB oracle replays it bit-for-bit:
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1045,4 +1048,246 @@ def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("draw_rank", F.row_number().over(win).cast("int"))
         .filter(F.col("draw_rank") <= DSIR_SAMPLE_K)
         .orderBy("draw_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental DSIR — the production serving shape of the estimator: the
+# bucket LMs and the keep/drop threshold are trained ONCE on the frozen
+# base corpus, then every NEW (delta) document is scored against that
+# frozen model with one delta-only scan. Nothing corpus-sized is ever
+# recomputed when data arrives — the same never-rescan contract as
+# ann_incremental_assign / incremental_near_dup.
+# ---------------------------------------------------------------------------
+_DSIR_DELTA = "doc_id % 7 = 3"  # the delta stripe (new arrivals); target
+# docs are never delta (kind precedence: target > delta > raw)
+
+# (applicationId, abspath(sf_dir)) -> (per-bucket log-ratio list, cutoff).
+# applicationId is unique per SparkContext (the ivf_index pattern —
+# id(spark) is unsafe: CPython can reuse it after a session is GC'd).
+_DSIR_LM_CACHE: dict[tuple, tuple[list[float], float]] = {}
+
+
+def invalidate_dsir_cache(sf_dir: str | None = None) -> int:
+    """Drop cached DSIR bucket LMs — all, or one tier's (call after
+    rewriting its documents, same contract as ``invalidate_ivf_cache``).
+    Returns the number evicted."""
+    norm = None if sf_dir is None else os.path.abspath(sf_dir.rstrip("/"))
+    keys = [k for k in _DSIR_LM_CACHE if norm is None or k[1] == norm]
+    for k in keys:
+        del _DSIR_LM_CACHE[k]
+    return len(keys)
+
+
+def _dsir_frozen_lm(spark: SparkSession, sf_dir: str) -> tuple[list[float], float]:
+    """Train the frozen DSIR model on the BASE corpus (everything
+    outside the delta stripe): per-bucket Laplace-smoothed log-ratios
+    ``rb = ln(p_tgt(b)/p_raw(b))`` for all B buckets (buckets with no
+    base mass get the smoothing-only ratio — they still carry signal:
+    an unseen bucket is evidence against the smaller corpus), plus the
+    keep threshold = the DSIR_KEEP_PCTL percentile of the base raw
+    pool's own weights. Model state is B doubles + 1 scalar, cached per
+    (applicationId, tier) and broadcastable; the training pass is the
+    same single tokenize+fold as :func:`_dsir_weights`."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir.rstrip("/")))
+    hit = _DSIR_LM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from pyspark.storagelevel import StorageLevel
+
+    B = DSIR_BUCKETS
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.expr(f"({_DSIR_TARGET}) OR NOT ({_DSIR_DELTA})"))
+    toks = tokens_expr(F.col("text"))
+    t = base.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.expr(_DSIR_TARGET).alias("is_target"), toks.alias("toks")
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat(
+                F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        t.select(
+            "doc_id",
+            "is_target",
+            F.explode(F.concat(F.col("toks"), bigrams)).alias("g"),
+        )
+        .withColumn(
+            "bucket",
+            F.pmod(
+                F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long"), F.lit(B)
+            ),
+        )
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count("*").alias("cdb"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bc_rows = (
+        g.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_target"), F.col("cdb")).otherwise(0)).alias("ct"),
+            F.sum(F.when(F.col("is_target"), 0).otherwise(F.col("cdb"))).alias("cr"),
+        )
+        .collect()
+    )  # ≤ B rows of model state
+    nt = float(sum(r["ct"] for r in bc_rows))
+    nr = float(sum(r["cr"] for r in bc_rows))
+    # rb for every bucket, including base-unseen ones (ct = cr = 0)
+    rb = [math.log((1.0 / (nt + B)) / (1.0 / (nr + B)))] * B
+    for r in bc_rows:
+        rb[int(r["bucket"])] = math.log(
+            ((r["ct"] + 1.0) / (nt + B)) / ((r["cr"] + 1.0) / (nr + B))
+        )
+    rb_df = spark.createDataFrame(
+        [(i, rb[i]) for i in range(B)], "bucket long, rb double"
+    )
+    w_base = (
+        g.filter(~F.col("is_target"))
+        .join(F.broadcast(rb_df), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("cdb") * F.col("rb")), 4).alias("logw"))
+    )
+    cutoff = float(
+        w_base.agg(F.expr(f"percentile(logw, {DSIR_KEEP_PCTL})").alias("c")).collect()[
+            0
+        ]["c"]
+    )
+    g.unpersist()
+    _DSIR_LM_CACHE[key] = (rb, cutoff)
+    return rb, cutoff
+
+
+@query(
+    "dsir_incremental",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN ({_DSIR_TARGET}) THEN 't'
+                    WHEN {_DSIR_DELTA} THEN 'd'
+                    ELSE 'r' END AS kind,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, kind, UNNEST(toks) AS g FROM tok
+        UNION ALL
+        SELECT doc_id, kind,
+               UNNEST(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS g
+        FROM tok
+    ),
+    hb AS MATERIALIZED (
+        SELECT doc_id, kind,
+               CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT)
+                   % {DSIR_BUCKETS} AS bucket
+        FROM grams
+    ),
+    bc AS MATERIALIZED (
+        SELECT bucket,
+               SUM(CASE WHEN kind = 't' THEN 1 ELSE 0 END) AS ct,
+               SUM(CASE WHEN kind = 'r' THEN 1 ELSE 0 END) AS cr
+        FROM hb WHERE kind <> 'd' GROUP BY bucket
+    ),
+    tots AS (
+        SELECT SUM(CASE WHEN kind = 't' THEN 1 ELSE 0 END) AS nt,
+               SUM(CASE WHEN kind = 'r' THEN 1 ELSE 0 END) AS nr
+        FROM hb WHERE kind <> 'd'
+    ),
+    w_base AS (
+        SELECT db.doc_id,
+               ROUND(SUM(cdb * ln(((bc.ct + 1.0) / (tots.nt + {DSIR_BUCKETS}.0))
+                         / ((bc.cr + 1.0) / (tots.nr + {DSIR_BUCKETS}.0)))), 4)
+                   AS logw
+        FROM (SELECT doc_id, bucket, COUNT(*) AS cdb
+              FROM hb WHERE kind = 'r' GROUP BY 1, 2) db
+        JOIN bc USING (bucket) CROSS JOIN tots
+        GROUP BY db.doc_id
+    ),
+    cut AS (SELECT quantile_cont(logw, {DSIR_KEEP_PCTL}) AS cutoff FROM w_base),
+    w_delta AS (
+        SELECT db.doc_id, CAST(SUM(cdb) AS BIGINT) AS n_grams,
+               ROUND(SUM(cdb * ln(
+                   ((COALESCE(bc.ct, 0) + 1.0) / (tots.nt + {DSIR_BUCKETS}.0))
+                   / ((COALESCE(bc.cr, 0) + 1.0) / (tots.nr + {DSIR_BUCKETS}.0))
+               )), 4) AS logw
+        FROM (SELECT doc_id, bucket, COUNT(*) AS cdb
+              FROM hb WHERE kind = 'd' GROUP BY 1, 2) db
+        LEFT JOIN bc USING (bucket) CROSS JOIN tots
+        GROUP BY db.doc_id
+    )
+    SELECT w.doc_id, w.n_grams, w.logw, w.logw >= c.cutoff AS selected
+    FROM w_delta w CROSS JOIN cut c
+    ORDER BY w.doc_id
+    """,
+)
+def dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DSIR: score DELTA documents (the ``doc_id % 7 = 3``
+    raw-pool stripe, standing in for newly-arrived data) against the
+    FROZEN base model — bucket LMs and the keep threshold trained once
+    on everything outside the stripe by :func:`_dsir_frozen_lm` — so
+    admitting new data costs one delta-only scan plus a broadcast join
+    against B=512 doubles. New docs are judged by yesterday's
+    threshold, exactly how a production ingest gate works: the base
+    corpus is never re-tokenized and the cutoff never drifts as deltas
+    arrive (contrast :func:`dsir_importance`, which re-ranks the whole
+    pool). Buckets the base corpus never produced still score via the
+    Laplace smoothing-only ratio, so unseen features penalize toward
+    the larger pool rather than being dropped.
+
+    Scale shape: warm-path cost is O(delta) — the documents scan
+    carries the pushed-down stripe predicate, the LM join is a
+    broadcast of B rows, and the per-doc weight is one
+    map-side-combinable sum. The model (B doubles + 1 cutoff scalar)
+    is cached per (applicationId, tier) with
+    :func:`invalidate_dsir_cache` for rewrites — the
+    ann_incremental_assign contract applied to data selection."""
+    rb, cutoff = _dsir_frozen_lm(spark, sf_dir)
+    B = DSIR_BUCKETS
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.expr(_DSIR_DELTA) & ~F.expr(_DSIR_TARGET))
+    toks = tokens_expr(F.col("text"))
+    t = delta.select("doc_id", toks.alias("toks"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat(
+                F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rb_df = spark.createDataFrame(
+        [(i, rb[i]) for i in range(B)], "bucket long, rb double"
+    )
+    db = (
+        t.select("doc_id", F.explode(F.concat(F.col("toks"), bigrams)).alias("g"))
+        .withColumn(
+            "bucket",
+            F.pmod(
+                F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long"), F.lit(B)
+            ),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cdb"))
+    )
+    return (
+        db.join(F.broadcast(rb_df), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cdb").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("cdb") * F.col("rb")), 4).alias("logw"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "logw",
+            (F.col("logw") >= F.lit(cutoff)).alias("selected"),
+        )
+        .orderBy("doc_id")
     )

@@ -993,3 +993,38 @@ def test_sq_and_bpe_caches_invalidatable(spark):
     assert tex._learn_merges(spark, SF_SMOKE) is m1, "must hit the cache"
     assert tex.invalidate_bpe_cache(SF_SMOKE) == 1
     assert tex.invalidate_bpe_cache(SF_SMOKE) == 0
+
+
+def test_dsir_incremental_laws(spark):
+    """Incremental-DSIR laws: totality (one verdict per delta-stripe
+    raw doc, no target or base doc leaks in); the warm path (cached
+    frozen LM) returns bit-identical rows to the cold path; targeted
+    invalidation evicts exactly the tier's model; and the frozen
+    cutoff separates selected from rejected docs exactly."""
+    import lakehouse_admin_spark.operators.curation as cur
+
+    cur.invalidate_dsir_cache()
+    rows = q("dsir_incremental")(spark, SF_SMOKE).collect()
+    key = next(iter(cur._DSIR_LM_CACHE))
+    assert key[1].endswith(SF_SMOKE.rstrip("/").split("/")[-1])
+    docs = load_table(spark, SF_SMOKE, "documents")
+    delta_ids = {
+        r.doc_id
+        for r in docs.filter(
+            F.expr(f"({cur._DSIR_DELTA}) AND NOT ({cur._DSIR_TARGET})")
+        ).collect()
+    }
+    got = {r.doc_id for r in rows}
+    assert got <= delta_ids
+    assert len(got) == len(rows), "one verdict per delta doc"
+    # every delta doc with at least one token appears
+    assert len(delta_ids - got) <= sum(
+        1 for _ in docs.filter(F.expr("trim(text) = ''")).collect()
+    )
+    _, cutoff = cur._DSIR_LM_CACHE[key]
+    for r in rows:
+        assert r.selected == (r.logw >= cutoff)
+    warm = q("dsir_incremental")(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, warm)) == sorted(map(tuple, rows))
+    assert cur.invalidate_dsir_cache(SF_SMOKE) == 1
+    assert cur.invalidate_dsir_cache(SF_SMOKE) == 0
