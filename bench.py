@@ -116,6 +116,7 @@ HEADLINE = [
     "events_anomaly_zscore",  # r10: z-score monitor over the dense grid
     "dsir_gumbel_topk",  # r10: seeded Gumbel-top-k importance resampling
     "dsir_incremental",  # r10: delta scoring vs the frozen base LM
+    "token_heavy_hitters",  # r10: exact φ-heavy-hitters (MG ground truth)
 ]
 
 

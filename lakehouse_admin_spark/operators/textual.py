@@ -1692,3 +1692,62 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — the φ-frequent-items problem over the corpus token
+# stream. The exact batch answer below is the ground truth the
+# streaming Misra-Gries summary (streaming/heavy_hitters.py) is pinned
+# against: MG guarantees its candidate set is a SUPERSET of these rows
+# with bounded count underestimates, using k counters of state instead
+# of a vocabulary-sized hash table.
+# ---------------------------------------------------------------------------
+HH_K = 200  # φ = 1/200: a heavy hitter owns > 0.5% of all tokens — the
+# Zipf head is scale-invariant, so the output stays ~30 rows at any SF
+
+
+@query(
+    "token_heavy_hitters",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x != '')) AS tok
+        FROM documents
+    ),
+    c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    n AS (SELECT SUM(cnt) AS n FROM c)
+    SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(cnt / CAST(n.n AS DOUBLE), 6) AS share
+    FROM c CROSS JOIN n
+    WHERE cnt > n.n / {HH_K}.0
+    ORDER BY cnt DESC, tok
+    """,
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact φ-heavy hitters over the corpus token stream: every token
+    whose count exceeds N/{200} of the N total tokens, with its corpus
+    share. The output is the Zipf head — a scale-invariant ~30 rows
+    regardless of corpus size — which is what makes the problem
+    stream-summarizable at all (Misra-Gries holds k counters because
+    at most k−1 items can each own more than 1/k of the stream).
+
+    Scale shape: one tokenize+explode pass into a two-level hash
+    aggregate (map-side partial collapse per executor), then a
+    broadcast of the single total-count scalar back over the
+    vocabulary-sized count frame; the output is O(k). The streaming
+    twin (streaming/heavy_hitters.py) answers the same question with
+    O(k) state per partition and no second pass — its candidate set is
+    law-pinned as a superset of exactly these rows."""
+    tok = _doc_tokens(spark, sf_dir).select(F.explode("w").alias("tok"))
+    c = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n = c.agg(F.sum("cnt").cast("double").alias("n"))
+    return (
+        c.crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") > F.col("n") / HH_K)
+        .select(
+            "tok",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+    )

@@ -404,3 +404,79 @@ def test_vector_ingest_stream_matches_batch_and_is_idempotent(
     q2.awaitTermination(120)
     assert tbl.read().count() == len(got)
     assert len(tbl.snapshots()) == n_snaps
+
+
+def test_misra_gries_stream_laws(spark, tmp_path_factory):
+    """Misra-Gries heavy hitters: (1) the final streamed summary is
+    bit-identical to the batch twin fed the same (doc_id, pos) order
+    (micro-batch boundaries don't change a sequential fold); (2) state
+    is bounded by K counters per slot; (3) every candidate's counter
+    underestimates its true count by at most n_slot/(K+1); (4) the
+    union of candidates is a superset of the exact global heavy
+    hitters (count > N/K) computed by token_heavy_hitters' aggregate."""
+    from lakehouse_admin_spark.streaming.heavy_hitters import (
+        MG_K,
+        heavy_hitters_stream,
+        mg_summary_batch,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path_factory.mktemp("doc_drops"))
+    # contiguous doc_id ranges, mtime-ordered: the stream's concatenated
+    # per-batch sorted order equals the global (doc_id, pos) order
+    n_docs = docs.count()
+    cuts = [0, n_docs // 3, 2 * n_docs // 3, n_docs + 1]
+    for i in range(3):
+        _write_drop(
+            docs.filter(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            ),
+            src,
+            f"drop_{i}",
+            1000000 + 1000 * i,
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    hh = heavy_hitters_stream(stream)
+    q = run_stream_to_memory(hh, "mg_hh", output_mode="append")
+    q.awaitTermination(180)
+    out = spark.table("mg_hh").toPandas()
+    # final snapshot per slot = rows at that slot's max n_slot
+    finals = out.loc[out.groupby("slot")["n_slot"].transform("max") == out["n_slot"]]
+    streamed = {
+        (int(r["slot"]), r["tok"]): (int(r["est_count"]), int(r["n_slot"]))
+        for _, r in finals.iterrows()
+    }
+    # (1) stream == batch twin
+    batch = mg_summary_batch(docs).toPandas()
+    batched = {
+        (int(r["slot"]), r["tok"]): (int(r["est_count"]), int(r["n_slot"]))
+        for _, r in batch.iterrows()
+    }
+    assert streamed == batched
+    # (2) bounded state
+    per_slot = finals.groupby("slot").size()
+    assert (per_slot <= MG_K).all()
+    # (3) error bound vs exact counts
+    toks = docs.select(
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")).alias(
+            "tok"
+        )
+    )
+    true_counts = {
+        r["tok"]: r["cnt"]
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for (slot, tok), (est, n_slot) in streamed.items():
+        t = true_counts[tok]
+        assert est <= t, (tok, est, t)
+        assert t - est <= n_slot / (MG_K + 1), (tok, est, t, n_slot)
+    # (4) superset of the exact heavy hitters at the SAME K
+    n_total = sum(true_counts.values())
+    exact_hh = {t for t, c in true_counts.items() if c > n_total / MG_K}
+    assert exact_hh, "fixture must have heavy hitters at K=64"
+    candidate_toks = {tok for (_, tok) in streamed}
+    assert exact_hh <= candidate_toks
