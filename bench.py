@@ -117,6 +117,7 @@ HEADLINE = [
     "dsir_gumbel_topk",  # r10: seeded Gumbel-top-k importance resampling
     "dsir_incremental",  # r10: delta scoring vs the frozen base LM
     "token_heavy_hitters",  # r10: exact φ-heavy-hitters (MG ground truth)
+    "ann_opq_pq_topk",  # r10: OPQ-rotated PQ/ADC (FAISS OPQMatrix shape)
 ]
 
 

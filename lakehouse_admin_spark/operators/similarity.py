@@ -2503,3 +2503,179 @@ def pca_whiten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInPandas(project, out_schema).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# OPQ — Optimized Product Quantization (Ge et al., CVPR 2013), the
+# parametric variant: rotate the space with an orthogonal matrix R
+# derived from the covariance eigendecomposition (principal directions
+# permuted across subspaces by EIGENVALUE ALLOCATION, balancing each
+# subspace's variance product), then product-quantize the rotated
+# vectors. Rotation is distance-preserving (R orthogonal), so exact
+# rankings are unchanged while the PQ codebook quantizes a decorrelated,
+# variance-balanced space — the preprocessing FAISS's OPQMatrix applies
+# before an IVFPQ index.
+# ---------------------------------------------------------------------------
+
+# (applicationId, abspath(sf_dir)) -> (mu (d,), R (d,d)) — the trained
+# rotation is d² doubles of model state, trained once per tier
+_OPQ_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def invalidate_opq_cache(sf_dir: str | None = None) -> int:
+    """Drop cached OPQ rotations — all, or one tier's (call after
+    rewriting its embeddings; same contract as invalidate_ivf_cache)."""
+    norm = None if sf_dir is None else os.path.abspath(sf_dir.rstrip("/"))
+    keys = [k for k in _OPQ_CACHE if norm is None or k[1] == norm]
+    for k in keys:
+        del _OPQ_CACHE[k]
+    return len(keys)
+
+
+def opq_eigenvalue_allocation(evals: np.ndarray, m: int, d_sub: int) -> list[int]:
+    """The paper's eigenvalue-allocation step: assign principal
+    directions (eigenvalues descending) to ``m`` buckets of ``d_sub``
+    slots each, greedily giving each eigenvalue to the open bucket with
+    the smallest current log-variance product — balancing the variance
+    each PQ subquantizer must cover. Returns, per principal-direction
+    index (descending order), its bucket id."""
+    order = np.argsort(evals)[::-1]
+    logs = np.log(np.maximum(evals[order], 1e-12))
+    load = [0.0] * m
+    fill = [0] * m
+    bucket_of = [0] * len(order)
+    for i, lg in enumerate(logs):
+        open_b = [b for b in range(m) if fill[b] < d_sub]
+        b = min(open_b, key=lambda x: (load[x], x))
+        bucket_of[i] = b
+        load[b] += lg
+        fill[b] += 1
+    return bucket_of
+
+
+def _opq_rotation(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Train the OPQ rotation: covariance eigendecomposition (driver
+    d×d solve on the distributed Gram pass, the embedding_covariance
+    plan), sign-canonicalized eigenvectors, eigenvalue allocation into
+    PQ_M buckets of PQ_D — R's rows are the principal directions laid
+    out so subspace b owns dims [b·PQ_D, (b+1)·PQ_D)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir.rstrip("/")))
+    hit = _OPQ_CACHE.get(key)
+    if hit is not None:
+        return hit
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    c = np.zeros((EMB_DIM, EMB_DIM))
+    for r in cov_rows:
+        c[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov"]
+        c[r["dim_j"] - 1, r["dim_i"] - 1] = r["cov"]
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mu_rows = (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .collect()
+    )
+    mu = np.zeros(EMB_DIM)
+    for r in mu_rows:
+        mu[r["pos"]] = float(r["m"])
+    evals, evecs = np.linalg.eigh(c)
+    order = np.argsort(evals)[::-1]
+    lam, v = evals[order], evecs[:, order]
+    for j in range(v.shape[1]):  # sign canonicalization (BLAS-stable)
+        k = int(np.argmax(np.abs(v[:, j])))
+        if v[k, j] < 0:
+            v[:, j] = -v[:, j]
+    buckets = opq_eigenvalue_allocation(lam, PQ_M, PQ_D)
+    # slot each descending principal direction into its bucket's next
+    # free row: R @ (x - mu) lands subspace b in dims [b*PQ_D,(b+1)*PQ_D)
+    rot = np.zeros((EMB_DIM, EMB_DIM))
+    fill = [0] * PQ_M
+    for i, b in enumerate(buckets):
+        rot[b * PQ_D + fill[b], :] = v[:, i]
+        fill[b] += 1
+    _OPQ_CACHE[key] = (mu, rot)
+    return mu, rot
+
+
+def _rotated_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding) with embedding = round(R(x−μ), 6) — one
+    BLAS GEMM per Arrow batch, no shuffle. Centering is shared by all
+    vectors so every pairwise L2 distance is EXACTLY preserved."""
+    mu, rot = _opq_rotation(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bc = spark.sparkContext.broadcast((mu, rot.T.copy()))
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+
+    # nested so cloudpickle ships it BY VALUE (foreign-cwd drivers)
+    def rotate(batches):
+        m, rt = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            ) - m[None, :]
+            y = np.round(x @ rt, 6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "embedding": list(y),
+                }
+            )
+
+    return emb.mapInPandas(rotate, out_schema)
+
+
+@query("ann_opq_pq_topk")  # no SQL oracle: the rotation is a driver
+# eigendecomposition (not relationally expressible — the
+# pca_whiten_project precedent); laws pinned in tests/test_plans.py
+def ann_opq_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated product quantization ANN: PQ/ADC ranking (the
+    ann_pq_topk pipeline — codebook from the 16 lowest vec_ids, ADC =
+    8 LUT lookups per candidate) over vectors first rotated by the
+    trained OPQ matrix. Same memory economics as plain PQ (~8 bytes a
+    vector) but the subquantizers now cover decorrelated,
+    variance-balanced subspaces, which is what cuts quantization
+    error on anisotropic corpora (real embedding corpora always are).
+
+    Scale shape: training is the covariance pass (shuffle flat in
+    corpus size) plus a d×d driver solve, cached per tier with
+    :func:`invalidate_opq_cache`; the rotation adds one GEMM per Arrow
+    batch to the encode path and NOTHING to serving (queries rotate
+    through the same broadcast matrix before LUT construction); the
+    ADC join and ranking are byte-identical to ann_pq_topk."""
+    rotated = _rotated_embeddings(spark, sf_dir)
+    codes, queries = _pq_index(spark, rotated)
+    adc = (
+        F.broadcast(queries)
+        .crossJoin(codes)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("lut"),
+                        F.col("codes"),
+                        lambda l, c: F.element_at(l, c + F.lit(1)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+        .orderBy("query_id", "rank")
+    )

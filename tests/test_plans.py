@@ -1028,3 +1028,84 @@ def test_dsir_incremental_laws(spark):
     assert sorted(map(tuple, warm)) == sorted(map(tuple, rows))
     assert cur.invalidate_dsir_cache(SF_SMOKE) == 1
     assert cur.invalidate_dsir_cache(SF_SMOKE) == 0
+
+
+def test_opq_rotation_laws(spark):
+    """OPQ laws on the trained fixture rotation: R is orthogonal; the
+    rotation preserves pairwise L2 distances (so exact rankings are
+    untouched); the rotated corpus covariance is diagonal (R
+    diagonalizes Σ by construction); the model is cached per tier and
+    invalidatable; and the serving query emits TOP_K ranked rows per
+    stride query. The VALUE claim — eigenvalue allocation cuts PQ
+    quantization error — is pinned on a deterministic anisotropic
+    corpus (the fixture itself is near-isotropic, where rotation is a
+    no-op by design): rotated error < 0.5× unrotated, and the greedy
+    allocation balances bucket log-variance better than contiguous
+    PCA grouping (which is WORSE than no rotation at all there)."""
+    import numpy as np
+
+    import lakehouse_admin_spark.operators.similarity as sim
+
+    sim.invalidate_opq_cache()
+    mu, R = sim._opq_rotation(spark, SF_SMOKE)
+    assert np.abs(R @ R.T - np.eye(sim.EMB_DIM)).max() < 1e-9
+    assert sim._opq_rotation(spark, SF_SMOKE)[1] is R, "must hit the cache"
+    orig = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    rot = {
+        r.vec_id: np.array(r.embedding)
+        for r in sim._rotated_embeddings(spark, SF_SMOKE).collect()
+    }
+    assert set(rot) == set(orig)
+    ks = sorted(orig)[:15]
+    for a in ks:
+        for b in ks:
+            got = np.linalg.norm(rot[a] - rot[b])
+            want = np.linalg.norm(orig[a] - orig[b])
+            assert abs(got - want) < 1e-4, (a, b, got, want)
+    Y = np.stack([rot[i] for i in sorted(rot)])
+    cov = (Y - Y.mean(axis=0)).T @ (Y - Y.mean(axis=0)) / len(Y)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 1e-5, "rotated covariance must be diagonal"
+    out = q("ann_opq_pq_topk")(spark, SF_SMOKE).collect()
+    per_q: dict[int, list[int]] = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, sim.TOP_K + 1)) for v in per_q.values())
+    assert set(per_q) == {v for v in orig if v % sim.QUERY_STRIDE == 0}
+    assert sim.invalidate_opq_cache(SF_SMOKE) == 1
+
+    # value law on a deterministic anisotropic corpus (no RNG)
+    n, d, M, D = 2000, 64, sim.PQ_M, sim.PQ_D
+    idx = np.arange(n * d, dtype=np.float64).reshape(n, d)
+    base = np.sin(idx * 0.7391) + np.cos(idx * 0.1931)
+    stretch = np.diag(np.linspace(4.0, 0.1, d))
+    mix, _ = np.linalg.qr(np.sin(np.outer(np.arange(d), np.arange(d)) * 0.337) + np.eye(d))
+    Yc = base @ stretch @ mix.T
+    Yc -= Yc.mean(axis=0)
+    evals, evecs = np.linalg.eigh(Yc.T @ Yc / n)
+    order = np.argsort(evals)[::-1]
+    lam, v = evals[order], evecs[:, order]
+    buckets = sim.opq_eigenvalue_allocation(lam, M, D)
+    rotm = np.zeros((d, d))
+    fill = [0] * M
+    for i, b in enumerate(buckets):
+        rotm[b * D + fill[b], :] = v[:, i]
+        fill[b] += 1
+
+    def qerr(X):
+        cb = X[:16].reshape(16, M, D)
+        Z = X.reshape(len(X), M, D)
+        dd = ((Z[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        return dd.min(axis=1).sum()
+
+    assert qerr(Yc @ rotm.T) < 0.5 * qerr(Yc)
+    logs = np.log(np.maximum(lam, 1e-12))
+    loads = [sum(logs[i] for i in range(d) if buckets[i] == b) for b in range(M)]
+    contig = [logs[b * D : (b + 1) * D].sum() for b in range(M)]
+    assert max(loads) - min(loads) < max(contig) - min(contig)
+    assert all(buckets.count(b) == D for b in range(M))
