@@ -118,6 +118,8 @@ HEADLINE = [
     "dsir_incremental",  # r10: delta scoring vs the frozen base LM
     "token_heavy_hitters",  # r10: exact φ-heavy-hitters (MG ground truth)
     "ann_opq_pq_topk",  # r10: OPQ-rotated PQ/ADC (FAISS OPQMatrix shape)
+    "bm25_topk",  # r10: Okapi BM25 posting-list retrieval
+    "rrf_hybrid_topk",  # r10: lexical+semantic reciprocal-rank fusion
 ]
 
 

@@ -1,0 +1,289 @@
+r"""Retrieval operators over ``documents`` + ``embeddings`` — the
+serving side of a training-data/RAG pipeline: lexical BM25 ranking and
+reciprocal-rank-fusion of the lexical and semantic tiers.
+
+The fixture aligns ``doc_id`` and ``vec_id`` 1:1, so a "query" is a
+stride document (``doc_id % 100 = 0``) asking *more-like-this* in both
+spaces: its distinct tokens query the inverted index (BM25, Robertson &
+Zaragoza 2009, the Lucene/ES scoring function) and its embedding
+queries the vector tier; RRF (Cormack et al., SIGIR'09) fuses the two
+rankings without score calibration — the standard hybrid-retrieval
+recipe (what OpenSearch/Vespa call "hybrid query").
+
+Everything is JVM-side DataFrame algebra (no Python in the hot path)
+and deterministic (4/6dp-rounded scores, id tiebreaks), so the DuckDB
+oracles replay both rankings and the fusion bit-for-bit.
+
+Scale shape: BM25 is a posting-list join — the (query, term) frame is
+tiny and broadcast; the shuffle key is the TERM, so cost is posting
+mass, never |queries| × |corpus|. High-df terms (df > 10% of N) are
+pruned from queries (the classic stopword/WAND economy: they carry
+~zero idf but own the longest posting lists). The semantic side is the
+brute top-C scan with partition-local pre-aggregation (the exactness
+floor — the indexed tiers swap in unchanged). Fusion joins two
+≤C-row-per-query shortlists — O(queries·C), independent of corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_admin_spark.operators.dedup import tokens_expr
+from lakehouse_admin_spark.operators.similarity import (
+    QUERY_STRIDE,
+    cosine_from_norms,
+    local_topk_prune,
+    norm_expr,
+)
+from lakehouse_admin_spark.registry import query
+from lakehouse_admin_spark.sources.tables import load_table
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 10  # lexical hits returned per query
+BM25_MAX_DF_FRAC = 0.10  # query terms with df > 10% of docs are pruned
+RRF_K = 60  # the fusion constant from Cormack et al.
+RRF_SHORTLIST = 50  # per-tier candidate depth fused
+RRF_TOP = 5  # fused hits returned per query
+
+
+_BM25_CTE = rf"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ),
+    tf AS MATERIALIZED (
+        SELECT doc_id, t AS tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(toks) AS t FROM tok)
+        GROUP BY doc_id, t
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+    stats AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n,
+               (SELECT AVG(CAST(len(toks) AS DOUBLE)) FROM tok) AS avgdl
+    ),
+    df AS MATERIALIZED (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    qterms AS (
+        SELECT tf.doc_id AS query_id, tf.tok
+        FROM tf JOIN df USING (tok) CROSS JOIN stats
+        WHERE tf.doc_id % {QUERY_STRIDE} = 0
+          AND df.df <= {BM25_MAX_DF_FRAC} * stats.n
+    ),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               ROUND(SUM(
+                   ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                      + {BM25_B} * dl.dl / stats.avgdl))
+               ), 4) AS score
+        FROM qterms q
+        JOIN tf ON tf.tok = q.tok AND tf.doc_id <> q.query_id
+        JOIN df ON df.tok = q.tok
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY q.query_id, tf.doc_id
+    ),
+    lex_ranked AS (
+        SELECT query_id, doc_id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS INT) AS rank
+        FROM scored
+    )
+"""
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str, top: int) -> DataFrame:
+    """(query_id, doc_id, score, rank ≤ top) — the BM25 posting-list
+    ranking shared by the lexical query and the hybrid fusion."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    tf = (
+        tok.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dl = tok.select("doc_id", F.size("toks").alias("dl"))
+    row = tok.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size("toks").cast("double")).alias("avgdl"),
+    ).collect()[0]  # two scalars of corpus stats
+    n, avgdl = float(row["n"]), float(row["avgdl"])
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        tf.filter(F.col("doc_id") % QUERY_STRIDE == 0)
+        .join(df, "tok")
+        .filter(F.col("df") <= BM25_MAX_DF_FRAC * n)
+        .select(F.col("doc_id").alias("query_id"), "tok")
+    )
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(tf, "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tfn), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+@query(
+    "bm25_topk",
+    oracle=_BM25_CTE
+    + f"""
+    SELECT query_id, doc_id, score, rank
+    FROM lex_ranked WHERE rank <= {BM25_TOP}
+    ORDER BY query_id, rank
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 more-like-this: for each stride query document, the top-10
+    other documents by Okapi BM25 (k1=1.2, b=0.75, the Lucene
+    ``ln(1+(N−df+0.5)/(df+0.5))`` idf), using the query doc's distinct
+    tokens as the query bag with high-df terms pruned (df > 10% of N:
+    near-zero idf, longest posting lists — the WAND economy).
+
+    Scale shape: one tokenize pass builds the (doc, term, tf) inverted
+    frame; the broadcast (query, term) frame joins on the TERM key, so
+    shuffle volume is posting mass, never |queries|×|corpus|; scoring
+    is a map-side-combinable sum over matched postings. 4dp-rounded
+    scores + doc_id tiebreak make the ranking engine-exact."""
+    return _bm25_ranked(spark, sf_dir, BM25_TOP).orderBy("query_id", "rank")
+
+
+_RRF_ORACLE = _BM25_CTE + rf""",
+    q AS (
+        SELECT vec_id AS qid, embedding AS qe
+        FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+    ),
+    dots AS (
+        SELECT q.qid, e.vec_id AS cid,
+               list_sum(list_transform(list_zip(q.qe, e.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(q.qe,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+               sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nc
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    sem_ranked AS (
+        SELECT qid AS query_id, cid AS doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY ROUND(dot / (nq * nc), 6) DESC, cid
+               ) AS INT) AS rank
+        FROM dots
+    ),
+    lex_c AS (SELECT query_id, doc_id, rank FROM lex_ranked
+              WHERE rank <= {RRF_SHORTLIST}),
+    sem_c AS (SELECT query_id, doc_id, rank FROM sem_ranked
+              WHERE rank <= {RRF_SHORTLIST}),
+    fused AS (
+        SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+               COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / ({RRF_K} + l.rank), 0)
+                     + COALESCE(1.0 / ({RRF_K} + s.rank), 0), 6) AS rrf_score
+        FROM lex_c l
+        FULL OUTER JOIN sem_c s
+          ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+           ) AS INT) AS rank
+    FROM fused
+    QUALIFY rank <= {RRF_TOP}
+    ORDER BY query_id, rank
+"""
+
+
+@query("rrf_hybrid_topk", oracle=_RRF_ORACLE)
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: each stride query
+    document retrieves a 50-deep lexical shortlist (BM25 over its
+    tokens) and a 50-deep semantic shortlist (cosine over its
+    embedding — doc_id and vec_id are aligned), and the two rankings
+    fuse as ``Σ 1/(60 + rank)`` with a missing tier contributing 0 —
+    RRF needs no score calibration between incommensurable scales,
+    which is why it is the default hybrid recipe in Lucene-family
+    engines. Top-5 fused hits per query.
+
+    Scale shape: each tier produces O(queries·C) rows (BM25 via the
+    posting-list join, cosine via the brute scan with partition-local
+    top-C pre-aggregation — swap in the IVF/PQ tier for the same
+    shortlist contract at 100 TB); the fusion is a full-outer join of
+    two tiny shortlists and a per-query window over ≤2C rows."""
+    lex = _bm25_ranked(spark, sf_dir, RRF_SHORTLIST).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm_expr(F.col("embedding")).alias("nq"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("ce"),
+        norm_expr(F.col("embedding")).alias("nc"),
+    )
+    sims = (
+        F.broadcast(queries)
+        .crossJoin(cands)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                cosine_from_norms(F.col("qe"), F.col("ce"), F.col("nq"), F.col("nc")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    sims = local_topk_prune(sims, "query_id", "cosine", "doc_id", RRF_SHORTLIST)
+    ws = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("doc_id"))
+    sem = (
+        sims.withColumn("sem_rank", F.row_number().over(ws).cast("int"))
+        .filter(F.col("sem_rank") <= RRF_SHORTLIST)
+        .select("query_id", "doc_id", "sem_rank")
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= RRF_TOP)
+        .select("query_id", "doc_id", "rrf_score", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -65,6 +65,7 @@ def load_all_operators() -> None:
         ledger_ops,
         multimodal,
         relational,
+        retrieval,
         similarity,
         sqltext,
         textual,

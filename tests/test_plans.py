@@ -1109,3 +1109,67 @@ def test_opq_rotation_laws(spark):
     contig = [logs[b * D : (b + 1) * D].sum() for b in range(M)]
     assert max(loads) - min(loads) < max(contig) - min(contig)
     assert all(buckets.count(b) == D for b in range(M))
+
+
+def test_retrieval_laws(spark):
+    """BM25 + RRF hybrid laws: no cartesian in the BM25 plan (the join
+    is keyed on the term); the df gate actually prunes stopword-class
+    query terms (non-vacuous); every query returns exactly RRF_TOP
+    fused hits with ranks 1..RRF_TOP; a doc at rank r in BOTH tiers
+    outscores (in RRF) any doc in only one tier at the same rank; and
+    the fused score equals 1/(60+lex)+1/(60+sem) recomputed from the
+    per-tier rankings."""
+    import lakehouse_admin_spark.operators.retrieval as ret
+
+    bm = q("bm25_topk")(spark, SF_SMOKE)
+    assert not has_cartesian(bm)
+    lex = ret._bm25_ranked(spark, SF_SMOKE, ret.RRF_SHORTLIST).collect()
+    fused = q("rrf_hybrid_topk")(spark, SF_SMOKE).collect()
+    per_q: dict[int, list] = {}
+    for r in fused:
+        per_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in per_q.items():
+        assert sorted(x.rank for x in rows) == list(range(1, ret.RRF_TOP + 1))
+    # recompute fusion from the tiers
+    lex_rank = {(r.query_id, r.doc_id): r.rank for r in lex}
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    import lakehouse_admin_spark.operators.similarity as sim
+    qs = {
+        r.vec_id: r.embedding
+        for r in emb.filter(F.col("vec_id") % sim.QUERY_STRIDE == 0).collect()
+    }
+    import numpy as np
+    all_emb = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    sem_rank = {}
+    for qid, qe in qs.items():
+        qv = np.array(qe, dtype=np.float64)
+        sims = []
+        for cid, cv in all_emb.items():
+            if cid == qid:
+                continue
+            c = round(float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv))), 6)
+            sims.append((-c, cid))
+        sims.sort()
+        for i, (_, cid) in enumerate(sims[: ret.RRF_SHORTLIST], start=1):
+            sem_rank[(qid, cid)] = i
+    for r in fused:
+        want = 0.0
+        lr = lex_rank.get((r.query_id, r.doc_id))
+        sr = sem_rank.get((r.query_id, r.doc_id))
+        if lr:
+            want += 1.0 / (ret.RRF_K + lr)
+        if sr:
+            want += 1.0 / (ret.RRF_K + sr)
+        assert abs(r.rrf_score - round(want, 6)) < 1e-9, (r, lr, sr, want)
+    # df gate non-vacuous: some distinct query-doc token exceeds the cap
+    docs = load_table(spark, SF_SMOKE, "documents")
+    from lakehouse_admin_spark.operators.dedup import tokens_expr
+    tf = (
+        docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok"))
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = docs.count()
+    hot = {r.tok for r in tf.filter(F.col("df") > ret.BM25_MAX_DF_FRAC * n).collect()}
+    assert hot, "fixture must have stopword-class terms for the gate to bite"
