@@ -120,6 +120,7 @@ HEADLINE = [
     "ann_opq_pq_topk",  # r10: OPQ-rotated PQ/ADC (FAISS OPQMatrix shape)
     "bm25_topk",  # r10: Okapi BM25 posting-list retrieval
     "rrf_hybrid_topk",  # r10: lexical+semantic reciprocal-rank fusion
+    "mmr_diversified_topk",  # r10: greedy MMR re-rank of the shortlist
 ]
 
 

@@ -287,3 +287,201 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "rrf_score", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR — maximal marginal relevance (Carbonell & Goldstein, SIGIR'98):
+# greedy diversified re-ranking of a relevance shortlist. Round r picks
+# argmax λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s): relevance
+# discounted by redundancy against what is already chosen — the
+# standard de-duplicating re-rank in front of RAG context windows.
+# ---------------------------------------------------------------------------
+MMR_LAMBDA = 0.7
+MMR_SHORTLIST = 20  # relevance candidates re-ranked
+MMR_TOP = 5  # diversified picks returned
+
+
+def _mmr_oracle() -> str:
+    """DuckDB replay: cosine shortlist, pairwise sims among shortlist
+    members, then the 5 greedy rounds unrolled CTE-by-CTE (each
+    selection excluded from the next round's candidates — the
+    bpe_batch unroll pattern; MATERIALIZED against re-execution)."""
+    sim6 = (
+        "ROUND(list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+        "/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+    )
+    q_cte = f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe
+        FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+    ),
+    short AS MATERIALIZED (
+        SELECT qid, cid, qsim FROM (
+            SELECT q.qid, e.vec_id AS cid,
+                   {sim6.format(a='q.qe', b='e.embedding')} AS qsim,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {sim6.format(a='q.qe', b='e.embedding')} DESC,
+                                e.vec_id
+                   ) AS rn
+            FROM q JOIN embeddings e ON e.vec_id <> q.qid
+        ) WHERE rn <= {MMR_SHORTLIST}
+    ),
+    p AS MATERIALIZED (
+        SELECT a.qid, a.cid AS i, b.cid AS j,
+               {sim6.format(a='ea.embedding', b='eb.embedding')} AS psim
+        FROM short a
+        JOIN short b ON b.qid = a.qid AND b.cid <> a.cid
+        JOIN embeddings ea ON ea.vec_id = a.cid
+        JOIN embeddings eb ON eb.vec_id = b.cid
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT qid, cid, ROUND({MMR_LAMBDA} * qsim, 6) AS mmr, 1 AS rank
+        FROM (
+            SELECT qid, cid, qsim, row_number() OVER (
+                PARTITION BY qid ORDER BY ROUND({MMR_LAMBDA} * qsim, 6) DESC, cid
+            ) AS rn
+            FROM short
+        ) WHERE rn = 1
+    )"""
+    rounds = []
+    for r in range(2, MMR_TOP + 1):
+        prev = f"sel{r - 1}"
+        rounds.append(f""",
+    m{r} AS MATERIALIZED (
+        SELECT sh.qid, sh.cid,
+               ROUND({MMR_LAMBDA} * sh.qsim
+                     - (1 - {MMR_LAMBDA}) * MAX(p.psim), 6) AS mmr
+        FROM short sh
+        JOIN p ON p.qid = sh.qid AND p.i = sh.cid
+        JOIN {prev} s ON s.qid = p.qid AND s.cid = p.j
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                          WHERE x.qid = sh.qid AND x.cid = sh.cid)
+        GROUP BY sh.qid, sh.cid, sh.qsim
+    ),
+    sel{r} AS MATERIALIZED (
+        SELECT * FROM {prev}
+        UNION ALL
+        SELECT qid, cid, mmr, {r} AS rank FROM (
+            SELECT qid, cid, mmr, row_number() OVER (
+                PARTITION BY qid ORDER BY mmr DESC, cid
+            ) AS rn
+            FROM m{r}
+        ) WHERE rn = 1
+    )""")
+    tail = f"""
+    SELECT qid AS query_id, cid AS doc_id, mmr, CAST(rank AS INT) AS rank
+    FROM sel{MMR_TOP}
+    ORDER BY query_id, rank
+    """
+    return q_cte + "".join(rounds) + tail
+
+
+@query("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5: re-rank each stride query's 20-deep
+    cosine shortlist greedily by ``λ·sim(q,d) − (1−λ)·max_{s∈S}
+    sim(d,s)`` (λ=0.7) so later picks are penalized for redundancy
+    against earlier ones — the classic answer to "my top-k is five
+    copies of the same document" after semantic retrieval.
+
+    Scale shape: the shortlist is the brute top-C scan (swap in any
+    indexed tier for the same contract); the greedy loop runs as one
+    Arrow-batched kernel per query over C rows — a C×C sim matrix and
+    5 argmax passes, constant work per query, embarrassingly parallel
+    across queries. All sims 6dp-rounded with id tiebreaks, so the
+    unrolled-CTE oracle replays every round bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm_expr(F.col("embedding")).alias("nq"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("ce"),
+        norm_expr(F.col("embedding")).alias("nc"),
+    )
+    sims = (
+        F.broadcast(queries)
+        .crossJoin(cands)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            "ce",
+            F.round(
+                cosine_from_norms(F.col("qe"), F.col("ce"), F.col("nq"), F.col("nc")),
+                6,
+            ).alias("qsim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("doc_id"))
+    short = sims.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= MMR_SHORTLIST
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("doc_id", LongType()),
+            StructField("mmr", DoubleType()),
+            StructField("rank", IntegerType()),
+        ]
+    )
+    lam, top = MMR_LAMBDA, MMR_TOP
+
+    # nested so cloudpickle ships it BY VALUE (foreign-cwd drivers)
+    def greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        x = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["ce"]])
+        nrm = np.sqrt((x * x).sum(axis=1))
+        psim = np.round((x @ x.T) / np.outer(nrm, nrm), 6)
+        qsim = pdf["qsim"].to_numpy(dtype=np.float64)
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        qid = int(pdf["query_id"].iloc[0])
+        selected: list[int] = []
+        scores: list[float] = []
+        avail = list(range(len(pdf)))
+        for _ in range(min(top, len(pdf))):
+            best_i, best_s = None, None
+            for i in avail:
+                if selected:
+                    red = max(psim[i][j] for j in selected)
+                    s = round(lam * qsim[i] - (1 - lam) * red, 6)
+                else:
+                    s = round(lam * qsim[i], 6)
+                # argmax with doc_id ASC tiebreak (ids sorted ascending,
+                # so strictly-greater keeps the earliest id on ties)
+                if best_s is None or s > best_s:
+                    best_i, best_s = i, s
+            selected.append(best_i)
+            scores.append(best_s)
+            avail.remove(best_i)
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(selected),
+                "doc_id": ids[selected],
+                "mmr": scores,
+                "rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+            }
+        )
+
+    return (
+        short.select("query_id", "doc_id", "qsim", "ce")
+        .groupBy("query_id")
+        .applyInPandas(greedy, out_schema)
+        .orderBy("query_id", "rank")
+    )

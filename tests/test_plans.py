@@ -1173,3 +1173,48 @@ def test_retrieval_laws(spark):
     n = docs.count()
     hot = {r.tok for r in tf.filter(F.col("df") > ret.BM25_MAX_DF_FRAC * n).collect()}
     assert hot, "fixture must have stopword-class terms for the gate to bite"
+
+
+def test_mmr_diversifies(spark):
+    """MMR law: the diversified top-5 is at least as diverse as the
+    plain cosine top-5 for every query (mean pairwise cosine within
+    the selected set is <= the relevance-only set's), rank 1 is the
+    plain argmax (no diversity penalty yet), and picks are a subset of
+    the 20-deep shortlist."""
+    import numpy as np
+
+    import lakehouse_admin_spark.operators.retrieval as ret
+
+    mmr_rows = q("mmr_diversified_topk")(spark, SF_SMOKE).collect()
+    plain = q("ann_topk_cosine")(spark, SF_SMOKE).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+
+    def mean_pair_sim(ids):
+        s, c = 0.0, 0
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                va, vb = emb[a], emb[b]
+                s += va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+                c += 1
+        return s / c
+
+    by_q_mmr: dict[int, list] = {}
+    for r in mmr_rows:
+        by_q_mmr.setdefault(r.query_id, []).append(r)
+    by_q_plain: dict[int, list[int]] = {}
+    for r in plain:
+        by_q_plain.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert set(by_q_mmr) == set(by_q_plain)
+    diversified = 0
+    for qid, rows in by_q_mmr.items():
+        rows.sort(key=lambda r: r.rank)
+        mmr_ids = [r.doc_id for r in rows]
+        assert rows[0].doc_id == by_q_plain[qid][0], "rank 1 = plain argmax"
+        m, p = mean_pair_sim(mmr_ids), mean_pair_sim(by_q_plain[qid])
+        assert m <= p + 1e-9, (qid, m, p)
+        if m < p - 1e-9:
+            diversified += 1
+    assert diversified > 0, "diversity penalty must bite somewhere"
