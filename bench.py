@@ -121,6 +121,7 @@ HEADLINE = [
     "bm25_topk",  # r10: Okapi BM25 posting-list retrieval
     "rrf_hybrid_topk",  # r10: lexical+semantic reciprocal-rank fusion
     "mmr_diversified_topk",  # r10: greedy MMR re-rank of the shortlist
+    "knn_label_predict",  # r10: k-NN majority-vote embedding probe
 ]
 
 

@@ -2679,3 +2679,102 @@ def ann_opq_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "approx_dist", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "knn_label_predict",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe
+        FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+    ),
+    sims AS (
+        SELECT q.qid, e.vec_id AS cid,
+               ROUND(list_sum(list_transform(list_zip(q.qe, e.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(q.qe,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                   AS cosine
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    top AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, cid) AS rank
+            FROM sims
+        ) WHERE rank <= {TOP_K}
+    ),
+    votes AS (
+        SELECT t.qid, e.label, COUNT(*) AS votes
+        FROM top t JOIN embeddings e ON e.vec_id = t.cid
+        GROUP BY t.qid, e.label
+    ),
+    win AS (
+        SELECT qid, label AS predicted_label, votes,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY votes DESC, label) AS rn
+        FROM votes
+    )
+    SELECT w.qid AS query_id, eq.label AS true_label, w.predicted_label,
+           CAST(w.votes AS BIGINT) AS votes,
+           w.predicted_label = eq.label AS correct
+    FROM win w JOIN embeddings eq ON eq.vec_id = w.qid
+    WHERE w.rn = 1
+    ORDER BY query_id
+    """,
+)
+def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction — the standard embedding-quality probe
+    (and the label-propagation primitive for weakly-labeling a corpus
+    from a seed set): each stride query vector takes the majority
+    label of its exact cosine top-{5} neighbors (ties → smallest
+    label), compared against its own label. The per-query accuracy
+    column is what an embedding-pipeline regression gate watches: a
+    representation change that drops k-NN accuracy degraded the
+    geometry even if downstream training hasn't run yet.
+
+    Scale shape: rides the brute top-k scan (partition-local top-k
+    pre-aggregation, broadcast queries — swap in the IVF/graph tier
+    for the same neighbor contract); the vote is a ≤k-row-per-query
+    aggregate and the label joins broadcast. Deterministic: 6dp
+    cosines, id tiebreaks, smallest-label vote ties."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = _ann_topk(spark, sf_dir, restrict_cell=False).select(
+        "query_id", "neighbor_id"
+    )
+    labels = emb.select("vec_id", "label")
+    votes = (
+        top.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    win = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("predicted_label"),
+            F.col("votes").cast("long").alias("votes"),
+        )
+    )
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        win.join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "predicted_label",
+            "votes",
+            (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )

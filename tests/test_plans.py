@@ -1218,3 +1218,29 @@ def test_mmr_diversifies(spark):
         if m < p - 1e-9:
             diversified += 1
     assert diversified > 0, "diversity penalty must bite somewhere"
+
+
+def test_knn_label_predict_laws(spark):
+    """kNN-probe laws: one verdict per stride query; votes in [1, k];
+    the predicted label is the deterministic majority (recomputed from
+    the exact top-k neighbor list with the count-desc/label-asc
+    tiebreak); correct == (predicted == true)."""
+    import lakehouse_admin_spark.operators.similarity as sim
+
+    rows = q("knn_label_predict")(spark, SF_SMOKE).collect()
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n_q = emb.filter(F.col("vec_id") % sim.QUERY_STRIDE == 0).count()
+    assert len(rows) == n_q
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    top = {}
+    for r in q("ann_topk_cosine")(spark, SF_SMOKE).collect():
+        top.setdefault(r.query_id, []).append(r.neighbor_id)
+    for r in rows:
+        assert 1 <= r.votes <= sim.TOP_K
+        counts: dict[int, int] = {}
+        for nid in top[r.query_id]:
+            counts[labels[nid]] = counts.get(labels[nid], 0) + 1
+        want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert r.predicted_label == want[0] and r.votes == want[1]
+        assert r.true_label == labels[r.query_id]
+        assert r.correct == (r.predicted_label == r.true_label)
