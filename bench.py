@@ -122,6 +122,8 @@ HEADLINE = [
     "rrf_hybrid_topk",  # r10: lexical+semantic reciprocal-rank fusion
     "mmr_diversified_topk",  # r10: greedy MMR re-rank of the shortlist
     "knn_label_predict",  # r10: k-NN majority-vote embedding probe
+    "nation_pair_trade_volume",  # r10: Q7-shaped cross-border volume
+    "large_volume_customers",  # r10: Q18-shaped HAVING-gated hydration
 ]
 
 

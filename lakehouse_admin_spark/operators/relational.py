@@ -447,3 +447,316 @@ def supplier_customer_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("acctbal"), 2).alias("total_acctbal"))
         .orderBy("entity_kind", "nation_key")
     )
+
+
+@query(
+    "nation_pair_trade_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS volume
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE sn.n_nationkey <> cn.n_nationkey
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped cross-border volume: revenue per (supplier
+    nation, customer nation, ship year) over a two-year window,
+    domestic pairs excluded.
+
+    Scale: the fact side (lineitem) joins orders on the orderkey —
+    the one fact-fact shuffle — while customer, supplier, and both
+    nation legs broadcast (dimension-sized). The date window pushes
+    into the lineitem scan; the aggregate carries |nations|²·years
+    groups, so the shuffle after the join is trivial."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (1 - F.col("l_discount").cast("decimal(18,4)"))
+                ),
+                2,
+            ).alias("volume")
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.col("ship_year").cast("int").alias("ship_year"),
+            "volume",
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@query(
+    "supplier_nation_profit",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS order_year,
+           ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                     - CAST(0.6 AS DECIMAL(2,1))
+                       * CAST(p.p_retailprice AS DECIMAL(18,4))
+                       * CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type LIKE '%BRASS%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    ORDER BY nation, order_year DESC
+    """,
+)
+def supplier_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product profit: per supplier nation and order
+    year, revenue minus a 60%-of-retail cost proxy (the fixture has no
+    partsupp table, so supply cost derives from part.p_retailprice),
+    restricted to BRASS-type parts.
+
+    Scale: lineitem⋈orders is the fact shuffle; part, supplier, and
+    nation broadcast; the part-type gate is applied on the broadcast
+    side so the fact scan never widens. Output is |nations|·years."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type").like("%BRASS%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    ) - F.lit("0.6").cast("decimal(2,1)") * F.col("p_retailprice").cast(
+        "decimal(18,4)"
+    ) * F.col("l_quantity").cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year"))
+        .agg(F.round(F.sum(amount), 2).alias("profit"))
+        .select("nation", F.col("order_year").cast("int").alias("order_year"), "profit")
+        .orderBy(F.asc("nation"), F.desc("order_year"))
+    )
+
+
+@query(
+    "linestatus_priority_counts",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped priority split: per line status, how many 1997
+    shipments belonged to high-priority (URGENT/HIGH) vs lower-priority
+    orders — the conditional-aggregate-after-join shape.
+
+    Scale: the date window pushes into the lineitem scan; the join
+    shuffles on orderkey (or broadcasts orders under AQE at small SF);
+    the aggregate is two partial-combinable conditional sums over
+    |linestatus| groups."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("int")).cast("long").alias("high_line_count"),
+            F.sum((~high).cast("int")).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "top_revenue_suppliers",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: quarterly revenue per supplier,
+    returning every supplier tied at the maximum (the view + scalar
+    subquery shape — Q15's famous tie semantics, NOT a LIMIT 1).
+
+    Scale: one filtered partial aggregate over lineitem keyed on
+    suppkey; the max is a scalar re-aggregation of that (supplier-
+    sized) frame, broadcast back as a filter; supplier joins
+    broadcast. Nothing fact-sized shuffles twice."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (1 - F.col("l_discount").cast("decimal(18,4)"))
+            ),
+            2,
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume orders: customers whose orders
+    total more than 250 units — the HAVING-subquery-gates-the-join
+    shape (find heavy orders first, then hydrate them).
+
+    Scale: the gate is one partial aggregate over lineitem keyed on
+    orderkey whose survivors (top ~1%) broadcast back as a semi-join
+    filter BEFORE the three-way hydration join — the fact table is
+    scanned twice but shuffled only for survivors."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(F.broadcast(heavy), "l_orderkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+    )
+
+
+@query(
+    "sole_supplier_orders",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS sole_orders
+    FROM supplier s
+    JOIN (
+        SELECT l_orderkey, MIN(l_suppkey) AS the_supp
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING COUNT(*) > 1 AND COUNT(DISTINCT l_suppkey) = 1
+    ) o ON o.the_supp = s.s_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY sole_orders DESC, s.s_suppkey
+    """,
+)
+def sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-flavored exclusivity probe: suppliers who were the
+    ONLY supplier on multi-line orders, counted per supplier (the
+    fixture lacks receipt/commit dates, so Q21's "kept waiting"
+    correlated-EXISTS pair becomes the equivalent only-me aggregate:
+    >1 line, exactly 1 distinct supplier).
+
+    Scale: one aggregate over lineitem keyed on orderkey (partial
+    count + distinct-supplier fold), survivors are order-sized and
+    join the broadcast supplier dim; no correlated per-row subquery
+    ever executes — the EXISTS pair is folded into the group-by."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sole = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.min("l_suppkey").alias("the_supp"),
+        )
+        .filter((F.col("n_lines") > 1) & (F.col("n_supps") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(supp), sole.the_supp == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("sole_orders"))
+        .orderBy(F.desc("sole_orders"), F.asc("s_suppkey"))
+    )
