@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lakehouse_admin_spark.operators import similarity as _sim
 from lakehouse_admin_spark.operators.dedup import tokens_expr
 from lakehouse_admin_spark.operators.similarity import (
     QUERY_STRIDE,
@@ -36,6 +37,11 @@ from lakehouse_admin_spark.operators.similarity import (
     local_topk_prune,
     norm_expr,
 )
+
+# NOTE: oracle SQL strings bake QUERY_STRIDE in at import (the graded
+# form); the Spark-side functions read _sim.QUERY_STRIDE dynamically so
+# the stress bench's per-tier stride patch (fixed query workload)
+# applies to this module too.
 from lakehouse_admin_spark.registry import query
 from lakehouse_admin_spark.sources.tables import load_table
 
@@ -120,7 +126,7 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str, top: int) -> DataFrame:
     n, avgdl = float(row["n"]), float(row["avgdl"])
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     qterms = (
-        tf.filter(F.col("doc_id") % QUERY_STRIDE == 0)
+        tf.filter(F.col("doc_id") % _sim.QUERY_STRIDE == 0)
         .join(df, "tok")
         .filter(F.col("df") <= BM25_MAX_DF_FRAC * n)
         .select(F.col("doc_id").alias("query_id"), "tok")
@@ -241,7 +247,7 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", F.col("rank").alias("lex_rank")
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+    queries = emb.filter(F.col("vec_id") % _sim.QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         norm_expr(F.col("embedding")).alias("nq"),
@@ -394,7 +400,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     across queries. All sims 6dp-rounded with id tiebreaks, so the
     unrolled-CTE oracle replays every round bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+    queries = emb.filter(F.col("vec_id") % _sim.QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         norm_expr(F.col("embedding")).alias("nq"),
@@ -442,8 +448,17 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # nested so cloudpickle ships it BY VALUE (foreign-cwd drivers)
     def greedy(pdf):
+        import math
+
         import numpy as np
         import pandas as pd
+
+        def r6(x):
+            # HALF-AWAY-FROM-ZERO at 6dp — matches DuckDB ROUND and
+            # Spark F.round; Python's round() is HALF-EVEN and DOES
+            # diverge here, because MMR scores are exact 6dp decimals
+            # scaled by 0.7/0.3, which lands on real halfway points
+            return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
 
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         x = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["ce"]])
@@ -460,9 +475,9 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in avail:
                 if selected:
                     red = max(psim[i][j] for j in selected)
-                    s = round(lam * qsim[i] - (1 - lam) * red, 6)
+                    s = r6(lam * qsim[i] - (1 - lam) * red)
                 else:
-                    s = round(lam * qsim[i], 6)
+                    s = r6(lam * qsim[i])
                 # argmax with doc_id ASC tiebreak (ids sorted ascending,
                 # so strictly-greater keeps the earliest id on ties)
                 if best_s is None or s > best_s:

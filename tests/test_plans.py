@@ -1244,3 +1244,26 @@ def test_knn_label_predict_laws(spark):
         assert r.predicted_label == want[0] and r.votes == want[1]
         assert r.true_label == labels[r.query_id]
         assert r.correct == (r.predicted_label == r.true_label)
+
+
+def test_tpch_analogues_plan_shapes(spark):
+    """The six Q7/Q9/Q12/Q15/Q18/Q21 analogues: no cartesian product
+    anywhere, every dimension leg a broadcast join, and the date
+    windows pushed into the lineitem parquet scan."""
+    for name in [
+        "nation_pair_trade_volume",
+        "supplier_nation_profit",
+        "linestatus_priority_counts",
+        "top_revenue_suppliers",
+        "large_volume_customers",
+        "sole_supplier_orders",
+    ]:
+        df = q(name)(spark, SF_SMOKE)
+        assert not has_cartesian(df), name
+        strategies = join_strategies(df)
+        assert strategies and all(s == "BroadcastHashJoin" for s in strategies), (
+            name,
+            strategies,
+        )
+    assert has_pushed_filters(q("nation_pair_trade_volume")(spark, SF_SMOKE))
+    assert has_pushed_filters(q("linestatus_priority_counts")(spark, SF_SMOKE))

@@ -69,6 +69,14 @@ STRESS_QUERIES = [
     "embedding_covariance",  # per-partition Gram → linear, flat shuffle
     "bpe_batch_learn_merges",  # vocab-sized rounds → saturates like bpe_learn
     "collocations_pmi",  # two vocab-keyed aggregates → ~linear
+    # r10 (continued): retrieval tier + incremental DSIR + OPQ + probes
+    "dsir_incremental",  # frozen-LM delta scoring → base train + O(delta)
+    "token_heavy_hitters",  # hash agg + broadcast total → linear, O(k) out
+    "bm25_topk",  # posting-list join, df-gated query terms
+    "rrf_hybrid_topk",  # two shortlists + full-outer fusion
+    "mmr_diversified_topk",  # shortlist + constant-work greedy kernel
+    "ann_opq_pq_topk",  # covariance train + rotated PQ/ADC
+    "knn_label_predict",  # brute top-k + <=k-row vote
 ]
 
 # Serving-tier queries take a QUERY WORKLOAD as input; the graded form
@@ -87,6 +95,12 @@ SERVING_QUERIES = {
     "multimodal_feature_ann",  # doc-id stride queries, same workload rule
     "ann_sq_topk",  # r9: same fixed-workload rule as the other ANN tiers
     "ann_filtered_topk",
+    # r10 (continued): all take the stride query workload
+    "bm25_topk",
+    "rrf_hybrid_topk",
+    "mmr_diversified_topk",
+    "ann_opq_pq_topk",
+    "knn_label_predict",
 }
 STRESS_NQ = 100
 
