@@ -124,6 +124,7 @@ HEADLINE = [
     "knn_label_predict",  # r10: k-NN majority-vote embedding probe
     "nation_pair_trade_volume",  # r10: Q7-shaped cross-border volume
     "large_volume_customers",  # r10: Q18-shaped HAVING-gated hydration
+    "event_transition_matrix",  # r10: first-order Markov behavior model
 ]
 
 

@@ -870,3 +870,64 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    c AS (
+        SELECT event_type, next_type, COUNT(*) AS n_transitions
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    tot AS (
+        SELECT event_type, SUM(n_transitions) AS t FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, c.next_type,
+           CAST(c.n_transitions AS BIGINT) AS n_transitions,
+           ROUND(c.n_transitions / CAST(tot.t AS DOUBLE), 6) AS p
+    FROM c JOIN tot USING (event_type)
+    ORDER BY c.event_type, c.next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: P(next event type | current type), estimated from
+    consecutive event pairs per user ordered by (ts, event_id) — the
+    behavioral-model staple behind next-action prediction, anomaly
+    detection (an improbable transition spike), and funnel discovery
+    (funnel_counts pins ONE path; this surfaces all of them).
+
+    Scale shape: one window (lead) partitioned by user_id — the only
+    corpus-sized shuffle, keyed on the user — then a map-side-
+    combinable pair count folding to |types|² rows; row normalization
+    joins the |types|-row totals back broadcast. Deterministic: the
+    (ts, event_id) order key is unique, probabilities 6dp-rounded."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    c = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = c.groupBy("event_type").agg(F.sum("n_transitions").alias("t"))
+    return (
+        c.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            F.round(F.col("n_transitions") / F.col("t").cast("double"), 6).alias("p"),
+        )
+        .orderBy("event_type", "next_type")
+    )

@@ -1267,3 +1267,24 @@ def test_tpch_analogues_plan_shapes(spark):
         )
     assert has_pushed_filters(q("nation_pair_trade_volume")(spark, SF_SMOKE))
     assert has_pushed_filters(q("linestatus_priority_counts")(spark, SF_SMOKE))
+
+
+def test_event_transition_matrix_laws(spark):
+    """Markov-matrix laws: each row (current type) sums to 1 within
+    rounding; transition counts fold back to the total number of
+    consecutive pairs (n_events - n_users, every user contributes
+    len-1 transitions); and the single corpus-sized shuffle is the
+    user-keyed window (no cartesian)."""
+    rows = q("event_transition_matrix")(spark, SF_SMOKE).collect()
+    by_cur: dict[str, float] = {}
+    total = 0
+    for r in rows:
+        by_cur[r.event_type] = by_cur.get(r.event_type, 0.0) + r.p
+        total += r.n_transitions
+    for t, s in by_cur.items():
+        assert abs(s - 1.0) < 1e-4, (t, s)
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users
+    assert not has_cartesian(q("event_transition_matrix")(spark, SF_SMOKE))
