@@ -125,6 +125,7 @@ HEADLINE = [
     "nation_pair_trade_volume",  # r10: Q7-shaped cross-border volume
     "large_volume_customers",  # r10: Q18-shaped HAVING-gated hydration
     "event_transition_matrix",  # r10: first-order Markov behavior model
+    "dau_wau_stickiness",  # r10: trailing-window exact-distinct ratio
 ]
 
 

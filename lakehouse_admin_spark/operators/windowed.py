@@ -931,3 +931,68 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "next_type")
     )
+
+
+@query(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+    wau AS (
+        SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+        FROM days d
+        JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY d.day
+    )
+    SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           ROUND(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+    FROM dau JOIN wau USING (day)
+    ORDER BY day
+    """,
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU stickiness per day — the engagement
+    ratio every product dashboard leads with. WAU is an EXACT distinct
+    over a sliding window, which no built-in window function computes
+    (count(distinct) over a range frame is unsupported); the
+    scale-correct shape is day-spine × day-buckets: dedupe to
+    (day, user) once, then each spine day joins its ≤7 trailing
+    day-buckets and re-deduplicates.
+
+    Scale shape: the corpus-sized work is ONE (day, user) distinct
+    (map-side combinable); the range join fans each day-bucket row out
+    ≤7× keyed on the day — |active days| × |daily users| rows, tiny
+    next to the event stream; both aggregates are partial. At 100 TB
+    the same plan holds because the fan-out is bounded by the window
+    length, not the corpus."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    du = ev.distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    spine = days.select(F.col("day").alias("d"))
+    wau = (
+        spine.join(
+            du,
+            (F.col("day") >= F.date_sub(F.col("d"), 6))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .withColumnRenamed("d", "day")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

@@ -1288,3 +1288,31 @@ def test_event_transition_matrix_laws(spark):
     n_users = ev.select("user_id").distinct().count()
     assert total == n_events - n_users
     assert not has_cartesian(q("event_transition_matrix")(spark, SF_SMOKE))
+
+
+def test_dau_wau_stickiness_laws(spark):
+    """Stickiness laws: one row per active day; DAU <= WAU (a day is
+    inside its own trailing window) so stickiness <= 1; the earliest
+    day's WAU equals its DAU (no prior days) giving stickiness exactly
+    1.0; WAU recomputed naively from (day, user) pairs matches."""
+    rows = q("dau_wau_stickiness")(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    du = {(r.day, r.user_id) for r in ev.distinct().collect()}
+    days = sorted({d for d, _ in du})
+    assert [r.day for r in rows] == days
+    import datetime
+
+    for r in rows:
+        assert r.dau <= r.wau
+        assert r.stickiness <= 1.0
+        want = len(
+            {
+                u
+                for d, u in du
+                if r.day - datetime.timedelta(days=6) <= d <= r.day
+            }
+        )
+        assert r.wau == want, (r.day, r.wau, want)
+    assert rows[0].stickiness == 1.0
