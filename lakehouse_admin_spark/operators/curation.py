@@ -1252,7 +1252,12 @@ def dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     delta = docs.filter(F.expr(_DSIR_DELTA) & ~F.expr(_DSIR_TARGET))
     toks = tokens_expr(F.col("text"))
-    t = delta.select("doc_id", toks.alias("toks"))
+    # repartition BEFORE tokenizing: the parquet is a handful of row
+    # groups, and the regex tokenizer is the CPU cost (the _doc_tokens
+    # rule) — without this the delta scan runs ~single-task
+    t = delta.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", toks.alias("toks")
+    )
     bigrams = F.when(
         F.size("toks") >= 2,
         F.transform(
