@@ -126,6 +126,7 @@ HEADLINE = [
     "large_volume_customers",  # r10: Q18-shaped HAVING-gated hydration
     "event_transition_matrix",  # r10: first-order Markov behavior model
     "dau_wau_stickiness",  # r10: trailing-window exact-distinct ratio
+    "cdc_chunk_dup",  # r10: content-defined chunking cross-doc dups
 ]
 
 

@@ -1098,3 +1098,125 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor", "positive")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) — the rolling-hash chunker behind
+# dedup storage systems (LBFS/Venti lineage) applied to the corpus:
+# chunk boundaries land where a hash of the trailing token window hits
+# a modulus, so INSERTIONS only perturb the chunks they touch — unlike
+# fixed-size chunking, where one inserted token shifts every later
+# boundary. Cross-doc duplicated chunks are the shift-robust exact-dup
+# signal complementing cross_doc_ngram_dup's fixed n-grams.
+# ---------------------------------------------------------------------------
+CDC_WINDOW = 4  # trailing tokens hashed per boundary test
+CDC_MOD = 16  # boundary when h % MOD == 0 → mean chunk ≈ 16 tokens
+
+
+@query(
+    "cdc_chunk_dup",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, toks,
+               list_filter(range({CDC_WINDOW}, len(toks) + 1),
+                   i -> CAST(('0x' || substr(md5(array_to_string(
+                            list_slice(toks, i - {CDC_WINDOW - 1}, i), ' ')),
+                            1, 12)) AS BIGINT) % {CDC_MOD} = 0
+               ) AS bpos
+        FROM d
+    ),
+    b AS (
+        SELECT doc_id, toks,
+               list_concat([0], list_concat(bpos, [len(toks)])) AS bounds
+        FROM w
+    ),
+    ch AS (
+        SELECT doc_id,
+               UNNEST(list_filter(
+                   list_transform(range(1, len(bounds)),
+                       j -> list_slice(toks, bounds[j] + 1, bounds[j + 1])),
+                   c -> len(c) > 0)) AS chunk
+        FROM b
+    ),
+    h AS (
+        SELECT doc_id, md5(array_to_string(chunk, ' ')) AS chunk_hash,
+               len(chunk) AS n_tokens
+        FROM ch
+    )
+    SELECT chunk_hash, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM h
+    GROUP BY chunk_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash
+    """,
+)
+def cdc_chunk_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup report: tokens chunk at
+    positions where the md5 of the trailing {4}-token window hits
+    ``% 16 == 0`` (mean chunk ≈ 16 tokens), and the report lists every
+    chunk appearing in ≥2 distinct documents. Because boundaries
+    derive from CONTENT, an insertion or deletion only re-chunks its
+    local neighborhood — the property backup/dedup stores build on and
+    what makes this the shift-robust complement to fixed-n-gram
+    duplicate detection (cross_doc_ngram_dup).
+
+    Scale shape: chunking is pure JVM array algebra inside the scan
+    (window hashes, boundary filter, slice transform — no Python, no
+    shuffle); the only corpus-sized exchange keys on the CHUNK HASH
+    for a partial-combinable (n_docs, n_occurrences) fold, so cost is
+    chunk mass, never a doc pair. Deterministic md5 boundaries make
+    the oracle replay chunking bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    d = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", toks.alias("toks")
+    )
+    w = CDC_WINDOW
+    bpos = F.when(
+        F.size("toks") >= w,
+        F.expr(
+            f"filter(sequence({w}, size(toks)), i -> "
+            f"pmod(conv(substring(md5(concat_ws(' ', slice(toks, i - {w - 1}, {w}))), 1, 12), 16, 10), {CDC_MOD}) = 0)"
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    b = d.select(
+        "doc_id",
+        "toks",
+        F.concat(
+            F.array(F.lit(0)), bpos.cast("array<int>"), F.array(F.size("toks"))
+        ).alias("bounds"),
+    )
+    ch = b.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, size(bounds) - 1), j -> "
+                "slice(toks, element_at(bounds, j) + 1, "
+                "element_at(bounds, j + 1) - element_at(bounds, j))), "
+                "c -> size(c) > 0)"
+            )
+        ).alias("chunk"),
+    )
+    h = ch.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+        F.size("chunk").alias("n_tokens"),
+    )
+    return (
+        h.groupBy("chunk_hash")
+        .agg(
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("chunk_hash"))
+    )

@@ -1316,3 +1316,49 @@ def test_dau_wau_stickiness_laws(spark):
         )
         assert r.wau == want, (r.day, r.wau, want)
     assert rows[0].stickiness == 1.0
+
+
+def test_cdc_chunk_dup_laws(spark):
+    """CDC laws: report rows are genuine cross-doc dups (n_occurrences
+    >= n_docs >= 2, chunk lengths positive); and the defining
+    shift-robustness property, pinned with the exact md5 boundary rule
+    on a synthetic pair — inserting ONE token mid-document leaves the
+    majority of chunks shared (only the touched neighborhood
+    re-chunks), while fixed-size chunking of the same pair loses every
+    chunk after the insertion point."""
+    import hashlib
+
+    import lakehouse_admin_spark.operators.dedup as dd
+
+    rows = q("cdc_chunk_dup")(spark, SF_SMOKE).collect()
+    assert rows, "fixture near-dups must share chunks"
+    for r in rows:
+        assert r.n_occurrences >= r.n_docs >= 2
+        assert r.n_tokens >= 1
+
+    W, M = dd.CDC_WINDOW, dd.CDC_MOD
+
+    def cdc_chunks(toks):
+        bpos = []
+        for i in range(W, len(toks) + 1):
+            h = hashlib.md5(" ".join(toks[i - W : i]).encode()).hexdigest()
+            if int(h[:12], 16) % M == 0:
+                bpos.append(i)
+        bounds = [0] + bpos + [len(toks)]
+        return [
+            tuple(toks[bounds[j] + 1 - 1 : bounds[j + 1]])
+            for j in range(len(bounds) - 1)
+            if bounds[j + 1] > bounds[j]
+        ]
+
+    def fixed_chunks(toks, size=16):
+        return [tuple(toks[i : i + size]) for i in range(0, len(toks), size)]
+
+    base = [f"w{(i * 7919) % 997}" for i in range(400)]
+    edited = base[:200] + ["INSERTED"] + base[200:]
+    c_a, c_b = set(cdc_chunks(base)), set(cdc_chunks(edited))
+    cdc_shared = len(c_a & c_b) / max(len(c_a), 1)
+    f_a, f_b = set(fixed_chunks(base)), set(fixed_chunks(edited))
+    fixed_shared = len(f_a & f_b) / max(len(f_a), 1)
+    assert cdc_shared >= 0.7, cdc_shared
+    assert fixed_shared < cdc_shared, (fixed_shared, cdc_shared)
