@@ -216,6 +216,36 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # Compact trailing summary (<1500 chars): the driver records only a
+    # 2000-char stdout TAIL, which the full per-query line above
+    # overflows — ending stdout with a small self-contained JSON line
+    # guarantees the tail always holds one parseable artifact (the full
+    # table survives in BASELINE.md and in this line's family rollup).
+    fams: dict[str, list[float]] = {}
+    for name, t in timings.items():
+        fam = name.split("_", 1)[0]
+        fams.setdefault(fam, []).append(t)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "rows": len(timings),
+        "errors": len(errors),
+        "family_totals": {
+            f: round(sum(v), 3) for f, v in sorted(fams.items())
+        },
+        "slowest": slowest,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # belt-and-braces: drop detail, keep the headline
+        compact.pop("slowest", None)
+        compact.pop("family_totals", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
