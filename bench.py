@@ -127,6 +127,7 @@ HEADLINE = [
     "event_transition_matrix",  # r10: first-order Markov behavior model
     "dau_wau_stickiness",  # r10: trailing-window exact-distinct ratio
     "cdc_chunk_dup",  # r10: content-defined chunking cross-doc dups
+    "cdc_chunk_jaccard_pairs",  # r10: shift-robust rare-chunk near-dups
 ]
 
 

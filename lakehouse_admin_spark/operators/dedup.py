@@ -1113,6 +1113,48 @@ CDC_WINDOW = 4  # trailing tokens hashed per boundary test
 CDC_MOD = 16  # boundary when h % MOD == 0 → mean chunk ≈ 16 tokens
 
 
+def _cdc_chunk_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_hash, n_tokens) — one row per CDC chunk
+    occurrence; the chunker shared by the dup report and the
+    chunk-Jaccard pair miner. Pure JVM array algebra in the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    d = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", toks.alias("toks")
+    )
+    w = CDC_WINDOW
+    bpos = F.when(
+        F.size("toks") >= w,
+        F.expr(
+            f"filter(sequence({w}, size(toks)), i -> "
+            f"pmod(conv(substring(md5(concat_ws(' ', slice(toks, i - {w - 1}, {w}))), 1, 12), 16, 10), {CDC_MOD}) = 0)"
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    b = d.select(
+        "doc_id",
+        "toks",
+        F.concat(
+            F.array(F.lit(0)), bpos.cast("array<int>"), F.array(F.size("toks"))
+        ).alias("bounds"),
+    )
+    ch = b.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, size(bounds) - 1), j -> "
+                "slice(toks, element_at(bounds, j) + 1, "
+                "element_at(bounds, j + 1) - element_at(bounds, j))), "
+                "c -> size(c) > 0)"
+            )
+        ).alias("chunk"),
+    )
+    return ch.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+        F.size("chunk").alias("n_tokens"),
+    )
+
+
 @query(
     "cdc_chunk_dup",
     oracle=rf"""
@@ -1174,42 +1216,7 @@ def cdc_chunk_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a partial-combinable (n_docs, n_occurrences) fold, so cost is
     chunk mass, never a doc pair. Deterministic md5 boundaries make
     the oracle replay chunking bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_expr(F.col("text"))
-    d = docs.repartition(spark.sparkContext.defaultParallelism).select(
-        "doc_id", toks.alias("toks")
-    )
-    w = CDC_WINDOW
-    bpos = F.when(
-        F.size("toks") >= w,
-        F.expr(
-            f"filter(sequence({w}, size(toks)), i -> "
-            f"pmod(conv(substring(md5(concat_ws(' ', slice(toks, i - {w - 1}, {w}))), 1, 12), 16, 10), {CDC_MOD}) = 0)"
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    b = d.select(
-        "doc_id",
-        "toks",
-        F.concat(
-            F.array(F.lit(0)), bpos.cast("array<int>"), F.array(F.size("toks"))
-        ).alias("bounds"),
-    )
-    ch = b.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "filter(transform(sequence(1, size(bounds) - 1), j -> "
-                "slice(toks, element_at(bounds, j) + 1, "
-                "element_at(bounds, j + 1) - element_at(bounds, j))), "
-                "c -> size(c) > 0)"
-            )
-        ).alias("chunk"),
-    )
-    h = ch.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
-        F.size("chunk").alias("n_tokens"),
-    )
+    h = _cdc_chunk_hashes(spark, sf_dir)
     return (
         h.groupBy("chunk_hash")
         .agg(
@@ -1219,4 +1226,113 @@ def cdc_chunk_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("chunk_hash"))
+    )
+
+
+CDC_PAIR_DF_CAP = 20  # chunks in more docs than this are dropped from
+# the pair evidence (near-zero signal, longest posting lists)
+CDC_PAIR_TAU = 0.5  # rare-chunk Jaccard threshold
+
+
+@query(
+    "cdc_chunk_jaccard_pairs",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, toks,
+               list_filter(range({CDC_WINDOW}, len(toks) + 1),
+                   i -> CAST(('0x' || substr(md5(array_to_string(
+                            list_slice(toks, i - {CDC_WINDOW - 1}, i), ' ')),
+                            1, 12)) AS BIGINT) % {CDC_MOD} = 0
+               ) AS bpos
+        FROM d
+    ),
+    b AS (
+        SELECT doc_id, toks,
+               list_concat([0], list_concat(bpos, [len(toks)])) AS bounds
+        FROM w
+    ),
+    ch AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(UNNEST(list_filter(
+                   list_transform(range(1, len(bounds)),
+                       j -> list_slice(toks, bounds[j] + 1, bounds[j + 1])),
+                   c -> len(c) > 0)), ' ')) AS chunk_hash
+        FROM b
+    ),
+    rare AS MATERIALIZED (
+        SELECT chunk_hash FROM ch
+        GROUP BY chunk_hash HAVING COUNT(*) <= {CDC_PAIR_DF_CAP}
+    ),
+    cr AS MATERIALIZED (SELECT ch.* FROM ch JOIN rare USING (chunk_hash)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM cr GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_chunks
+        FROM cr a JOIN cr b
+          ON b.chunk_hash = a.chunk_hash AND b.doc_id > a.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b, CAST(s.shared_chunks AS BIGINT) AS shared_chunks,
+           ROUND(s.shared_chunks /
+                 CAST(sa.n + sb.n - s.shared_chunks AS DOUBLE), 6) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE s.shared_chunks / CAST(sa.n + sb.n - s.shared_chunks AS DOUBLE)
+          >= {CDC_PAIR_TAU}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def cdc_chunk_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by RARE-CHUNK Jaccard ≥ 0.5 over the CDC
+    chunk sets — the shift-robust complement to word-3-gram Jaccard
+    (:func:`ngram_jaccard_pairs`): an insertion that shifts every
+    3-gram after the edit leaves the CDC chunk set almost intact, so
+    edited near-dups keep a high score here. Chunks appearing in more
+    than {20} documents are dropped from the evidence on BOTH sides of
+    the ratio (they carry near-zero signal and own the longest posting
+    lists — the same economy as BM25's df gate).
+
+    Scale shape: candidate pairs come from the chunk-hash posting join
+    (never all pairs); the df cap bounds each posting list, so pair
+    volume is Σ df² over rare chunks, and the Jaccard fold is one
+    partial-combinable aggregate keyed on the pair."""
+    ch = _cdc_chunk_hashes(spark, sf_dir).select("doc_id", "chunk_hash").distinct()
+    rare = (
+        ch.groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CDC_PAIR_DF_CAP)
+        .select("chunk_hash")
+    )
+    cr = ch.join(rare, "chunk_hash")
+    sizes = cr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = cr.select(F.col("doc_id").alias("doc_a"), "chunk_hash")
+    bb = cr.select(F.col("doc_id").alias("doc_b"), "chunk_hash")
+    shared = (
+        a.join(bb, "chunk_hash")
+        .filter(F.col("doc_b") > F.col("doc_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared_chunks") / (
+        F.col("na") + F.col("nb") - F.col("shared_chunks")
+    ).cast("double")
+    return (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= CDC_PAIR_TAU)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared_chunks").cast("long").alias("shared_chunks"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
     )

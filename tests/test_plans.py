@@ -1362,3 +1362,23 @@ def test_cdc_chunk_dup_laws(spark):
     fixed_shared = len(f_a & f_b) / max(len(f_a), 1)
     assert cdc_shared >= 0.7, cdc_shared
     assert fixed_shared < cdc_shared, (fixed_shared, cdc_shared)
+
+
+def test_cdc_chunk_jaccard_pairs_laws(spark):
+    """Chunk-Jaccard pair laws: well-formed pairs (a < b, jaccard in
+    [0.5, 1], shared_chunks >= 1); on the fixture every CDC pair is
+    also a word-3-gram Jaccard near-dup (precision: chunk agreement is
+    the coarser, stricter evidence), and CDC recall of the 3-gram
+    pairs is >= 0.6 (the chunking is lossy but not blind)."""
+    cdc = q("cdc_chunk_jaccard_pairs")(spark, SF_SMOKE).collect()
+    assert cdc, "fixture near-dups must produce CDC pairs"
+    for r in cdc:
+        assert r.doc_a < r.doc_b
+        assert 0.5 <= r.jaccard <= 1.0
+        assert r.shared_chunks >= 1
+    cdc_pairs = {(r.doc_a, r.doc_b) for r in cdc}
+    ng_pairs = {
+        (r.doc_a, r.doc_b) for r in q("ngram_jaccard_pairs")(spark, SF_SMOKE).collect()
+    }
+    assert cdc_pairs <= ng_pairs
+    assert len(cdc_pairs & ng_pairs) / len(ng_pairs) >= 0.6
