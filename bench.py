@@ -128,6 +128,8 @@ HEADLINE = [
     "dau_wau_stickiness",  # r10: trailing-window exact-distinct ratio
     "cdc_chunk_dup",  # r10: content-defined chunking cross-doc dups
     "cdc_chunk_jaccard_pairs",  # r10: shift-robust rare-chunk near-dups
+    "nation_market_share",  # r10: Q8-shaped conditional share-of-total
+    "returned_item_customers",  # r10: Q10-shaped returns ranking
 ]
 
 

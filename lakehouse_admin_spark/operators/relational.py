@@ -536,7 +536,7 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE p.p_type LIKE '%BRASS%'
+    WHERE p.p_type IN ('PROMO', 'ECONOMY')
     GROUP BY n.n_name, year(o.o_orderdate)
     ORDER BY nation, order_year DESC
     """,
@@ -545,7 +545,7 @@ def supplier_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9-shaped product profit: per supplier nation and order
     year, revenue minus a 60%-of-retail cost proxy (the fixture has no
     partsupp table, so supply cost derives from part.p_retailprice),
-    restricted to BRASS-type parts.
+    restricted to PROMO/ECONOMY-type parts.
 
     Scale: lineitem⋈orders is the fact shuffle; part, supplier, and
     nation broadcast; the part-type gate is applied on the broadcast
@@ -554,7 +554,7 @@ def supplier_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     part = (
         load_table(spark, sf_dir, "part")
-        .filter(F.col("p_type").like("%BRASS%"))
+        .filter(F.col("p_type").isin("PROMO", "ECONOMY"))
         .select("p_partkey", "p_retailprice")
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -759,4 +759,146 @@ def sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("sole_orders"))
         .orderBy(F.desc("sole_orders"), F.asc("s_suppkey"))
+    )
+
+
+@query(
+    "nation_market_share",
+    oracle="""
+    WITH vol AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+               sn.n_name AS supp_nation,
+               CAST(l.l_extendedprice AS DECIMAL(18,4))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS volume
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+    )
+    SELECT order_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3'
+                          THEN volume ELSE 0 END) / SUM(volume), 6)
+               AS mkt_share,
+           ROUND(SUM(volume), 2) AS total_volume
+    FROM vol
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: NATION_3's share of PROMO-part
+    revenue sold to EUROPE-region customers, per order year — the
+    conditional-share-of-aggregate shape (one pass computes both the
+    focal nation's volume and the market total).
+
+    Scale: lineitem⋈orders is the fact shuffle; customer, both nation
+    legs, region, supplier, and the part gate broadcast; the share is
+    a conditional DECIMAL sum over |years| groups, exact and
+    order-insensitive on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    cn = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "supp_nation",
+            volume.alias("volume"),
+        )
+    )
+    focal = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    )
+    return (
+        vol.groupBy("order_year")
+        .agg(
+            F.round(focal / F.sum("volume"), 6).alias("mkt_share"),
+            F.round(F.sum("volume"), 2).alias("total_volume"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@query(
+    "returned_item_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item losses: the 20 customers who
+    returned the most revenue in a half-year window — the
+    who-is-hurting-us report behind every returns dashboard.
+
+    Scale: the returnflag filter pushes into the lineitem scan, the
+    date window into orders; the fact join shuffles on the orderkey;
+    customer and nation broadcast; DECIMAL revenue keeps the ranking
+    (and its LIMIT boundary) engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        1 - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
     )

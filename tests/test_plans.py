@@ -1257,6 +1257,8 @@ def test_tpch_analogues_plan_shapes(spark):
         "top_revenue_suppliers",
         "large_volume_customers",
         "sole_supplier_orders",
+        "nation_market_share",
+        "returned_item_customers",
     ]:
         df = q(name)(spark, SF_SMOKE)
         assert not has_cartesian(df), name
