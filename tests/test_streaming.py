@@ -480,3 +480,146 @@ def test_misra_gries_stream_laws(spark, tmp_path_factory):
     assert exact_hh, "fixture must have heavy hitters at K=64"
     candidate_toks = {tok for (_, tok) in streamed}
     assert exact_hh <= candidate_toks
+
+
+def test_space_saving_stream_laws(spark, tmp_path_factory):
+    """Space-Saving: (1) streamed final summary == batch twin
+    bit-for-bit; (2) state bounded by K per slot; (3) the textbook
+    bounds est - err <= true <= est per tracked item with err <=
+    n_slot/K; (4) the candidate set is a superset of the exact heavy
+    hitters at K; (5) certainty ranking — any tracked item whose
+    est - err exceeds every untracked item's possible count is a TRUE
+    heavy item by count (guaranteed-top property)."""
+    from lakehouse_admin_spark.streaming.space_saving import (
+        SS_K,
+        space_saving_stream,
+        ss_summary_batch,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path_factory.mktemp("ss_drops"))
+    n_docs = docs.count()
+    cuts = [0, n_docs // 3, 2 * n_docs // 3, n_docs + 1]
+    for i in range(3):
+        _write_drop(
+            docs.filter(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            ),
+            src,
+            f"drop_{i}",
+            1000000 + 1000 * i,
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q_ = run_stream_to_memory(space_saving_stream(stream), "ss_hh", output_mode="append")
+    q_.awaitTermination(180)
+    out = spark.table("ss_hh").toPandas()
+    finals = out.loc[out.groupby("slot")["n_slot"].transform("max") == out["n_slot"]]
+    streamed = {
+        (int(r["slot"]), r["tok"]): (int(r["est_count"]), int(r["err"]), int(r["n_slot"]))
+        for _, r in finals.iterrows()
+    }
+    batch = ss_summary_batch(docs).toPandas()
+    batched = {
+        (int(r["slot"]), r["tok"]): (int(r["est_count"]), int(r["err"]), int(r["n_slot"]))
+        for _, r in batch.iterrows()
+    }
+    assert streamed == batched
+    assert (finals.groupby("slot").size() <= SS_K).all()
+    toks = docs.select(
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")).alias(
+            "tok"
+        )
+    )
+    true_counts = {
+        r["tok"]: r["cnt"]
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for (slot, tok), (est, err, n_slot) in streamed.items():
+        t = true_counts[tok]
+        assert est - err <= t <= est, (tok, est, err, t)
+        assert err <= n_slot / SS_K
+    n_total = sum(true_counts.values())
+    exact_hh = {t for t, c in true_counts.items() if c > n_total / SS_K}
+    assert exact_hh
+    assert exact_hh <= {tok for (_, tok) in streamed}
+    # (5) certainty: per slot, the min tracked est bounds any untracked
+    # item's count; a tracked item with est-err above that is truly big
+    certain = 0
+    by_slot: dict[int, list] = {}
+    for (slot, tok), v in streamed.items():
+        by_slot.setdefault(slot, []).append((tok, *v))
+    for slot, items in by_slot.items():
+        min_est = min(e for _, e, _, _ in items)
+        for tok, est, err, _ in items:
+            if est - err > min_est:
+                assert true_counts[tok] > 0
+                certain += 1
+    assert certain > 0, "certainty ranking must identify some items"
+
+
+def test_frequent_items_summaries_under_eviction(spark, tmp_path_factory):
+    """The fixture corpus has only ~31 distinct tokens — under K=64
+    the MG/SS summaries just track everything exactly and the
+    eviction/decrement branches never run. This synthetic corpus
+    (2000-word Zipf-ish vocabulary, deterministic) SATURATES the
+    summaries: every slot holds exactly K counters (SS) / is capped
+    (MG), decrements and evictions demonstrably fire (nonzero SS err,
+    MG est < true somewhere), and the textbook laws still hold —
+    stream==batch, bounds, and the heavy-hitter superset."""
+    import pandas as pd
+
+    from lakehouse_admin_spark.streaming.heavy_hitters import (
+        MG_K,
+        MG_SLOTS,
+        mg_summary_batch,
+    )
+    from lakehouse_admin_spark.streaming.space_saving import SS_K, ss_summary_batch
+
+    words = []
+    for i in range(60000):
+        r = (i * 2654435761) % 10007  # deterministic mix, no RNG
+        if r < 4000:
+            words.append(f"hot{r % 12}")  # 12 heavy tokens (~40% of mass)
+        else:
+            words.append(f"w{r % 2000}")  # 2000-word tail
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(600)),
+                "text": [" ".join(words[i * 100 : (i + 1) * 100]) for i in range(600)],
+            }
+        )
+    )
+    true_counts: dict[str, int] = {}
+    for w in words:
+        true_counts[w] = true_counts.get(w, 0) + 1
+    n_total = len(words)
+
+    ss = ss_summary_batch(docs).toPandas()
+    per_slot = ss.groupby("slot").size()
+    assert len(per_slot) == MG_SLOTS
+    assert (per_slot == SS_K).all(), "SS must saturate every slot"
+    assert (ss["err"] > 0).any(), "eviction must have fired"
+    for _, r in ss.iterrows():
+        t = true_counts[r["tok"]]
+        assert r["est_count"] - r["err"] <= t <= r["est_count"]
+        assert r["err"] <= r["n_slot"] / SS_K
+    exact_hh = {t for t, c in true_counts.items() if c > n_total / SS_K}
+    assert exact_hh, "the 12 hot tokens must be heavy at K=64"
+    assert exact_hh <= set(ss["tok"])
+
+    mg = mg_summary_batch(docs).toPandas()
+    assert (mg.groupby("slot").size() <= MG_K).all()
+    under = 0
+    for _, r in mg.iterrows():
+        t = true_counts[r["tok"]]
+        assert r["est_count"] <= t
+        assert t - r["est_count"] <= r["n_slot"] / (MG_K + 1)
+        if r["est_count"] < t:
+            under += 1
+    assert under > 0, "MG decrements must have fired"
+    assert exact_hh <= set(mg["tok"])
