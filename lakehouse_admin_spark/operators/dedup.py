@@ -77,7 +77,26 @@ def shingles_expr(toks: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-_POSTING_CACHE: dict[tuple[int, str], DataFrame] = {}
+# (applicationId, sf_dir) -> persisted posting list. applicationId is
+# unique per SparkContext — unlike id(spark), which CPython can reuse
+# after a session is GC'd, serving stale frames to a new session.
+_POSTING_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def invalidate_posting_cache(sf_dir: str | None = None) -> int:
+    """Drop (and unpersist) cached posting lists — all of them, or only
+    the ones built over ``sf_dir``. Returns the number evicted. The
+    external-mutation hook, mirroring ``invalidate_ivf_cache`` /
+    ``invalidate_graph_caches``: call after the documents fixture under
+    ``sf_dir`` is rewritten in place."""
+    victims = [k for k in _POSTING_CACHE if sf_dir is None or k[1] == sf_dir]
+    for k in victims:
+        try:
+            _POSTING_CACHE[k].unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to free
+        del _POSTING_CACHE[k]
+    return len(victims)
 
 
 def exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,7 +119,7 @@ def exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this index would be a materialized table; the shape is
     identical.
     """
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _POSTING_CACHE.get(key)
     if cached is not None:
         return cached

@@ -283,7 +283,7 @@ def nnd_index(
         _free_checkpoint(wide)  # pool-width intermediate
         return out
 
-    return _cached(("nnd", id(spark), sf_dir, rounds, pool), build)
+    return _cached(("nnd", spark.sparkContext.applicationId, sf_dir, rounds, pool), build)
 
 
 # 6dp-rounded all-pairs cosine CTE shared by every unrolled oracle
@@ -476,7 +476,7 @@ def _vectors_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nrm", norm_expr(F.col("embedding"))
         ).localCheckpoint()
 
-    return _cached(("vecs", id(spark), sf_dir), build)
+    return _cached(("vecs", spark.sparkContext.applicationId, sf_dir), build)
 
 
 def _undirected_edges(
@@ -502,7 +502,7 @@ def _undirected_edges(
             .localCheckpoint()
         )
 
-    return _cached(("edges", id(spark), sf_dir, source), build)
+    return _cached(("edges", spark.sparkContext.applicationId, sf_dir, source), build)
 
 
 @query("graph_ann_search", oracle=_gs_oracle())
@@ -755,7 +755,7 @@ def _layer_edges(spark: SparkSession, sf_dir: str, layer: int) -> DataFrame:
         ).distinct()
         return und.localCheckpoint()
 
-    return _cached(("layer", id(spark), sf_dir, layer), build)
+    return _cached(("layer", spark.sparkContext.applicationId, sf_dir, layer), build)
 
 
 def _subset_nnd_cte(
@@ -1015,7 +1015,7 @@ def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it), so the query set — and therefore the seed frame — varies
     # with it: it MUST be part of the cache key or a stride change
     # would silently serve seeds for the old query set.
-    seeds = _cached(("hnsw_seeds", id(spark), sf_dir, QUERY_STRIDE), build_seeds)
+    seeds = _cached(("hnsw_seeds", spark.sparkContext.applicationId, sf_dir, QUERY_STRIDE), build_seeds)
     # layer 0: beam search seeded by the descended entry per query,
     # over the sub-quadratically-built NN-descent edge index
     edges0 = _undirected_edges(spark, sf_dir)

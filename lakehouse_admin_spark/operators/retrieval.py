@@ -26,6 +26,8 @@ floor — the indexed tiers swap in unchanged). Fusion joins two
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -49,6 +51,15 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP = 10  # lexical hits returned per query
 BM25_MAX_DF_FRAC = 0.10  # query terms with df > 10% of docs are pruned
+# The fractional gate alone can empty a query's term bag on a skewed
+# vocabulary (the fixture has 31 tokens and exactly ONE under the 10%
+# cutoff — at sf0.01 no stride doc contains it, so bm25_topk returned
+# 0 rows in both engines: a vacuous hash-green, r10 verdict lead item).
+# Fallback: each query always keeps its BM25_MIN_TERMS rarest terms
+# (df ASC, tok ASC rank), so the gate degrades to "rarest-m" instead of
+# "nothing" — the same economy WAND-style pruning uses (rare terms own
+# the idf mass AND the shortest posting lists).
+BM25_MIN_TERMS = 3
 RRF_K = 60  # the fusion constant from Cormack et al.
 RRF_SHORTLIST = 50  # per-tier candidate depth fused
 RRF_TOP = 5  # fused hits returned per query
@@ -73,10 +84,14 @@ _BM25_CTE = rf"""
     ),
     df AS MATERIALIZED (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
     qterms AS (
-        SELECT tf.doc_id AS query_id, tf.tok
-        FROM tf JOIN df USING (tok) CROSS JOIN stats
-        WHERE tf.doc_id % {QUERY_STRIDE} = 0
-          AND df.df <= {BM25_MAX_DF_FRAC} * stats.n
+        SELECT query_id, tok FROM (
+            SELECT tf.doc_id AS query_id, tf.tok, df.df, stats.n,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id ORDER BY df.df, tf.tok
+                   ) AS df_rank
+            FROM tf JOIN df USING (tok) CROSS JOIN stats
+            WHERE tf.doc_id % {QUERY_STRIDE} = 0
+        ) WHERE df <= {BM25_MAX_DF_FRAC} * n OR df_rank <= {BM25_MIN_TERMS}
     ),
     scored AS (
         SELECT q.query_id, tf.doc_id,
@@ -103,33 +118,84 @@ _BM25_CTE = rf"""
 """
 
 
-def _bm25_ranked(spark: SparkSession, sf_dir: str, top: int) -> DataFrame:
-    """(query_id, doc_id, score, rank ≤ top) — the BM25 posting-list
-    ranking shared by the lexical query and the hybrid fusion."""
+# (applicationId, abspath(sf_dir)) -> (persisted tf frame, n, avgdl).
+# The corpus-sized inverted frame used to be persisted per invocation
+# and never unpersisted — every bm25_topk / rrf_hybrid_topk call leaked
+# one cached frame for the session lifetime (r10 ADVICE). The dsir-LM
+# pattern instead: one persisted frame per (app, corpus), reused by
+# both consumers, invalidated explicitly. applicationId is unique per
+# SparkContext, unlike id(spark), which CPython can reuse.
+_BM25_CACHE: dict[tuple[str, str], tuple[DataFrame, float, float]] = {}
+
+
+def invalidate_bm25_cache(sf_dir: str | None = None) -> int:
+    """Drop (and unpersist) cached BM25 corpus frames — all, or only the
+    ones built over ``sf_dir``. Returns the number evicted. Call after
+    the documents fixture under ``sf_dir`` is rewritten in place."""
+    norm = os.path.abspath(sf_dir.rstrip("/")) if sf_dir is not None else None
+    victims = [k for k in _BM25_CACHE if norm is None or k[1] == norm]
+    for k in victims:
+        try:
+            _BM25_CACHE[k][0].unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to free
+        del _BM25_CACHE[k]
+    return len(victims)
+
+
+def _bm25_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, float, float]:
+    """(tf frame, N, avgdl) for the corpus — one tokenize scan per
+    (session, corpus), persisted and cached (see ``_BM25_CACHE``)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir.rstrip("/")))
+    hit = _BM25_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", tokens_expr(F.col("text")).alias("toks")
     )
-    from pyspark.storagelevel import StorageLevel
-
     tf = (
         tok.select("doc_id", F.explode("toks").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dl = tok.select("doc_id", F.size("toks").alias("dl"))
     row = tok.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.size("toks").cast("double")).alias("avgdl"),
     ).collect()[0]  # two scalars of corpus stats
-    n, avgdl = float(row["n"]), float(row["avgdl"])
+    out = (tf, float(row["n"]), float(row["avgdl"]))
+    _BM25_CACHE[key] = out
+    return out
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str, top: int) -> DataFrame:
+    """(query_id, doc_id, score, rank ≤ top) — the BM25 posting-list
+    ranking shared by the lexical query and the hybrid fusion."""
+    tf, n, avgdl = _bm25_corpus(spark, sf_dir)
+    # dl = Σ tf per doc: exactly len(toks) for every doc that owns a
+    # posting (docs with zero tokens can't match one), read off the
+    # persisted tf frame instead of a second tokenize scan.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # Adaptive term gate: drop high-df terms (near-zero idf, longest
+    # posting lists) but ALWAYS keep each query's BM25_MIN_TERMS rarest
+    # — the fractional gate alone empties on skewed vocabularies (see
+    # the constant's comment). The rank window runs over the tiny
+    # (query × query-tokens) frame, never the corpus.
+    wq = Window.partitionBy("query_id").orderBy(F.asc("df"), F.asc("tok"))
     qterms = (
         tf.filter(F.col("doc_id") % _sim.QUERY_STRIDE == 0)
-        .join(df, "tok")
-        .filter(F.col("df") <= BM25_MAX_DF_FRAC * n)
         .select(F.col("doc_id").alias("query_id"), "tok")
+        .join(F.broadcast(df), "tok")
+        .withColumn("df_rank", F.row_number().over(wq))
+        .filter(
+            (F.col("df") <= BM25_MAX_DF_FRAC * n)
+            | (F.col("df_rank") <= BM25_MIN_TERMS)
+        )
+        .select("query_id", "tok")
     )
     idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tfn = (
@@ -171,7 +237,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     other documents by Okapi BM25 (k1=1.2, b=0.75, the Lucene
     ``ln(1+(N−df+0.5)/(df+0.5))`` idf), using the query doc's distinct
     tokens as the query bag with high-df terms pruned (df > 10% of N:
-    near-zero idf, longest posting lists — the WAND economy).
+    near-zero idf, longest posting lists — the WAND economy), while
+    always keeping each query's 3 rarest terms so the bag never empties
+    on a skewed vocabulary.
 
     Scale shape: one tokenize pass builds the (doc, term, tf) inverted
     frame; the broadcast (query, term) frame joins on the TERM key, so
@@ -303,6 +371,14 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # standard de-duplicating re-rank in front of RAG context windows.
 # ---------------------------------------------------------------------------
 MMR_LAMBDA = 0.7
+# The redundancy weight is a SINGLE shared constant, never re-derived
+# as (1 - MMR_LAMBDA): Python's 1-0.7 is 0.30000000000000004 while the
+# oracle's former (1 - 0.7) was DuckDB DECIMAL 0.3 cast to double =
+# 0.2999999999999999889… — a 1-ulp multiplier gap that can flip a
+# 6dp-halfway rounded score and hence the greedy pick (r10 ADVICE).
+# Both the kernel and the interpolated SQL multiply by this identical
+# double ("0.3" parses to the same nearest-double in both engines).
+MMR_MU = 0.3
 MMR_SHORTLIST = 20  # relevance candidates re-ranked
 MMR_TOP = 5  # diversified picks returned
 
@@ -359,7 +435,7 @@ def _mmr_oracle() -> str:
     m{r} AS MATERIALIZED (
         SELECT sh.qid, sh.cid,
                ROUND({MMR_LAMBDA} * sh.qsim
-                     - (1 - {MMR_LAMBDA}) * MAX(p.psim), 6) AS mmr
+                     - {MMR_MU} * MAX(p.psim), 6) AS mmr
         FROM short sh
         JOIN p ON p.qid = sh.qid AND p.i = sh.cid
         JOIN {prev} s ON s.qid = p.qid AND s.cid = p.j
@@ -444,7 +520,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("rank", IntegerType()),
         ]
     )
-    lam, top = MMR_LAMBDA, MMR_TOP
+    lam, mu, top = MMR_LAMBDA, MMR_MU, MMR_TOP
 
     # nested so cloudpickle ships it BY VALUE (foreign-cwd drivers)
     def greedy(pdf):
@@ -475,7 +551,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in avail:
                 if selected:
                     red = max(psim[i][j] for j in selected)
-                    s = r6(lam * qsim[i] - (1 - lam) * red)
+                    s = r6(lam * qsim[i] - mu * red)
                 else:
                     s = r6(lam * qsim[i])
                 # argmax with doc_id ASC tiebreak (ids sorted ascending,

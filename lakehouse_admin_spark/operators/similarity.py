@@ -1542,6 +1542,45 @@ def _pq_index(
     return codes, luts
 
 
+def _adc_ranked(codes: DataFrame, queries: DataFrame) -> DataFrame:
+    """The shared ADC serving pipeline: broadcast query LUTs × codes
+    scan, approx_dist = Σ of {PQ_M} table lookups (zip_with + aggregate,
+    all codegen), 6dp-rounded, per-query rank window, top-{TOP_K}.
+    Single definition for plain PQ (ann_pq_topk) AND OPQ-rotated PQ
+    (ann_opq_pq_topk): the two rankings are intentionally byte-identical
+    and previously drifted-apart-able as verbatim copies (r10 ADVICE)."""
+    adc = (
+        F.broadcast(queries)
+        .crossJoin(codes)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("lut"),
+                        F.col("codes"),
+                        lambda l, c: F.element_at(l, c + F.lit(1)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def _pq_oracle() -> str:
     """DuckDB replay of the full PQ pipeline: codebook = subvectors of
     the 16 lowest vec_ids, encode by rounded-L2 argmin (ties → lowest
@@ -1611,34 +1650,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     codes, queries = _pq_index(spark, emb)
-    adc = (
-        F.broadcast(queries)
-        .crossJoin(codes)
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("lut"),
-                        F.col("codes"),
-                        lambda l, c: F.element_at(l, c + F.lit(1)),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("approx_dist"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "approx_dist", "rank")
-        .orderBy("query_id", "rank")
-    )
+    return _adc_ranked(codes, queries)
 
 
 def _ivf_pq_oracle(tail: str | None = None) -> str:
@@ -2648,37 +2660,11 @@ def ann_opq_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`invalidate_opq_cache`; the rotation adds one GEMM per Arrow
     batch to the encode path and NOTHING to serving (queries rotate
     through the same broadcast matrix before LUT construction); the
-    ADC join and ranking are byte-identical to ann_pq_topk."""
+    ADC join and ranking are byte-identical to ann_pq_topk (the shared
+    :func:`_adc_ranked` pipeline)."""
     rotated = _rotated_embeddings(spark, sf_dir)
     codes, queries = _pq_index(spark, rotated)
-    adc = (
-        F.broadcast(queries)
-        .crossJoin(codes)
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("lut"),
-                        F.col("codes"),
-                        lambda l, c: F.element_at(l, c + F.lit(1)),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("approx_dist"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "approx_dist", "rank")
-        .orderBy("query_id", "rank")
-    )
+    return _adc_ranked(codes, queries)
 
 
 @query(

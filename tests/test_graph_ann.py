@@ -138,7 +138,9 @@ def test_graph_cache_bounded_and_invalidatable(spark):
     assert len(ga._GRAPH_CACHE) == 2
     # scoped invalidation: another tier's key survives
     ga._GRAPH_CACHE[("edges", 0, "/other/tier", "nn_descent")] = (
-        ga._GRAPH_CACHE[("edges", id(spark), SF_SMOKE, "nn_descent")]
+        ga._GRAPH_CACHE[
+            ("edges", spark.sparkContext.applicationId, SF_SMOKE, "nn_descent")
+        ]
     )
     assert ga.invalidate_graph_caches(SF_SMOKE) == 2
     assert list(ga._GRAPH_CACHE) == [("edges", 0, "/other/tier", "nn_descent")]

@@ -995,6 +995,41 @@ def test_sq_and_bpe_caches_invalidatable(spark):
     assert tex.invalidate_bpe_cache(SF_SMOKE) == 0
 
 
+def test_posting_bm25_catalog_caches_invalidatable(spark):
+    """r11: the last id(spark)-keyed caches moved to applicationId keys
+    with invalidation parity (r10 verdict #4 + ADVICE bm25-leak): the
+    dedup posting list, the BM25 corpus frame (persisted once per
+    (app, corpus) instead of leaking one per invocation), and the
+    fixture catalog handles. Same train-hit-evict law as the rest."""
+    import lakehouse_admin_spark.operators.dedup as dd
+    import lakehouse_admin_spark.operators.retrieval as ret
+    import lakehouse_admin_spark.sources.fixtures as fx
+
+    dd.invalidate_posting_cache()
+    p1 = dd.exploded_shingles(spark, SF_SMOKE)
+    assert dd.exploded_shingles(spark, SF_SMOKE) is p1, "must hit the cache"
+    app = spark.sparkContext.applicationId
+    assert all(k[0] == app for k in dd._POSTING_CACHE), "appId-keyed"
+    assert dd.invalidate_posting_cache(SF_SMOKE) == 1
+    assert dd.invalidate_posting_cache(SF_SMOKE) == 0
+
+    ret.invalidate_bm25_cache()
+    c1 = ret._bm25_corpus(spark, SF_SMOKE)
+    assert ret._bm25_corpus(spark, SF_SMOKE) is c1, "must hit the cache"
+    assert all(k[0] == app for k in ret._BM25_CACHE), "appId-keyed"
+    assert ret.invalidate_bm25_cache(SF_SMOKE) == 1
+    assert ret.invalidate_bm25_cache(SF_SMOKE) == 0
+
+    cat1 = fx.get_catalog(spark)
+    assert fx.get_catalog(spark) is cat1, "must hit the cache"
+    assert all(k[0] == app for k in fx._CATALOGS), "appId-keyed"
+    wh = next(k[1] for k in fx._CATALOGS)
+    assert fx.invalidate_catalog_cache(wh) == 1
+    assert fx.invalidate_catalog_cache(wh) == 0
+    # repopulate: later fixture-backed tests reuse the process warehouse
+    assert fx.get_catalog(spark) is not cat1
+
+
 def test_dsir_incremental_laws(spark):
     """Incremental-DSIR laws: totality (one verdict per delta-stripe
     raw doc, no target or base doc leaks in); the warm path (cached
