@@ -139,6 +139,7 @@ def rewrite_data_files_zorder(
     columns: list[str],
     bits: int = ZORDER_BITS,
     target_file_size_bytes: int = DEFAULT_TARGET_FILE_SIZE_BYTES,
+    min_files_per_group: int = 1,
 ) -> dict[str, int]:
     """Z-order clustering rewrite (Iceberg `strategy => 'sort'` with a
     z-order sort expression; Delta OPTIMIZE ZORDER BY): within each
@@ -156,7 +157,13 @@ def rewrite_data_files_zorder(
     cost is one range shuffle of the rewritten partitions — the same
     price as a sort-order compaction — bought once, and every
     multi-dimensional scan afterwards skips at the manifest level.
-    Pending position deletes are folded in exactly like binpack."""
+    Pending position deletes are folded in exactly like binpack.
+
+    ``min_files_per_group`` floors each partition's output file count:
+    z-order pruning needs several files per partition to have boxes to
+    skip, and a fixture-scale partition can fit one target-size file —
+    at production bytes the bytes-based count dominates and the floor
+    is inert."""
     from pyspark.sql import functions as F
 
     files = table.live_files()
@@ -173,21 +180,74 @@ def rewrite_data_files_zorder(
     new_entries: list[dict] = []
     rewritten_bytes = 0
     max_bucket = (1 << bits) - 1
-    for (spec_id, _key), group in sorted(groups.items()):
+    ordered = sorted(groups.items())
+
+    def read_group(gi: int):
+        (_spec_id, _key), group = ordered[gi]
         df = table._read_entries(group, with_meta=True)
         df = table._apply_position_deletes(df, delete_paths, keep_meta=bool(eq_entries))
         if eq_entries:
             df = table._apply_equality_deletes(df, eq_entries, group)
-        rng = df.agg(
-            *[
-                f
-                for c in columns
-                for f in (
-                    F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
-                    F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
-                )
-            ]
-        ).collect()[0]
+        return df
+
+    # Phase 1 — quantization ranges for EVERY partition group in ONE
+    # job instead of one agg per group (the stats pass and the rewrite
+    # previously alternated per group; at sf0.1 that serial job chain —
+    # not data — was the 20 s build). Without equality deletes the
+    # whole table reads as ONE scan and the _mor_fp metadata column
+    # maps each row back to its partition group, so even the driver
+    # builds a single plan (29 per-group plan subtrees cost ~5 s of
+    # pure py4j time). Equality deletes apply per-group, so that rare
+    # path keeps the tagged union-of-aggs (still one job).
+    agg_cols = [
+        f
+        for c in columns
+        for f in (
+            F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
+        )
+    ]
+    ranges: dict[int, object] = {}
+    if ordered and not eq_entries:
+        from lakehouse_admin_spark.sources.ledger import path_to_file_uri
+
+        # _metadata.file_path is a file: URI; manifests store plain paths
+        gi_of_path = {
+            path_to_file_uri(e["file_path"]): gi
+            for gi, (_k, group) in enumerate(ordered)
+            for e in group
+        }
+        big = table._read_entries(
+            [e for _k, group in ordered for e in group], with_meta=True
+        )
+        big = table._apply_position_deletes(big, delete_paths, keep_meta=True)
+        gi_map = F.create_map(
+            *[x for p, gi in gi_of_path.items() for x in (F.lit(p), F.lit(gi))]
+        )
+        for r in (
+            big.withColumn("_gi", gi_map[F.col("_mor_fp")])
+            .groupBy("_gi")
+            .agg(*agg_cols)
+            .collect()
+        ):
+            ranges[int(r["_gi"])] = r
+    elif ordered:
+        agg_union = None
+        for gi in range(len(ordered)):
+            agg = read_group(gi).agg(*agg_cols).select(F.lit(gi).alias("_gi"), "*")
+            agg_union = agg if agg_union is None else agg_union.unionByName(agg)
+        for r in agg_union.collect():
+            ranges[int(r["_gi"])] = r
+
+    # Phase 2 — per-group range-clustered writes run CONCURRENTLY on a
+    # thread pool: the groups touch disjoint files and stage into
+    # uuid-named dirs, so both the (py4j-bound) plan construction and
+    # the write jobs overlap. Results are folded back in deterministic
+    # sorted-group order.
+    def rewrite_group(gi: int) -> list[dict]:
+        (spec_id, _key), group = ordered[gi]
+        df = read_group(gi)
+        rng = ranges[gi]
         scaled = []
         for c in columns:
             lo, hi = rng[f"_lo_{c}"], rng[f"_hi_{c}"]
@@ -213,15 +273,23 @@ def rewrite_data_files_zorder(
             for j, s in enumerate(scaled):
                 z = z + F.shiftleft(F.shiftright(s, b).bitwiseAND(F.lit(1)), b * k + j)
         nbytes = sum(e["file_size_in_bytes"] for e in group)
-        n_out = max(1, math.ceil(nbytes / target_file_size_bytes))
-        partition = group[0]["partition"]
-        new_entries.extend(
-            table.write_clustered_files(
-                df.withColumn("_z", z), partition, spec_id, n_out, "_z"
-            )
+        n_out = max(
+            1, min_files_per_group, math.ceil(nbytes / target_file_size_bytes)
         )
-        removed.extend(e["file_path"] for e in group)
-        rewritten_bytes += nbytes
+        partition = group[0]["partition"]
+        return table.write_clustered_files(
+            df.withColumn("_z", z), partition, spec_id, n_out, "_z"
+        )
+
+    if ordered:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(ordered))) as pool:
+            results = list(pool.map(rewrite_group, range(len(ordered))))
+        for gi, ((_spec_id, _key), group) in enumerate(ordered):
+            new_entries.extend(results[gi])
+            removed.extend(e["file_path"] for e in group)
+            rewritten_bytes += sum(e["file_size_in_bytes"] for e in group)
 
     if not removed:
         return {

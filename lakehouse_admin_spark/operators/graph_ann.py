@@ -738,6 +738,30 @@ def _subset_nnd_edges(
     return graph.filter(F.col("rank") <= keep).select("src", "dst")
 
 
+def _layer_rounds(layer: int) -> int:
+    """Subset-NND refinement rounds for upper-layer builds: layer 1
+    (~n/M of the corpus) gets the full LAYER_ROUNDS; layers ≥2 hold
+    ≤n/M² nodes while the md5-bucket init already proposes ~LAYER_POOL
+    candidates per node — a sizable fraction of such a layer — so one
+    NoN round converges. Each dropped round removes a rank-join +
+    localCheckpoint job from the build critical path (r10 verdict #5:
+    the HNSW build was 2× anything else in the bench). The oracle
+    interpolates THIS function per layer, so both engines build the
+    identical graph."""
+    return LAYER_ROUNDS if layer <= 1 else 1
+
+
+def _descent_rounds(layer: int) -> int:
+    """Greedy-improvement rounds per layer during the query descent:
+    2 on layer 1 (the last, largest hop toward the layer-0 seed), 1 on
+    the geometrically-tiny layers above it (≤n/M² nodes — one expand
+    already sees most of such a layer through M edges). Interpolated
+    into the oracle unroll, so both engines descend identically; each
+    dropped round removes a rank + localCheckpoint job from the
+    first-serve critical path (r10 verdict #5)."""
+    return 2 if layer <= 1 else 1
+
+
 def _layer_edges(spark: SparkSession, sf_dir: str, layer: int) -> DataFrame:
     """Undirected M-NN graph among the nodes of one UPPER layer
     (level >= layer), built with SUBSET NN-DESCENT — sub-quadratic in
@@ -749,7 +773,7 @@ def _layer_edges(spark: SparkSession, sf_dir: str, layer: int) -> DataFrame:
     def build() -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         sub = emb.filter(_hnsw_level_col() >= layer)
-        g = _subset_nnd_edges(spark, sub, LAYER_POOL, LAYER_ROUNDS, HNSW_M)
+        g = _subset_nnd_edges(spark, sub, LAYER_POOL, _layer_rounds(layer), HNSW_M)
         und = g.union(
             g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
@@ -875,12 +899,12 @@ def _hnsw_oracle() -> str:
     for layer in range(HNSW_MAX_LEVEL, 0, -1):
         parts.append(f"""
     ln{layer} AS MATERIALIZED (SELECT vec_id FROM levels WHERE level >= {layer}),
-    {_subset_nnd_cte(f"l{layer}", f"ln{layer}")},
+    {_subset_nnd_cte(f"l{layer}", f"ln{layer}", rounds=_layer_rounds(layer))},
     le{layer} AS MATERIALIZED (
         SELECT src, dst FROM l{layer}out
         UNION SELECT dst AS src, src AS dst FROM l{layer}out
     )""")
-        for _ in range(2):  # two greedy rounds per layer, like Spark
+        for _ in range(_descent_rounds(layer)):  # greedy rounds, like Spark
             step += 1
             parts.append(f"""
     dx{step} AS MATERIALIZED (
@@ -988,12 +1012,29 @@ def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             levels.orderBy(F.desc("level"), F.asc("vec_id")).limit(1).collect()[0]
         )
         l_max, entry = int(top["level"]), int(top["vec_id"])
+        # Prebuild every layer graph CONCURRENTLY: the builds touch
+        # disjoint cache keys and independent job chains, so Python
+        # threads let Spark's scheduler overlap them (local[32] — and a
+        # real cluster — is otherwise idle between the tiny per-layer
+        # stages). Wall drops from Σ per-layer to ~max per-layer
+        # (r10 verdict #5). The descent loop below then reads warm
+        # cache entries.
+        import threading
+
+        builders = [
+            threading.Thread(target=_layer_edges, args=(spark, sf_dir, la))
+            for la in range(l_max, 0, -1)
+        ]
+        for t in builders:
+            t.start()
+        for t in builders:
+            t.join()
         cur = with_cos(
             queries.select("query_id").withColumn("node", F.lit(entry))
         ).localCheckpoint()
         for layer in range(l_max, 0, -1):
             edges_l = _layer_edges(spark, sf_dir, layer)
-            for _ in range(2):  # greedy improvement rounds per layer
+            for _ in range(_descent_rounds(layer)):  # greedy rounds
                 expand = (
                     cur.select("query_id", F.col("node").alias("src"))
                     .join(edges_l, "src")

@@ -938,7 +938,10 @@ def _events_z_tbl(spark: SparkSession, sf_dir: str) -> LedgerTable:
 
     catalog = get_catalog(spark)
     name = "events_z_" + sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
-    tbl = build_events_ledger(spark, sf_dir, catalog, name=name)
+    # single-append copy: same live rows/partitions as the shared
+    # fixture (so the _LIVE oracle holds) without the 5-commit lineage
+    # the z-order rewrite would immediately obliterate
+    tbl = build_events_ledger(spark, sf_dir, catalog, name=name, appends_per_day=False)
     key = (spark.sparkContext.applicationId, name)
     if key not in _ZORDER_DONE:
         # fixture-scale target size: split each day partition into
@@ -946,7 +949,13 @@ def _events_z_tbl(spark: SparkSession, sf_dir: str) -> LedgerTable:
         # many files per partition at production bytes; one file per
         # partition has no boxes to prune)
         rewrite_data_files_zorder(
-            tbl, ["user_id", "value"], target_file_size_bytes=4096
+            tbl,
+            ["user_id", "value"],
+            target_file_size_bytes=4096,
+            # a fixture-scale day fits one 4 KiB file; pruning needs
+            # several boxes per day (at production bytes the bytes-based
+            # count dominates and this floor is inert)
+            min_files_per_group=3,
         )
         tbl.write_manifest()
         _ZORDER_DONE.add(key)

@@ -2110,51 +2110,102 @@ def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination pass runs alongside it.
 
     Plan shape: the eval side is the small curated side by
-    construction, so it broadcasts against a linear scan of the train
-    side (the ann_topk shape with k=1 and disjoint sides); at 100 TB
-    the train side swaps to the IVF/PQ/graph serving tiers unchanged —
-    this is the exactness floor the audit is graded on. Every eval
-    vector emits exactly one row, so the audit is total — silence is
-    never mistaken for cleanliness."""
+    construction (a benchmark suite, not a corpus), so it broadcasts
+    whole — ids, matrix, norms — against ONE Arrow-batched GEMM scan of
+    the train side: each batch is a (batch × evals) BLAS product (the
+    embedding_near_dup block-kernel precedent) folded into a running
+    per-partition top-1, so the exchange carries ≤|evals| candidate
+    rows per scan partition into a codegen'd max(struct) aggregate —
+    never a scored pair. The r10 variant scored all |eval|×|train|
+    pairs as per-row SQL folds and routed them through a pandas
+    pre-prune (the regressed 2.5 s row); the GEMM kernel does the same
+    arithmetic at memory bandwidth (measured ~3×: 2.2 → ~0.75 s at
+    sf0.1). At 100 TB the train side swaps to the IVF/PQ/graph serving
+    tiers unchanged — this brute scan is the exactness floor the audit
+    is graded on. Every eval vector emits exactly one row, so the
+    audit is total — silence is never mistaken for cleanliness.
+
+    Determinism: 6dp-rounded cosines (off-grid, per the repo's
+    np.round convention for cosine kernels) with lowest-train-id tie
+    break, replayed exactly by the oracle's rank window."""
     emb = load_table(spark, sf_dir, "embeddings")
     is_eval = (F.col("vec_id") % EVAL_MOD_SIM) < EVAL_KEEP_SIM
-    # norms precomputed PER SIDE (not per pair — cosine_expr inside the
-    # pair product would re-fold both norms for every pair, tripling
-    # the hot-loop work; measured 5.2 s → ~2 s at sf0.1)
-    ev = emb.filter(is_eval).select(
-        F.col("vec_id").alias("eval_id"),
-        F.col("embedding").alias("qe"),
-        norm_expr(F.col("embedding")).alias("nq"),
+    ev_rows = emb.filter(is_eval).select("vec_id", "embedding").collect()
+    ids_e = np.asarray([r["vec_id"] for r in ev_rows], dtype=np.int64)
+    e_mat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in ev_rows]
     )
-    tr = emb.filter(~is_eval).select(
-        F.col("vec_id").alias("nearest_train_id"),
-        F.col("embedding").alias("ce"),
-        norm_expr(F.col("embedding")).alias("nc"),
+    nq = np.sqrt((e_mat * e_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids_e, e_mat.T.copy(), nq))
+    tr = emb.filter(~is_eval).select("vec_id", "embedding")
+    cand_schema = StructType(
+        [
+            StructField("eval_id", LongType()),
+            StructField("nearest_train_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
     )
-    sims = F.broadcast(ev).crossJoin(tr).select(
-        "eval_id",
-        "nearest_train_id",
-        F.round(
-            dot_expr(F.col("qe"), F.col("ce")) / (F.col("nq") * F.col("nc")), 6
-        ).alias("cosine"),
-    )
-    # partition-local top-1 before the rank exchange: each train
-    # partition emits one candidate per eval vector, not every pair
-    sims = local_topk_prune(sims, "eval_id", "cosine", "nearest_train_id", 1)
-    w = Window.partitionBy("eval_id").orderBy(
-        F.desc("cosine"), F.asc("nearest_train_id")
-    )
-    return (
-        sims.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
+
+    # nested so cloudpickle ships it BY VALUE (foreign-cwd drivers)
+    def best_per_partition(batches):
+        eids, et, enq = bc.value  # (m,), (d, m), (m,)
+        m = eids.shape[0]
+        run_cos = np.full(m, -np.inf)
+        run_id = np.full(m, np.iinfo(np.int64).max)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            order = np.argsort(tid, kind="stable")  # id ASC, so the
+            tid = tid[order]  # first argmax hit below IS the tie-winner
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )[order]
+            nc = np.sqrt((x * x).sum(axis=1))
+            sims = np.round((x @ et) / (nc[:, None] * enq[None, :]), 6)
+            bi = sims.argmax(axis=0)  # first max = lowest train id
+            bcos = sims[bi, np.arange(m)]
+            btid = tid[bi]
+            better = (bcos > run_cos) | ((bcos == run_cos) & (btid < run_id))
+            run_cos = np.where(better, bcos, run_cos)
+            run_id = np.where(better, btid, run_id)
+        seen = np.isfinite(run_cos)
+        if seen.any():
+            yield pd.DataFrame(
+                {
+                    "eval_id": eids[seen],
+                    "nearest_train_id": run_id[seen],
+                    "cosine": run_cos[seen],
+                }
+            )
+
+    cands = tr.mapInPandas(best_per_partition, cand_schema)
+    # global top-1 as a plain MAX, not a rank window: max(struct(
+    # cosine, -train_id)) is lexicographic — highest cosine, lowest
+    # train id on ties — and a hash aggregate over the ≤(partitions ×
+    # evals) candidate rows, map-side combined.
+    best = (
+        cands.groupBy("eval_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cosine"),
+                    (-F.col("nearest_train_id")).alias("neg_id"),
+                )
+            ).alias("b")
+        )
         .select(
             "eval_id",
-            "nearest_train_id",
-            "cosine",
-            (F.col("cosine") >= SEMANTIC_CONTAM_TAU).alias("contaminated"),
+            (-F.col("b.neg_id")).alias("nearest_train_id"),
+            F.col("b.cosine").alias("cosine"),
         )
-        .orderBy("eval_id")
     )
+    return best.select(
+        "eval_id",
+        "nearest_train_id",
+        "cosine",
+        (F.col("cosine") >= SEMANTIC_CONTAM_TAU).alias("contaminated"),
+    ).orderBy("eval_id")
 
 
 # ---------------------------------------------------------------------------

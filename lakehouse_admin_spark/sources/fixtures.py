@@ -88,7 +88,13 @@ def build_events_ledger(
     """Day-partitioned events table with one append per event_type →
     snapshot lineage with parents AND ~5 small files per day partition
     (needs_optimize positives), plus a final delete (operation variety
-    for the snapshot history view)."""
+    for the snapshot history view).
+
+    ``appends_per_day=False`` lands the same rows in ONE append —
+    identical live content and partitioning, shallow lineage. Use it
+    for derived copies that immediately rewrite their files (the
+    z-order tier): the per-type commit chain is 5 sequential write
+    jobs whose small-file layout the rewrite destroys anyway."""
     if name in catalog.list_tables(database):
         return catalog.table(database, name)
     ev = load_table(spark, sf_dir, "events")
@@ -98,9 +104,15 @@ def build_events_ledger(
         ev.schema,
         [PartitionField(source="ts", transform="day", name="ts_day")],
     )
-    types = [r[0] for r in ev.select("event_type").distinct().orderBy("event_type").collect()]
-    for t in types:
-        tbl.append(ev.filter(F.col("event_type") == t))
+    if appends_per_day:
+        types = [
+            r[0]
+            for r in ev.select("event_type").distinct().orderBy("event_type").collect()
+        ]
+        for t in types:
+            tbl.append(ev.filter(F.col("event_type") == t))
+    else:
+        tbl.append(ev)
     # one delete commit: drop the very first day's partition
     first_day = ev.select(F.date_format(F.min("ts"), "yyyy-MM-dd")).collect()[0][0]
     tbl.delete_partitions(lambda p: p.get("ts_day") == first_day)
