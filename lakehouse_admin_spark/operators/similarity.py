@@ -751,13 +751,17 @@ def invalidate_ivf_cache(sf_dir: str | None = None) -> int:
     return len(keys)
 
 
-def _kmeans_cte(iters: int = IVF_ITERS, rel: str = "embeddings") -> str:
+def _kmeans_cte(
+    iters: int = IVF_ITERS, rel: str = "embeddings", k: int | None = None
+) -> str:
     """CTE chain replaying :func:`ivf_cells` in DuckDB over the source
     relation ``rel`` (vec_id + embedding): ``knn`` (n, k), ``kc0``
     (init centroids), per round ``ka{i}`` (argmin assignment,
     lowest-cell ties) and ``kc{i}`` (5dp-rounded per-dim means, empty
     cells keep the previous centroid), terminating in ``kcells``
-    (vec_id, cl — the FINAL assignment) and ``kcent`` (cl, ce)."""
+    (vec_id, cl — the FINAL assignment) and ``kcent`` (cl, ce).
+    ``k`` fixes the cell count to a literal (the :func:`kmeans_lloyd`
+    replay); default derives the IVF √n rule from the data."""
     d2 = (
         "list_sum(list_transform(list_zip(e.embedding, c.ce), "
         "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
@@ -778,7 +782,8 @@ def _kmeans_cte(iters: int = IVF_ITERS, rel: str = "embeddings") -> str:
         f"""
     knn AS MATERIALIZED (
         SELECT COUNT(*) AS n,
-               GREATEST(1, CAST(CEIL(SQRT(COUNT(*))) AS INT)) AS k
+               {f"CAST({k} AS INT)" if k is not None
+                else "GREATEST(1, CAST(CEIL(SQRT(COUNT(*))) AS INT))"} AS k
         FROM {rel}
     ),
     kc0 AS MATERIALIZED (
@@ -1396,12 +1401,16 @@ def kmeans_lloyd(
     Per round: (1) assignment — broadcast centroid matrix, one
     mapInPandas block kernel computes each batch's nearest centroid via
     a single distance matmul; (2) update — one hash aggregate of
-    per-dimension sums/counts (posexplode), new centroids to driver.
-    Deterministic: init = the k lowest vec_ids, no randomness.
+    5dp-rounded per-dimension means (posexplode), new centroids to
+    driver. Deterministic AND oracle-replayable (r11 — previously
+    rows-only): the ivf_cells conventions exactly — init = the k lowest
+    vec_ids, full ||x−c||² 6dp-rounded BEFORE argmin (so a last-ulp gap
+    vs the oracle's term-by-term list_sum can't flip a near-tie),
+    lowest-cluster tie break, 5dp-rounded means each round —
+    so :func:`_kmeans_cte` with a literal ``k`` replays every round.
 
     Returns (centroids, assignments DataFrame(vec_id, cluster))."""
     spark = emb.sparkSession
-    dim = len(emb.select("embedding").first()["embedding"])
     init_rows = (
         emb.orderBy("vec_id").limit(k).select("embedding").collect()
     )
@@ -1413,17 +1422,21 @@ def kmeans_lloyd(
         [StructField("vec_id", LongType()), StructField("cluster", LongType())]
     )
 
-    assignments = None
-    for _ in range(iters):
-        bc = spark.sparkContext.broadcast(centroids)
+    def assign_df(cents: np.ndarray) -> DataFrame:
+        bc = spark.sparkContext.broadcast(cents)
 
+        # nested so cloudpickle ships it BY VALUE (foreign-cwd drivers)
         def assign(batches):
             c = bc.value  # (k, dim)
             c_sq = (c * c).sum(axis=1)
             for pdf in batches:
-                m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
-                d = -2.0 * (m @ c.T) + c_sq[None, :]
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+                )
+                x_sq = (m * m).sum(axis=1)
+                d = np.round(x_sq[:, None] - 2.0 * (m @ c.T) + c_sq[None, :], 6)
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
@@ -1431,31 +1444,48 @@ def kmeans_lloyd(
                     }
                 )
 
-        assignments = emb.mapInPandas(assign, assign_schema)
-        joined = emb.join(assignments, "vec_id")
-        sums = (
-            joined.select(
+        return emb.mapInPandas(assign, assign_schema)
+
+    for _ in range(iters):
+        assignments = assign_df(centroids)
+        means = (
+            emb.join(assignments, "vec_id")
+            .select(
                 "cluster", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v")
             )
             .groupBy("cluster", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.round(F.avg("v"), 5).alias("cv"))
             .collect()
         )
         new_c = centroids.copy()
-        counts = np.zeros(k)
-        for r in sums:
-            new_c[r["cluster"], r["pos"]] = r["s"] / r["n"]
-            counts[r["cluster"]] = r["n"]
+        for r in means:
+            new_c[r["cluster"], r["pos"]] = r["cv"]
         # empty clusters keep their previous centroid
         centroids = new_c
-    return centroids, assignments
+    # FINAL assignment against the last round's centroids — the CTE's
+    # kcells relation (the pre-r11 version returned the LAST round's
+    # assignment against the PREVIOUS centroids, off-by-one vs Lloyd)
+    return centroids, assign_df(centroids)
 
 
-@query("ivf_kmeans_assignments", oracle=None)
+@query(
+    "ivf_kmeans_assignments",
+    oracle=f"""
+    WITH {_kmeans_cte(iters=3, k=8)}
+    SELECT vec_id, CAST(cl AS BIGINT) AS cluster
+    FROM kcells
+    ORDER BY vec_id
+    """,
+)
 def ivf_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF cell training: 3 Lloyd rounds, k=8, deterministic init —
-    outputs (vec_id, cluster) plus per-cluster sizes. (Rows-only check:
-    an iterative numeric algorithm has no single-statement SQL oracle.)"""
+    """IVF cell training dump: 3 Lloyd rounds, k=8, deterministic init —
+    (vec_id, cluster) for every vector. Hash-checked since r11: the
+    kernel follows the ivf_cells rounding conventions (6dp distances
+    before argmin, 5dp centroid means, lowest-cluster ties), so the
+    unrolled :func:`_kmeans_cte` with a literal k replays all three
+    rounds bit-for-bit — this was rows-only only because the old kernel
+    skipped the rounding discipline, not because Lloyd's is
+    inexpressible."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     _, assignments = kmeans_lloyd(emb, k=8, iters=3)
     return assignments.orderBy("vec_id")
