@@ -623,3 +623,154 @@ def test_frequent_items_summaries_under_eviction(spark, tmp_path_factory):
             under += 1
     assert under > 0, "MG decrements must have fired"
     assert exact_hh <= set(mg["tok"])
+
+
+@pytest.fixture(scope="module")
+def profile_stream_finals(spark, event_drops):
+    """Run the user-profile accumulator over the 3 event drops
+    (event_id % 3 split — deliberately OUT of event-time order, the
+    late-data stress) once; the three analytics tests below derive
+    from the same final snapshots."""
+    from lakehouse_admin_spark.streaming.user_profiles import (
+        user_profiles_batch,
+        user_profiles_stream,
+    )
+
+    src, schema = event_drops
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = run_stream_to_memory(user_profiles_stream(stream), "user_profiles")
+    q.awaitTermination(180)
+    out = spark.table("user_profiles").toPandas()
+    finals = out.loc[out.groupby("user_id")["n_events"].idxmax()].reset_index(
+        drop=True
+    )
+    # THE equivalence pin: the streamed final state is bit-identical to
+    # the batch twin fed all events at once — the fold is a
+    # join-semilattice, so micro-batch boundaries and arrival order
+    # cannot change it
+    batch = (
+        user_profiles_batch(load_table(spark, SF_SMOKE, "events"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    key = lambda df: {  # noqa: E731
+        int(r["user_id"]): (
+            int(r["t_signup"]), int(r["signup_day"]), int(r["t_view"]),
+            int(r["t_click"]), int(r["t_purchase"]),
+            tuple(r["act_days"]), int(r["n_events"]),
+        )
+        for _, r in df.iterrows()
+    }
+    assert key(finals) == key(batch)
+    return finals
+
+
+def _week_start(epoch_day: int) -> int:
+    """ISO-Monday truncation on epoch days (1970-01-01 was a Thursday,
+    weekday index 3 with Monday=0) — the pure-integer equivalent of
+    date_trunc('week', …)."""
+    return epoch_day - ((epoch_day + 3) % 7)
+
+
+def _r_away(x: float, nd: int) -> float:
+    """HALF-AWAY-FROM-ZERO rounding — matches Spark/DuckDB ROUND; the
+    batch queries round shares with F.round, and Python's round() is
+    HALF-EVEN (the repo-wide kernel rule)."""
+    import math
+
+    s = 10.0**nd
+    return math.copysign(math.floor(abs(x) * s + 0.5) / s, x)
+
+
+def test_funnel_stream_matches_batch(spark, profile_stream_finals):
+    """funnel_counts == the funnel read off the streamed profiles: the
+    ordered view→click→purchase stage times survive out-of-order
+    arrival because the candidate sets prune monotonically."""
+    import __spark_entry__ as entry
+
+    f = profile_stream_finals
+    n_all = len(f)
+    derived = [
+        (1, "all_users", n_all),
+        (2, "view", int((f["t_view"] != -1).sum())),
+        (3, "click_after_view", int((f["t_click"] != -1).sum())),
+        (4, "purchase_after_click", int((f["t_purchase"] != -1).sum())),
+    ]
+    rows = entry.queries()["funnel_counts"](spark, SF_SMOKE).collect()
+    assert [(r["stage_no"], r["stage"], r["users"]) for r in rows] == derived
+    for r in rows:
+        assert r["share"] == round(
+            dict((s, u) for _n, s, u in derived)[r["stage"]] / float(n_all), 4
+        )
+
+
+def test_cohort_retention_stream_matches_batch(spark, profile_stream_finals):
+    """cohort_retention == the retention triangle read off the streamed
+    profiles (cohort week from the first signup, activity weeks from
+    the distinct active-day sets)."""
+    import __spark_entry__ as entry
+
+    f = profile_stream_finals
+    cohort_users: dict[int, set] = {}
+    active: dict[tuple[int, int], set] = {}
+    for _, r in f.iterrows():
+        if int(r["signup_day"]) == -1:
+            continue
+        cw = _week_start(int(r["signup_day"]))
+        uid = int(r["user_id"])
+        cohort_users.setdefault(cw, set()).add(uid)
+        for d in r["act_days"]:
+            aw = _week_start(int(d))
+            if aw >= cw:
+                active.setdefault((cw, (aw - cw) // 7), set()).add(uid)
+    derived = {
+        k: (
+            len(v),
+            len(cohort_users[k[0]]),
+            _r_away(len(v) / float(len(cohort_users[k[0]])), 4),
+        )
+        for k, v in active.items()
+    }
+    rows = entry.queries()["cohort_retention"](spark, SF_SMOKE).collect()
+    epoch = __import__("datetime").date(1970, 1, 1).toordinal()
+    got = {
+        (r["cohort_week"].toordinal() - epoch, r["week_offset"]): (
+            r["active_users"],
+            r["cohort_users"],
+            r["retention"],
+        )
+        for r in rows
+    }
+    assert got == derived
+
+
+def test_dau_wau_stream_matches_batch(spark, profile_stream_finals):
+    """dau_wau_stickiness == the trailing-window engagement ratio read
+    off the streamed profiles' distinct active-day sets."""
+    import __spark_entry__ as entry
+
+    f = profile_stream_finals
+    by_day: dict[int, set] = {}
+    for _, r in f.iterrows():
+        for d in r["act_days"]:
+            by_day.setdefault(int(d), set()).add(int(r["user_id"]))
+    derived = {}
+    for d, users in by_day.items():
+        wau = set()
+        for back in range(7):
+            wau |= by_day.get(d - back, set())
+        derived[d] = (
+            len(users),
+            len(wau),
+            _r_away(len(users) / float(len(wau)), 6),
+        )
+    rows = entry.queries()["dau_wau_stickiness"](spark, SF_SMOKE).collect()
+    epoch = __import__("datetime").date(1970, 1, 1).toordinal()
+    got = {
+        r["day"].toordinal() - epoch: (r["dau"], r["wau"], r["stickiness"])
+        for r in rows
+    }
+    assert got == derived
