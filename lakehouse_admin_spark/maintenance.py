@@ -548,14 +548,29 @@ def _expire_locked(
 
 
 def remove_orphan_files(
-    table: LedgerTable, older_than_ms: int | None = None, dry_run: bool = False
+    table: LedgerTable,
+    older_than_ms: int | None = None,
+    dry_run: bool = False,
+    lister: "PrefixLister | None" = None,
 ) -> dict[str, int | list[str]]:
     """Delete data files on storage not referenced by ANY snapshot.
 
     Mirrors the procedure's metric-row output fold
     (reference: service_maintenance_executor_trino.go:176-184). The
     age guard (default 7 days, by mtime) protects in-flight writes —
-    same rationale as Iceberg's older_than default."""
+    same rationale as Iceberg's older_than default.
+
+    ``lister`` is the storage boundary (sources/listing.py): the local
+    walk by default; an object store plugs in a paginated prefix
+    lister and the procedure streams through its pages — the listing
+    is never materialized, so warehouse-scale prefixes cost O(page)
+    memory here (the referenced-path set is the driver-memory bound,
+    and the piece a 100 TB deployment swaps for a distributed
+    anti-join; the lister contract is unchanged by that swap)."""
+    from lakehouse_admin_spark.sources.listing import LocalPrefixLister
+
+    if lister is None:
+        lister = LocalPrefixLister()
     if older_than_ms is None:
         older_than_ms = int(time.time() * 1000) - MIN_RETENTION_DAYS * MS_PER_DAY
     snaps = table.snapshots()
@@ -576,14 +591,12 @@ def remove_orphan_files(
             live.update(added)
         referenced |= live
     orphans: list[str] = []
-    for dirpath, _d, filenames in os.walk(table.data_dir):
-        for fn in filenames:
-            p = os.path.join(dirpath, fn)
-            if p in referenced:
-                continue
-            if os.path.getmtime(p) * 1000 >= older_than_ms:
-                continue
-            orphans.append(p)
+    for f in lister.list(table.data_dir):
+        if f.path in referenced:
+            continue
+        if f.mtime_ms >= older_than_ms:
+            continue
+        orphans.append(f.path)
     # manifest segments from aborted/raced commits (written before the
     # commit lock, never referenced by a snapshot) are metadata orphans
     ref_segments: set[str] = set()
@@ -592,7 +605,11 @@ def remove_orphan_files(
             ref_segments.add(d["path"])
         if s.own_segment is not None:
             ref_segments.add(s.own_segment["path"])
-    for fn in os.listdir(table.meta_dir):
+    for f in lister.list(table.meta_dir):
+        # top-level meta files only (the pre-lister os.listdir scope)
+        if os.path.dirname(f.path) != table.meta_dir.rstrip("/"):
+            continue
+        fn = os.path.basename(f.path)
         is_segment = fn.startswith("mseg-") and fn.endswith((".json", ".parquet"))
         # crashed atomic-rename leftovers: segment bodies and
         # next-snapshot-id write <name>.tmp-<uuid> then os.replace;
@@ -602,13 +619,12 @@ def remove_orphan_files(
             continue
         if fn in ref_segments:
             continue
-        p = os.path.join(table.meta_dir, fn)
-        if os.path.getmtime(p) * 1000 >= older_than_ms:
+        if f.mtime_ms >= older_than_ms:
             continue
-        orphans.append(p)
+        orphans.append(f.path)
     if not dry_run:
         for p in orphans:
-            os.remove(p)
+            lister.delete(p)
     return {
         "orphan_file_count": len(orphans),
         "deleted_files": sorted(orphans),

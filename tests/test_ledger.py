@@ -428,6 +428,71 @@ def test_remove_orphan_files(spark, catalog):
     assert not missing_files(tbl)
 
 
+def test_remove_orphan_files_paginated_object_store_lister(spark, catalog):
+    """The storage boundary (SURVEY §7 hard part (d)): orphan removal
+    runs against an S3-style PAGINATED prefix lister — lexicographic
+    pages of ≤page_size keys with a continuation cursor, deletes routed
+    through the store API, never os.remove — and must (1) stream
+    through multiple pages, (2) find exactly what the local walk finds,
+    (3) delete via the lister. Pins that remove_orphan_files depends
+    only on the PrefixLister contract, so a real object store is a
+    drop-in."""
+    from lakehouse_admin_spark.sources.listing import ListedFile, LocalPrefixLister
+
+    class FakeS3Lister:
+        """ListObjectsV2 emulation over a snapshot of the real files:
+        sorted keys served in fixed-size pages; delete marks the key
+        gone in the store (and mirrors to disk so table reads stay
+        consistent for the post-check)."""
+
+        def __init__(self, roots, page_size=4):
+            self.store: dict[str, int] = {}
+            local = LocalPrefixLister()
+            for root in roots:
+                for f in local.list(root):
+                    self.store[f.path] = f.mtime_ms
+            self.page_size = page_size
+            self.pages_served = 0
+            self.deleted: list[str] = []
+
+        def list(self, prefix):
+            cursor = ""
+            while True:
+                page = [
+                    k
+                    for k in sorted(self.store)
+                    if k.startswith(prefix.rstrip("/") + "/") and k > cursor
+                ][: self.page_size]
+                if not page:
+                    return
+                self.pages_served += 1
+                for k in page:
+                    yield ListedFile(k, self.store[k])
+                cursor = page[-1]
+
+        def delete(self, path):
+            del self.store[path]
+            self.deleted.append(path)
+            os.remove(path)
+
+    tbl = build_events_ledger(spark, SF_SMOKE, catalog, name="events_orphans_s3")
+    strays = []
+    for i in range(3):
+        p = os.path.join(tbl.data_dir, f"stray_{i}.parquet")
+        with open(p, "wb") as fh:
+            fh.write(b"x")
+        os.utime(p, (1, 1))
+        strays.append(p)
+    expected = maintenance.remove_orphan_files(tbl, dry_run=True)["deleted_files"]
+    assert sorted(strays) == expected  # the local walk agrees on the orphans
+    fake = FakeS3Lister([tbl.data_dir, tbl.meta_dir])
+    metrics = maintenance.remove_orphan_files(tbl, lister=fake)
+    assert metrics["deleted_files"] == expected
+    assert fake.deleted == expected  # deletes went through the store API
+    assert fake.pages_served > 2, "pagination must actually be exercised"
+    assert not missing_files(tbl)
+
+
 def test_rollback_to_snapshot(spark, catalog):
     tbl = build_events_ledger(spark, SF_SMOKE, catalog, name="events_rollback")
     snaps = tbl.snapshots()
