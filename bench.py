@@ -130,6 +130,9 @@ HEADLINE = [
     "cdc_chunk_jaccard_pairs",  # r10: shift-robust rare-chunk near-dups
     "nation_market_share",  # r10: Q8-shaped conditional share-of-total
     "returned_item_customers",  # r10: Q10-shaped returns ranking
+    "min_cost_part_supplier",  # r11: Q2-shaped min-cost supplier join-back
+    "part_supplier_diversity",  # r11: Q16-shaped anti-join + count-distinct
+    "bulk_red_part_suppliers",  # r11: Q20-shaped nested semi-joins
 ]
 
 

@@ -915,3 +915,203 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "min_cost_part_supplier",
+    oracle="""
+    WITH eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cost AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               MIN(CAST(FLOOR(
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   * 1.0 / l_quantity) AS BIGINT)) AS unit_cost_cents
+        FROM lineitem
+        JOIN eu ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+    ),
+    best AS (SELECT partkey, MIN(unit_cost_cents) AS best_cost
+             FROM cost GROUP BY 1)
+    SELECT ROUND(eu.s_acctbal, 2) AS s_acctbal, eu.s_name, eu.n_name,
+           p.p_partkey, c.unit_cost_cents
+    FROM cost c
+    JOIN best b ON b.partkey = c.partkey AND c.unit_cost_cents = b.best_cost
+    JOIN part p ON p.p_partkey = c.partkey
+    JOIN eu ON eu.s_suppkey = c.suppkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size < 10
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+)
+def min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (full shape, reference: the minimum-cost-supplier
+    query): for every STANDARD small part, the EUROPE supplier(s)
+    offering its minimum unit cost — the correlated MIN subquery of Q2
+    decorrelated into a per-(part, supplier) aggregate, a per-part min,
+    and an equality join back (ALL tying suppliers survive, like Q2),
+    then the supplier dimension re-joined for the report columns.
+
+    Scale: the region gate prunes the supplier dim BEFORE it broadcasts
+    into the lineitem scan, so the per-(part, supplier) aggregate — the
+    only corpus-sized shuffle, keyed on (partkey, suppkey) — carries
+    only qualifying suppliers' lines; the per-part min and the
+    join-back operate on the aggregate's output (|parts×suppliers|
+    upper bound, far smaller than lineitem). Unit cost is an INTEGER —
+    whole cents per unit, floored — because a ROUND(price/qty, 4)
+    formulation hits genuine decimal halves (exact cents over small
+    integer quantities, e.g. 7634.39/8 = 954.29875) where Spark and
+    DuckDB round the same double differently; integer arithmetic makes
+    both mins and the equality join-back engine-exact (the DECIMAL
+    money-sum lesson, applied to a quotient)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    unit_cents = F.floor(
+        cents.cast("double") / F.col("l_quantity")
+    ).cast("long")
+    cost = (
+        li.join(F.broadcast(eu.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(F.min(unit_cents).alias("unit_cost_cents"))
+    )
+    best = cost.groupBy("partkey").agg(F.min("unit_cost_cents").alias("best_cost"))
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 10)
+    )
+    return (
+        cost.join(best, "partkey")
+        .filter(F.col("unit_cost_cents") == F.col("best_cost"))
+        .join(F.broadcast(part), F.col("partkey") == part.p_partkey)
+        .join(F.broadcast(eu), F.col("suppkey") == eu.s_suppkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "unit_cost_cents",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+@query(
+    "part_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_type,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 25
+      AND NOT EXISTS (SELECT 1 FROM supplier
+                      WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+)
+def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier-diversity report): per (brand, type)
+    the count of DISTINCT suppliers who shipped such parts, with a
+    deny-list ANTI-JOIN — suppliers in bad standing (negative account
+    balance, the fixture's stand-in for Q16's complaints filter) are
+    excluded before the distinct count.
+
+    Scale: the size gate prunes the part dim before it broadcasts into
+    the fact scan; the deny list is dimension-sized and anti-joins as a
+    broadcast; COUNT(DISTINCT supplier) expands to the standard
+    two-phase aggregate keyed on (brand, type, suppkey) — partial
+    dedup map-side, so the shuffle carries distinct triples, never raw
+    lineitems."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+@query(
+    "bulk_red_part_suppliers",
+    oracle="""
+    SELECT s.s_name, n.n_name, ROUND(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'red%')
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 90
+    )
+    ORDER BY s.s_name
+    """,
+)
+def bulk_red_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested semi-joins): suppliers who moved BULK
+    volume of red parts — an inner semi-join (parts named red%) feeding
+    a grouped HAVING that feeds an outer semi-join against the supplier
+    dim. Q20's availability threshold becomes a shipped-quantity floor
+    per (supplier, part); no supplier row is duplicated because both
+    outer levels are semi-joins, not inner joins.
+
+    Scale: the part filter is dimension-sized and broadcasts as a
+    LEFT SEMI into the date-pruned lineitem scan; the (suppkey,
+    partkey) aggregate is the one fact shuffle; the qualifying-supplier
+    set that reaches the outer semi-join is at most |suppliers| rows —
+    broadcast again. Exactly Q20's plan with partsupp's role played by
+    the shipment log."""
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    bulky = (
+        li.join(F.broadcast(red), "l_partkey", "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 90)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(F.broadcast(bulky), "s_suppkey", "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
