@@ -133,6 +133,8 @@ HEADLINE = [
     "min_cost_part_supplier",  # r11: Q2-shaped min-cost supplier join-back
     "part_supplier_diversity",  # r11: Q16-shaped anti-join + count-distinct
     "bulk_red_part_suppliers",  # r11: Q20-shaped nested semi-joins
+    "customer_order_distribution",  # r11: Q13-shaped outer-join histogram
+    "bm25_incremental",  # r11: frozen-index lexical routing of the delta
 ]
 
 

@@ -1115,3 +1115,56 @@ def bulk_red_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS INT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed exactly N urgent orders — a LEFT OUTER join with the filter
+    in the JOIN CONDITION (so customers with zero qualifying orders
+    keep their row and land in the N=0 bucket; filtering in WHERE
+    would silently drop them — the classic Q13 trap) under a
+    two-level aggregation: count per customer, then the histogram of
+    those counts.
+
+    Scale: the outer join shuffles both sides on the customer key
+    (with AQE broadcasting the pruned orders side when it fits); the
+    first aggregate rides the join's partitioning, and the histogram
+    aggregate moves |distinct counts| rows — nothing. The priority
+    predicate pushes into the orders scan because it's a join-side
+    (not null-producing-side) filter."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority == "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy(F.col("c_count").cast("int").alias("c_count"))
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

@@ -60,6 +60,11 @@ BM25_MAX_DF_FRAC = 0.10  # query terms with df > 10% of docs are pruned
 # "nothing" — the same economy WAND-style pruning uses (rare terms own
 # the idf mass AND the shortest posting lists).
 BM25_MIN_TERMS = 3
+# The delta stripe — newly-arrived documents (the same stripe
+# dsir_incremental uses, so the "yesterday's model scores today's
+# arrivals" story is consistent across the lexical and LM tiers).
+BM25_DELTA = "doc_id % 7 = 3"
+BM25_INC_TOP = 5  # base neighbors returned per delta document
 RRF_K = 60  # the fusion constant from Cormack et al.
 RRF_SHORTLIST = 50  # per-tier candidate depth fused
 RRF_TOP = 5  # fused hits returned per query
@@ -118,14 +123,16 @@ _BM25_CTE = rf"""
 """
 
 
-# (applicationId, abspath(sf_dir)) -> (persisted tf frame, n, avgdl).
+# (applicationId, abspath(sf_dir), scope) -> (persisted tf frame, n,
+# avgdl), scope ∈ {"full", "base"} ("base" = the frozen pre-delta
+# corpus the incremental query scores against).
 # The corpus-sized inverted frame used to be persisted per invocation
 # and never unpersisted — every bm25_topk / rrf_hybrid_topk call leaked
 # one cached frame for the session lifetime (r10 ADVICE). The dsir-LM
 # pattern instead: one persisted frame per (app, corpus), reused by
 # both consumers, invalidated explicitly. applicationId is unique per
 # SparkContext, unlike id(spark), which CPython can reuse.
-_BM25_CACHE: dict[tuple[str, str], tuple[DataFrame, float, float]] = {}
+_BM25_CACHE: dict[tuple[str, str, str], tuple[DataFrame, float, float]] = {}
 
 
 def invalidate_bm25_cache(sf_dir: str | None = None) -> int:
@@ -143,16 +150,27 @@ def invalidate_bm25_cache(sf_dir: str | None = None) -> int:
     return len(victims)
 
 
-def _bm25_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, float, float]:
+def _bm25_corpus(
+    spark: SparkSession, sf_dir: str, base_only: bool = False
+) -> tuple[DataFrame, float, float]:
     """(tf frame, N, avgdl) for the corpus — one tokenize scan per
-    (session, corpus), persisted and cached (see ``_BM25_CACHE``)."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir.rstrip("/")))
+    (session, corpus, scope), persisted and cached (see
+    ``_BM25_CACHE``). ``base_only`` restricts to the pre-delta stripe
+    (the FROZEN index ``bm25_incremental`` scores new arrivals
+    against)."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir.rstrip("/")),
+        "base" if base_only else "full",
+    )
     hit = _BM25_CACHE.get(key)
     if hit is not None:
         return hit
     from pyspark.storagelevel import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
+    if base_only:
+        docs = docs.filter(~F.expr(BM25_DELTA))
     tok = docs.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", tokens_expr(F.col("text")).alias("toks")
     )
@@ -574,5 +592,137 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         short.select("query_id", "doc_id", "qsim", "ce")
         .groupBy("query_id")
         .applyInPandas(greedy, out_schema)
+        .orderBy("query_id", "rank")
+    )
+
+
+_BM25_INC_ORACLE = rf"""
+    WITH btok AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x != '') AS toks
+        FROM documents WHERE NOT ({BM25_DELTA})
+    ),
+    btf AS MATERIALIZED (
+        SELECT doc_id, t AS tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(toks) AS t FROM btok)
+        GROUP BY doc_id, t
+    ),
+    bdl AS (SELECT doc_id, len(toks) AS dl FROM btok),
+    bstats AS (
+        SELECT (SELECT COUNT(*) FROM btok) AS n,
+               (SELECT AVG(CAST(len(toks) AS DOUBLE)) FROM btok) AS avgdl
+    ),
+    bdf AS MATERIALIZED (SELECT tok, COUNT(*) AS df FROM btf GROUP BY tok),
+    dterms AS (
+        SELECT DISTINCT doc_id, t AS tok FROM (
+            SELECT doc_id,
+                   UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x != '')) AS t
+            FROM documents WHERE {BM25_DELTA}
+        )
+    ),
+    qterms AS (
+        SELECT query_id, tok FROM (
+            SELECT d.doc_id AS query_id, d.tok, f.df, s.n,
+                   row_number() OVER (
+                       PARTITION BY d.doc_id ORDER BY f.df, d.tok
+                   ) AS df_rank
+            FROM dterms d JOIN bdf f USING (tok) CROSS JOIN bstats s
+        ) WHERE df <= {BM25_MAX_DF_FRAC} * n OR df_rank <= {BM25_MIN_TERMS}
+    ),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               ROUND(SUM(
+                   ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                      + {BM25_B} * dl.dl / s.avgdl))
+               ), 4) AS score
+        FROM qterms q
+        JOIN btf tf ON tf.tok = q.tok
+        JOIN bdf f ON f.tok = q.tok
+        JOIN bdl dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN bstats s
+        GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS rank
+        FROM scored
+    )
+    WHERE rank <= {BM25_INC_TOP}
+    ORDER BY query_id, rank
+"""
+
+
+@query("bm25_incremental", oracle=_BM25_INC_ORACLE)
+def bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25: route each DELTA document (the ``doc_id % 7 =
+    3`` new-arrivals stripe — the same stripe dsir_incremental scores)
+    to its top-{BM25_INC_TOP} lexical neighbors in the FROZEN base
+    corpus, using yesterday's index verbatim: df, N, avgdl, and the
+    posting lists are all trained on the base stripe only and cached
+    per (session, corpus) — admitting a new batch costs one delta-only
+    tokenize plus the posting join, never a corpus rescan. This is the
+    lexical twin of dsir_incremental's frozen-LM gate and the serving
+    path of an ingest-time near-duplicate/similar-content router.
+
+    Scale shape: the warm path is O(delta): the delta term frame is
+    the ingest micro-batch (bounded by construction — broadcast; an
+    unbounded backfill would drop the broadcast hint and ride the
+    term-keyed shuffle unchanged); scoring joins the PERSISTED base
+    postings on the TERM key, so cost is posting mass of the delta's
+    terms. The adaptive rarest-m gate mirrors bm25_topk — a delta doc
+    whose every term is corpus-novel has no postings to join and is
+    absent from the report (novel content has no lexical neighbors;
+    the semantic tier catches it)."""
+    tf, n, avgdl = _bm25_corpus(spark, sf_dir, base_only=True)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    delta = load_table(spark, sf_dir, "documents").filter(F.expr(BM25_DELTA))
+    dterms = (
+        delta.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(tokens_expr(F.col("text"))).alias("tok"),
+        )
+        .distinct()
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("df"), F.asc("tok"))
+    qterms = (
+        dterms.join(F.broadcast(df), "tok")
+        .withColumn("df_rank", F.row_number().over(wq))
+        .filter(
+            (F.col("df") <= BM25_MAX_DF_FRAC * n)
+            | (F.col("df_rank") <= BM25_MIN_TERMS)
+        )
+        .select("query_id", "tok")
+    )
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(tf, "tok")
+        .join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tfn), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_INC_TOP)
+        .select("query_id", "doc_id", "score", "rank")
         .orderBy("query_id", "rank")
     )
