@@ -1294,6 +1294,9 @@ def test_tpch_analogues_plan_shapes(spark):
         "sole_supplier_orders",
         "nation_market_share",
         "returned_item_customers",
+        "part_supplier_diversity",
+        "bulk_red_part_suppliers",
+        "customer_order_distribution",
     ]:
         df = q(name)(spark, SF_SMOKE)
         assert not has_cartesian(df), name
@@ -1302,8 +1305,18 @@ def test_tpch_analogues_plan_shapes(spark):
             name,
             strategies,
         )
+    # Q2's equality join-back connects two aggregates derived from the
+    # same (part, supplier) cost frame — statically a shuffle join (no
+    # scan stats on an aggregate); AQE broadcasts the per-part-min side
+    # at runtime when it fits. Everything else must broadcast.
+    df = q("min_cost_part_supplier")(spark, SF_SMOKE)
+    assert not has_cartesian(df)
+    strategies = join_strategies(df)
+    assert strategies.count("SortMergeJoin") <= 1, strategies
+    assert strategies.count("BroadcastHashJoin") >= 3, strategies
     assert has_pushed_filters(q("nation_pair_trade_volume")(spark, SF_SMOKE))
     assert has_pushed_filters(q("linestatus_priority_counts")(spark, SF_SMOKE))
+    assert has_pushed_filters(q("bulk_red_part_suppliers")(spark, SF_SMOKE))
 
 
 def test_event_transition_matrix_laws(spark):

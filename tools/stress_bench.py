@@ -77,6 +77,8 @@ STRESS_QUERIES = [
     "mmr_diversified_topk",  # shortlist + constant-work greedy kernel
     "ann_opq_pq_topk",  # covariance train + rotated PQ/ADC
     "knn_label_predict",  # brute top-k + <=k-row vote
+    # r11: lexical ingest gate — base index cached, delta-only scoring
+    "bm25_incremental",
 ]
 
 # Serving-tier queries take a QUERY WORKLOAD as input; the graded form
