@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -272,6 +272,133 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index join (the exact-verification baseline for minhash)."""
     return jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard").orderBy(
         "doc_a", "doc_b"
+    )
+
+
+def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs by PREFIX FILTERING (PPJoin,
+    Xiao et al., WWW'08 §3.1): order every doc's shingles by GLOBAL
+    rarity (df ASC, shingle ASC — any shared total order works), keep
+    only the first ``|S| − ⌈τ·|S|⌉ + 1`` per doc, and join on those
+    prefix shingles. The prefix lemma: two sets with overlap ≥ ⌈τ·|S|⌉
+    must collide inside these prefixes, so the candidate set is
+    COMPLETE for Jaccard ≥ τ while the join touches only the rarest
+    sliver of each posting list — the frequent shingles that dominate
+    Σdf² in the full inverted join never enter it. ⌈τ·|S|⌉ is exact
+    cross-engine: τ=0.5 times an integer is exact in double."""
+    ex = exploded_shingles(spark, sf_dir)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    dfr = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wd = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    pref = (
+        ex.join(dfr, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("pos", F.row_number().over(wd))
+        .filter(
+            F.col("pos")
+            <= F.col("set_size")
+            - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("set_size")).cast("int")
+            + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@query(
+    "prefix_filter_jaccard_pairs",
+    oracle=_ORACLE_SHINGLES
+    + f"""
+    , dfr AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle),
+    pref AS (
+        SELECT doc_id, shingle FROM (
+            SELECT e.doc_id, e.shingle, s.set_size,
+                   row_number() OVER (
+                       PARTITION BY e.doc_id ORDER BY d.df, e.shingle
+                   ) AS pos
+            FROM ex e
+            JOIN dfr d USING (shingle)
+            JOIN sizes s USING (doc_id)
+        ) WHERE pos <= set_size
+                       - CAST(CEIL({JACCARD_THRESHOLD} * set_size) AS INT) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pref a JOIN pref b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+        FROM cand c
+        JOIN ex ea ON ea.doc_id = c.doc_a
+        JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(common / CAST(sa.set_size + sb.set_size - common AS DOUBLE), 4)
+               AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(common / CAST(sa.set_size + sb.set_size - common AS DOUBLE), 4)
+          >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.5 near-dup pairs via PREFIX FILTERING — the
+    third candidate-generation strategy in the dedup family (full
+    inverted join: exact but Σdf²; minhash LSH: cheap but
+    probabilistic; prefix filter: exact AND cheap — PPJoin's insight
+    that only each set's rarest ``|S|−⌈τ|S|⌉+1`` shingles can witness
+    a ≥τ pair). Candidates are verified with exact set intersections,
+    so the output is IDENTICAL to ``ngram_jaccard_pairs`` — pinned by
+    a test — while the quadratic join runs only over prefix posting
+    lists.
+
+    Scale shape: the df rank is one vocabulary-sized aggregate over
+    the cached posting frame; the candidate join's cost is Σ over
+    PREFIX shingles of df_prefix² — rare-by-construction, the exact
+    mass the full join wastes on stopword shingles is gone.
+    Verification is candidate-bounded: each pair re-joins only its own
+    two shingle sets (broadcast candidates at fixture scale; the same
+    joins shuffle on (doc, shingle) unchanged when the candidate frame
+    outgrows a broadcast)."""
+    ex = exploded_shingles(spark, sf_dir)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    cand = _prefix_candidates(spark, sf_dir)
+    ca = (
+        F.broadcast(cand)
+        .join(ex.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .select("doc_a", "doc_b", "shingle")
+    )
+    common = (
+        ca.join(
+            ex.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("sb"))
+    jac = F.round(
+        F.col("common") / (F.col("sa") + F.col("sb") - F.col("common")).cast("double"),
+        4,
+    )
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
     )
 
 

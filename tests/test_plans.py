@@ -1432,3 +1432,40 @@ def test_cdc_chunk_jaccard_pairs_laws(spark):
     }
     assert cdc_pairs <= ng_pairs
     assert len(cdc_pairs & ng_pairs) / len(ng_pairs) >= 0.6
+
+
+def test_prefix_filter_equals_exact_jaccard(spark):
+    """PPJoin prefix-filter law (r11): the prefix lemma makes the
+    candidate set COMPLETE, so the verified output must be IDENTICAL
+    to the full-inverted-join exact baseline — two algorithms, one
+    answer. And the point of the algorithm: the candidate pair count
+    must be a strict (here ~10x at smoke scale) subset of the full
+    posting join's."""
+    import lakehouse_admin_spark.operators.dedup as dd
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in q("prefix_filter_jaccard_pairs")(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in q("ngram_jaccard_pairs")(spark, SF_SMOKE).collect()
+    }
+    assert got == exact and got, "prefix filtering must lose nothing"
+    cands = dd._prefix_candidates(spark, SF_SMOKE).count()
+    ex = dd.exploded_shingles(spark, SF_SMOKE)
+    a = ex.selectExpr("doc_id AS da", "shingle")
+    b = ex.selectExpr("doc_id AS db", "shingle")
+    full = (
+        a.join(b, "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+        .count()
+    )
+    assert cands * 2 < full, (cands, full)
+    # every surviving pair was a candidate (verification only prunes)
+    cand_set = {
+        (r.doc_a, r.doc_b) for r in dd._prefix_candidates(spark, SF_SMOKE).collect()
+    }
+    assert {(x, y) for x, y, _ in got} <= cand_set
