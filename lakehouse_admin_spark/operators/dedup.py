@@ -300,13 +300,27 @@ def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("set_size")).cast("int")
             + 1
         )
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "set_size")
     )
-    a = pref.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = pref.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("set_size").alias("sa")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("set_size").alias("sb")
+    )
+    # length filter (the prefix filter's standard companion): J ≥ τ
+    # forces min(|A|,|B|) ≥ τ·max(|A|,|B|) (the intersection fits in
+    # the smaller set, the union contains the larger), so size-skewed
+    # collisions drop before the distinct
     return (
         a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least("sa", "sb")
+                >= F.lit(JACCARD_THRESHOLD) * F.greatest("sa", "sb")
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -318,7 +332,7 @@ def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
     , dfr AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle),
     pref AS (
-        SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, set_size FROM (
             SELECT e.doc_id, e.shingle, s.set_size,
                    row_number() OVER (
                        PARTITION BY e.doc_id ORDER BY d.df, e.shingle
@@ -333,6 +347,8 @@ def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM pref a JOIN pref b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         AND LEAST(a.set_size, b.set_size)
+             >= {JACCARD_THRESHOLD} * GREATEST(a.set_size, b.set_size)
     ),
     common AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS common
