@@ -405,3 +405,74 @@ def test_sq8_quantization_error_bound(vals):
         # idempotence: re-encoding the reconstruction yields the same code
         u2 = min(max((rec - lo) / span, 0.0), 1.0)
         assert math.floor(u2 * 255 + 0.5) == code
+
+
+# --- streaming user-profile fold: order independence (r11) -----------
+_EVENT_TYPES = ["signup", "view", "click", "purchase", "scroll"]
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # ts (micros stand-in)
+        st.integers(min_value=0, max_value=40),  # epoch day
+        st.sampled_from(_EVENT_TYPES),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def _final_profile(batches):
+    from lakehouse_admin_spark.streaming.user_profiles import _make_profile_kernel
+
+    empty, fold, _snap = _make_profile_kernel()
+    st_ = empty
+    t_click = t_purchase = -1
+    for b in batches:
+        st_, t_click, t_purchase = fold(st_, b)
+    t_signup, signup_day, t_view, _c, _p, act_days, n = st_
+    return (t_signup, signup_day, t_view, t_click, t_purchase,
+            tuple(sorted(act_days)), n)
+
+
+@given(events=_events_strategy, data=st.data())
+@settings(max_examples=300, deadline=None)
+def test_profile_fold_order_and_batching_independent(events, data):
+    """The user-profile fold is a join-semilattice with monotone
+    pruning: the RESOLVED profile (first signup/view, first click
+    after the view, first purchase after the click, active days,
+    count) must be identical for ANY permutation of the events and ANY
+    micro-batch split — the exactness-under-late-data property the
+    stream==batch tests pin end-to-end, checked here over thousands of
+    adversarial orderings hypothesis generates."""
+    baseline = _final_profile([events])
+    perm = data.draw(st.permutations(events))
+    # random split into 1..6 batches
+    if perm:
+        n_cuts = data.draw(st.integers(min_value=0, max_value=min(5, len(perm))))
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=len(perm)),
+                    min_size=n_cuts,
+                    max_size=n_cuts,
+                )
+            )
+        )
+        bounds = [0, *cuts, len(perm)]
+        batches = [perm[a:b] for a, b in zip(bounds, bounds[1:])]
+    else:
+        batches = [perm]
+    assert _final_profile(batches) == baseline
+    # reference semantics, computed independently: first-qualifying
+    # chain over the globally sorted stream
+    views = sorted(t for t, _d, e in events if e == "view")
+    clicks = sorted(t for t, _d, e in events if e == "click")
+    purchases = sorted(t for t, _d, e in events if e == "purchase")
+    t_view = views[0] if views else -1
+    t_click = next((c for c in clicks if t_view != -1 and c > t_view), -1)
+    t_purchase = next(
+        (p for p in purchases if t_click != -1 and p > t_click), -1
+    )
+    got = baseline
+    assert got[2] == t_view and got[3] == t_click and got[4] == t_purchase
+    assert got[5] == tuple(sorted({d for _t, d, _e in events}))
+    assert got[6] == len(events)
