@@ -132,7 +132,9 @@ _BM25_CTE = rf"""
 # pattern instead: one persisted frame per (app, corpus), reused by
 # both consumers, invalidated explicitly. applicationId is unique per
 # SparkContext, unlike id(spark), which CPython can reuse.
-_BM25_CACHE: dict[tuple[str, str, str], tuple[DataFrame, float, float]] = {}
+_BM25_CACHE: dict[
+    tuple[str, str, str], tuple[DataFrame, DataFrame, float, float]
+] = {}
 
 
 def invalidate_bm25_cache(sf_dir: str | None = None) -> int:
@@ -142,22 +144,27 @@ def invalidate_bm25_cache(sf_dir: str | None = None) -> int:
     norm = os.path.abspath(sf_dir.rstrip("/")) if sf_dir is not None else None
     victims = [k for k in _BM25_CACHE if norm is None or k[1] == norm]
     for k in victims:
-        try:
-            _BM25_CACHE[k][0].unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to free
+        for frame in _BM25_CACHE[k][:2]:
+            try:
+                frame.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to free
         del _BM25_CACHE[k]
     return len(victims)
 
 
 def _bm25_corpus(
     spark: SparkSession, sf_dir: str, base_only: bool = False
-) -> tuple[DataFrame, float, float]:
-    """(tf frame, N, avgdl) for the corpus — one tokenize scan per
-    (session, corpus, scope), persisted and cached (see
-    ``_BM25_CACHE``). ``base_only`` restricts to the pre-delta stripe
-    (the FROZEN index ``bm25_incremental`` scores new arrivals
-    against)."""
+) -> tuple[DataFrame, DataFrame, float, float]:
+    """(tf frame incl. per-doc length, df frame, N, avgdl) for the
+    corpus — one tokenize scan per (session, corpus, scope), persisted
+    and cached (see ``_BM25_CACHE``). The document length rides ON the
+    posting rows (``dl`` is constant per doc, so it joins into the
+    grouping keys for free at build), which removes a corpus-wide
+    doc_id-keyed join from EVERY serve; the vocabulary-sized df frame
+    is likewise persisted once and broadcast at serve. ``base_only``
+    restricts to the pre-delta stripe (the FROZEN index
+    ``bm25_incremental`` scores new arrivals against)."""
     key = (
         spark.sparkContext.applicationId,
         os.path.abspath(sf_dir.rstrip("/")),
@@ -175,16 +182,25 @@ def _bm25_corpus(
         "doc_id", tokens_expr(F.col("text")).alias("toks")
     )
     tf = (
-        tok.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "tok")
+        tok.select(
+            "doc_id",
+            F.explode("toks").alias("tok"),
+            F.size("toks").alias("dl"),
+        )
+        .groupBy("doc_id", "tok", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfr = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     row = tok.agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.size("toks").cast("double")).alias("avgdl"),
     ).collect()[0]  # two scalars of corpus stats
-    out = (tf, float(row["n"]), float(row["avgdl"]))
+    out = (tf, dfr, float(row["n"]), float(row["avgdl"]))
     _BM25_CACHE[key] = out
     return out
 
@@ -192,12 +208,7 @@ def _bm25_corpus(
 def _bm25_ranked(spark: SparkSession, sf_dir: str, top: int) -> DataFrame:
     """(query_id, doc_id, score, rank ≤ top) — the BM25 posting-list
     ranking shared by the lexical query and the hybrid fusion."""
-    tf, n, avgdl = _bm25_corpus(spark, sf_dir)
-    # dl = Σ tf per doc: exactly len(toks) for every doc that owns a
-    # posting (docs with zero tokens can't match one), read off the
-    # persisted tf frame instead of a second tokenize scan.
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    tf, df, n, avgdl = _bm25_corpus(spark, sf_dir)
     # Adaptive term gate: drop high-df terms (near-zero idf, longest
     # posting lists) but ALWAYS keep each query's BM25_MIN_TERMS rarest
     # — the fractional gate alone empties on skewed vocabularies (see
@@ -226,10 +237,9 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str, top: int) -> DataFrame:
     )
     scored = (
         F.broadcast(qterms)
-        .join(tf, "tok")
+        .join(tf, "tok")  # dl rides on the posting rows — no dl join
         .filter(F.col("doc_id") != F.col("query_id"))
         .join(F.broadcast(df), "tok")
-        .join(dl, "doc_id")
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(idf * tfn), 4).alias("score"))
     )
@@ -680,9 +690,7 @@ def bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose every term is corpus-novel has no postings to join and is
     absent from the report (novel content has no lexical neighbors;
     the semantic tier catches it)."""
-    tf, n, avgdl = _bm25_corpus(spark, sf_dir, base_only=True)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    tf, df, n, avgdl = _bm25_corpus(spark, sf_dir, base_only=True)
     delta = load_table(spark, sf_dir, "documents").filter(F.expr(BM25_DELTA))
     dterms = (
         delta.repartition(spark.sparkContext.defaultParallelism)
@@ -713,9 +721,8 @@ def bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         F.broadcast(qterms)
-        .join(tf, "tok")
+        .join(tf, "tok")  # dl rides on the posting rows — no dl join
         .join(F.broadcast(df), "tok")
-        .join(dl, "doc_id")
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(idf * tfn), 4).alias("score"))
     )
