@@ -690,8 +690,21 @@ def bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose every term is corpus-novel has no postings to join and is
     absent from the report (novel content has no lexical neighbors;
     the semantic tier catches it)."""
-    tf, df, n, avgdl = _bm25_corpus(spark, sf_dir, base_only=True)
     delta = load_table(spark, sf_dir, "documents").filter(F.expr(BM25_DELTA))
+    return bm25_route_frame(spark, sf_dir, delta).orderBy("query_id", "rank")
+
+
+def bm25_route_frame(
+    spark: SparkSession, sf_dir: str, delta: DataFrame
+) -> DataFrame:
+    """Route an ARBITRARY (doc_id, text) frame against the frozen base
+    index — the serving body shared by the batch query
+    (:func:`bm25_incremental`, delta = the graded stripe) and the
+    streaming ingest router (streaming/ingest_router.py, delta = one
+    micro-batch). Per-document independent, so any partition of the
+    delta into batches yields the identical union of routes — the
+    stream==batch equivalence the router test pins."""
+    tf, df, n, avgdl = _bm25_corpus(spark, sf_dir, base_only=True)
     dterms = (
         delta.repartition(spark.sparkContext.defaultParallelism)
         .select(
@@ -731,5 +744,4 @@ def bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= BM25_INC_TOP)
         .select("query_id", "doc_id", "score", "rank")
-        .orderBy("query_id", "rank")
     )

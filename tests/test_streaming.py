@@ -774,3 +774,46 @@ def test_dau_wau_stream_matches_batch(spark, profile_stream_finals):
         for r in rows
     }
     assert got == derived
+
+
+def test_bm25_ingest_router_stream_matches_batch(spark, tmp_path_factory):
+    """Streaming ingest router == bm25_incremental: the graded delta
+    stripe arrives as 3 out-of-order drops; each micro-batch routes
+    against the FROZEN base index via the shared serving body, and the
+    union of routed batches must equal the batch query's rows exactly
+    (per-document independence — no state beyond the cached index)."""
+    from lakehouse_admin_spark.operators.retrieval import BM25_DELTA
+    from lakehouse_admin_spark.streaming.ingest_router import (
+        bm25_ingest_router_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    delta = docs.filter(F.expr(BM25_DELTA))
+    src = str(tmp_path_factory.mktemp("router_drops"))
+    out = str(tmp_path_factory.mktemp("router_out"))
+    # out-of-order drops (doc_id % 3 slices of the stripe)
+    for i in range(3):
+        _write_drop(
+            delta.filter(F.col("doc_id") % 3 == (2 - i)),
+            src,
+            f"drop_{i}",
+            2000000 + 1000 * i,
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = bm25_ingest_router_stream(spark, SF_SMOKE, stream, out)
+    q.awaitTermination(180)
+    routed = {
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in spark.read.parquet(os.path.join(out, "batch_*")).collect()
+    }
+    import __spark_entry__ as entry
+
+    batch = {
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in entry.queries()["bm25_incremental"](spark, SF_SMOKE).collect()
+    }
+    assert routed == batch and routed
