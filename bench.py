@@ -135,6 +135,7 @@ HEADLINE = [
     "bulk_red_part_suppliers",  # r11: Q20-shaped nested semi-joins
     "customer_order_distribution",  # r11: Q13-shaped outer-join histogram
     "bm25_incremental",  # r11: frozen-index lexical routing of the delta
+    "prefix_filter_jaccard_pairs",  # r11: PPJoin prefix+length+position
 ]
 
 

@@ -300,18 +300,31 @@ def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("set_size")).cast("int")
             + 1
         )
-        .select("doc_id", "shingle", "set_size")
+        .select("doc_id", "shingle", "set_size", "pos")
     )
     a = pref.select(
-        F.col("doc_id").alias("doc_a"), "shingle", F.col("set_size").alias("sa")
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("set_size").alias("sa"),
+        F.col("pos").alias("pa"),
     )
     b = pref.select(
-        F.col("doc_id").alias("doc_b"), "shingle", F.col("set_size").alias("sb")
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("set_size").alias("sb"),
+        F.col("pos").alias("pb"),
     )
-    # length filter (the prefix filter's standard companion): J ≥ τ
-    # forces min(|A|,|B|) ≥ τ·max(|A|,|B|) (the intersection fits in
-    # the smaller set, the union contains the larger), so size-skewed
-    # collisions drop before the distinct
+    # Two more PPJoin prunes inside the join condition, both output-
+    # preserving (the equality pin vs the exact baseline holds):
+    # - length filter: J ≥ τ forces min(|A|,|B|) ≥ τ·max(|A|,|B|)
+    #   (the intersection fits in the smaller set, the union contains
+    #   the larger);
+    # - position filter: a collision at 1-based prefix positions
+    #   (pa, pb) bounds the achievable overlap by 1 + min(|A|−pa,
+    #   |B|−pb) (everything ordered after the match, plus the match),
+    #   which must reach the τ-equivalent overlap ⌈τ/(1+τ)·(|A|+|B|)⌉
+    #   — for τ=1/2 that is ⌈(|A|+|B|)/3⌉, computed as the INTEGER
+    #   (sa+sb+2) div 3 so both engines agree exactly.
     return (
         a.join(b, "shingle")
         .filter(
@@ -319,6 +332,10 @@ def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 F.least("sa", "sb")
                 >= F.lit(JACCARD_THRESHOLD) * F.greatest("sa", "sb")
+            )
+            & (
+                1 + F.least(F.col("sa") - F.col("pa"), F.col("sb") - F.col("pb"))
+                >= F.expr("(sa + sb + 2) div 3")
             )
         )
         .select("doc_a", "doc_b")
@@ -332,7 +349,7 @@ def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
     , dfr AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle),
     pref AS (
-        SELECT doc_id, shingle, set_size FROM (
+        SELECT doc_id, shingle, set_size, pos FROM (
             SELECT e.doc_id, e.shingle, s.set_size,
                    row_number() OVER (
                        PARTITION BY e.doc_id ORDER BY d.df, e.shingle
@@ -349,6 +366,8 @@ def _prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          AND LEAST(a.set_size, b.set_size)
              >= {JACCARD_THRESHOLD} * GREATEST(a.set_size, b.set_size)
+         AND 1 + LEAST(a.set_size - a.pos, b.set_size - b.pos)
+             >= (a.set_size + b.set_size + 2) // 3
     ),
     common AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS common
