@@ -136,6 +136,7 @@ HEADLINE = [
     "customer_order_distribution",  # r11: Q13-shaped outer-join histogram
     "bm25_incremental",  # r11: frozen-index lexical routing of the delta
     "prefix_filter_jaccard_pairs",  # r11: PPJoin prefix+length+position
+    "hard_negative_mining",  # r11: ANCE-style per-anchor triplet mining
 ]
 
 

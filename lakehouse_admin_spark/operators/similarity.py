@@ -2845,3 +2845,108 @@ def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+HARD_NEG_K = 3  # hard negatives mined per anchor
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe, label AS ql
+        FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+    ),
+    sims AS (
+        SELECT q.qid, e.vec_id AS cid, (e.label = q.ql) AS same,
+               ROUND(
+                 list_sum(list_transform(list_zip(q.qe, e.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(q.qe,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                   AS cosine
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid
+    ),
+    ranked AS (
+        SELECT qid, cid, same, cosine,
+               row_number() OVER (
+                   PARTITION BY qid, same ORDER BY cosine DESC, cid
+               ) AS rn
+        FROM sims
+    )
+    SELECT qid AS query_id,
+           CASE WHEN same THEN 'positive' ELSE 'negative' END AS kind,
+           CAST(rn AS INT) AS rank, cid AS neighbor_id, cosine
+    FROM ranked
+    WHERE (same AND rn = 1) OR (NOT same AND rn <= {HARD_NEG_K})
+    ORDER BY query_id, kind, rank
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN hard-negative mining — the scale path
+    ``contrastive_triplets`` names: per anchor (stride query vector),
+    its nearest SAME-label neighbor (the positive) and its
+    {HARD_NEG_K} nearest DIFFERENT-label neighbors (the hard
+    negatives) by 6dp cosine. Hard negatives — wrong-class items the
+    embedding currently ranks closest — are what make a contrastive
+    batch informative; random negatives are almost always already far
+    (Xiong et al. 2021, ANCE).
+
+    Scale shape: one brute scan per anchor set (broadcast queries,
+    per-side norms, partition-local top-k pre-aggregation keyed on
+    (anchor, same-label) — the exactness floor; the IVF/graph tiers
+    swap in for the same contract, which is exactly how ANCE refreshes
+    its negative index); the rank windows run over ≤(k·partitions)
+    rows per anchor side. Deterministic: 6dp cosines, id tiebreaks,
+    so the all-pairs oracle replays both rankings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+        norm_expr(F.col("embedding")).alias("nq"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("cl"),
+        norm_expr(F.col("embedding")).alias("nc"),
+    )
+    sims = (
+        F.broadcast(queries)
+        .crossJoin(cands)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("cl") == F.col("ql")).alias("same"),
+            F.round(
+                cosine_from_norms(F.col("qe"), F.col("ce"), F.col("nq"), F.col("nc")),
+                6,
+            ).alias("cosine"),
+        )
+        .withColumn(
+            "grp", F.concat_ws(":", F.col("query_id"), F.col("same").cast("string"))
+        )
+    )
+    sims = local_topk_prune(sims, "grp", "cosine", "neighbor_id", HARD_NEG_K)
+    w = Window.partitionBy("query_id", "same").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(
+            (F.col("same") & (F.col("rank") == 1))
+            | (~F.col("same") & (F.col("rank") <= HARD_NEG_K))
+        )
+        .select(
+            "query_id",
+            F.when(F.col("same"), "positive").otherwise("negative").alias("kind"),
+            "rank",
+            "neighbor_id",
+            "cosine",
+        )
+        .orderBy("query_id", "kind", "rank")
+    )

@@ -1469,3 +1469,54 @@ def test_prefix_filter_equals_exact_jaccard(spark):
         (r.doc_a, r.doc_b) for r in dd._prefix_candidates(spark, SF_SMOKE).collect()
     }
     assert {(x, y) for x, y, _ in got} <= cand_set
+
+
+def test_hard_negative_mining_laws(spark):
+    """Hard-negative miner laws (r11): every anchor yields exactly one
+    positive and HARD_NEG_K negatives; the positive shares the
+    anchor's label and the negatives don't; negative cosines are
+    non-increasing in rank; and the positive is the TRUE same-label
+    argmax recomputed independently from raw vectors."""
+    import numpy as np
+
+    from lakehouse_admin_spark.operators.similarity import (
+        HARD_NEG_K,
+        QUERY_STRIDE,
+    )
+
+    rows = q("hard_negative_mining")(spark, SF_SMOKE).collect()
+    emb = {
+        r.vec_id: (np.asarray(r.embedding, dtype=np.float64), r.label)
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    anchors = {v for v in emb if v % QUERY_STRIDE == 0}
+    by_q: dict[int, dict[str, list]] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {"positive": [], "negative": []})[
+            r.kind
+        ].append(r)
+    assert set(by_q) == anchors
+    for qid, kinds in by_q.items():
+        qv, ql = emb[qid]
+        assert len(kinds["positive"]) == 1
+        assert len(kinds["negative"]) == HARD_NEG_K
+        pos = kinds["positive"][0]
+        assert emb[pos.neighbor_id][1] == ql
+        negs = sorted(kinds["negative"], key=lambda r: r.rank)
+        assert all(emb[n.neighbor_id][1] != ql for n in negs)
+        assert all(
+            a.cosine >= b.cosine for a, b in zip(negs, negs[1:])
+        ), qid
+        # independent argmax over same-label candidates
+        best_id, best_c = None, -2.0
+        for cid, (cv, cl) in emb.items():
+            if cid == qid or cl != ql:
+                continue
+            c = round(
+                float(qv @ cv)
+                / (float(np.linalg.norm(qv)) * float(np.linalg.norm(cv))),
+                6,
+            )
+            if c > best_c or (c == best_c and cid < best_id):
+                best_id, best_c = cid, c
+        assert pos.neighbor_id == best_id and pos.cosine == best_c
