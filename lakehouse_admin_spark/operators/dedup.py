@@ -406,33 +406,30 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     two shingle sets (broadcast candidates at fixture scale; the same
     joins shuffle on (doc, shingle) unchanged when the candidate frame
     outgrows a broadcast)."""
-    ex = exploded_shingles(spark, sf_dir)
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     cand = _prefix_candidates(spark, sf_dir)
-    ca = (
-        F.broadcast(cand)
-        .join(ex.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .select("doc_a", "doc_b", "shingle")
-    )
-    common = (
-        ca.join(
-            ex.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("sa"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("sb"))
-    jac = F.round(
-        F.col("common") / (F.col("sa") + F.col("sb") - F.col("common")).cast("double"),
-        4,
+    # Verification = the SHARED minhash-verification path: prune the
+    # posting list to docs appearing in any candidate, then the
+    # common-count join over the pruned postings (jaccard_pairs with
+    # restrict_docs — the same contract LSH verification uses). Two
+    # rejected alternatives, both measured: force-broadcasting the
+    # candidate PAIRS OOMs on a dup-dense corpus (candidates are
+    # quadratic there), and re-joining each candidate's full shingle
+    # set (cand ⋈ ex ⋈ ex) costs Σ_cand|S(a)| — 7× the direct join at
+    # the dup-dense stress tier. The doc-level semi prune is never
+    # worse than the full join (dense ⇒ every doc survives ⇒ same
+    # join) and collapses with the candidates when they're sparse —
+    # the realistic corpus — e.g. 53 docs instead of 500 at sf0.001.
+    # Completeness: every true pair's BOTH docs are candidate docs,
+    # and the ≥τ threshold inside jaccard_pairs discards the
+    # non-candidate pairs among them exactly like the full join would.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        jaccard_pairs(spark, sf_dir, restrict_docs=cand_docs)
+        .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
