@@ -247,10 +247,17 @@ def rewrite_data_files_zorder(
     def rewrite_group(gi: int) -> list[dict]:
         (spec_id, _key), group = ordered[gi]
         df = read_group(gi)
-        rng = ranges[gi]
+        # A group whose rows are ALL covered by position deletes emits
+        # NO row from the single-scan groupBy('_gi') stats pass (the
+        # old per-group agg returned one all-null row instead) — e.g.
+        # delete_where over a whole partition, then zorder. Fall back
+        # to the same null-range behavior (lo=0.0, span=1.0): the
+        # group rewrites to an empty file set cleanly.
+        rng = ranges.get(gi)
         scaled = []
         for c in columns:
-            lo, hi = rng[f"_lo_{c}"], rng[f"_hi_{c}"]
+            lo = rng[f"_lo_{c}"] if rng is not None else None
+            hi = rng[f"_hi_{c}"] if rng is not None else None
             span = (hi - lo) if (hi is not None and lo is not None and hi > lo) else 1.0
             s = (
                 F.least(

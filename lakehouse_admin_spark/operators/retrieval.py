@@ -65,6 +65,15 @@ BM25_MIN_TERMS = 3
 # arrivals" story is consistent across the lexical and LM tiers).
 BM25_DELTA = "doc_id % 7 = 3"
 BM25_INC_TOP = 5  # base neighbors returned per delta document
+# bm25_route_frame broadcasts its (query, term) frame ONLY when the
+# delta is micro-batch-sized. qterms grows with the delta (distinct
+# (query_id, tok) rows), so an unconditional broadcast of an unbounded
+# backfill — e.g. re-routing a 1/7-corpus stripe at 100× scale — is a
+# driver/executor OOM (the r11 stress sweep hit exactly this at s100).
+# Above the bound the join rides the ordinary term-keyed shuffle, the
+# same shape the full bm25_topk serve survives on. 10k docs × ~10² kept
+# terms ≈ 10⁶ short rows — well inside a single-digit-MB broadcast.
+BM25_BROADCAST_MAX_DOCS = 10_000
 RRF_K = 60  # the fusion constant from Cormack et al.
 RRF_SHORTLIST = 50  # per-tier candidate depth fused
 RRF_TOP = 5  # fused hits returned per query
@@ -165,10 +174,15 @@ def _bm25_corpus(
     is likewise persisted once and broadcast at serve. ``base_only``
     restricts to the pre-delta stripe (the FROZEN index
     ``bm25_incremental`` scores new arrivals against)."""
+    # The "base" scope is defined BY the delta predicate (base = NOT
+    # delta), so the predicate is part of the cache identity: the stress
+    # bench patches retrieval.BM25_DELTA per tier, and a key without it
+    # would silently serve an index frozen under a different stripe if
+    # two tiers ever shared an sf_dir (r11 ADVICE).
     key = (
         spark.sparkContext.applicationId,
         os.path.abspath(sf_dir.rstrip("/")),
-        "base" if base_only else "full",
+        f"base:{BM25_DELTA}" if base_only else "full",
     )
     hit = _BM25_CACHE.get(key)
     if hit is not None:
@@ -681,10 +695,12 @@ def bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical twin of dsir_incremental's frozen-LM gate and the serving
     path of an ingest-time near-duplicate/similar-content router.
 
-    Scale shape: the warm path is O(delta): the delta term frame is
-    the ingest micro-batch (bounded by construction — broadcast; an
-    unbounded backfill would drop the broadcast hint and ride the
-    term-keyed shuffle unchanged); scoring joins the PERSISTED base
+    Scale shape: the warm path is O(delta): the delta term frame
+    broadcasts only while the delta is batch-sized — above
+    BM25_BROADCAST_MAX_DOCS documents the hint is DROPPED and the join
+    rides the term-keyed shuffle (the gate lives in
+    :func:`bm25_route_frame`; both shapes are plan-pinned); scoring
+    joins the PERSISTED base
     postings on the TERM key, so cost is posting mass of the delta's
     terms. The adaptive rarest-m gate mirrors bm25_topk — a delta doc
     whose every term is corpus-novel has no postings to join and is
@@ -703,8 +719,20 @@ def bm25_route_frame(
     streaming ingest router (streaming/ingest_router.py, delta = one
     micro-batch). Per-document independent, so any partition of the
     delta into batches yields the identical union of routes — the
-    stream==batch equivalence the router test pins."""
+    stream==batch equivalence the router test pins.
+
+    The (query, term) frame broadcasts only when the delta is
+    batch-sized (≤ BM25_BROADCAST_MAX_DOCS documents — probed with an
+    early-stopping limit+count, one cheap job); a bigger backfill rides
+    the term-keyed shuffle instead, because qterms is
+    delta-proportional and an unconditional broadcast OOMs at 100×
+    (see the constant's comment). Both plan shapes are pinned in
+    tests/test_plans.py."""
     tf, df, n, avgdl = _bm25_corpus(spark, sf_dir, base_only=True)
+    # Early-stopping size probe: LocalLimit pushes below the scan, so
+    # this reads at most bound+1 rows regardless of delta size.
+    bound = BM25_BROADCAST_MAX_DOCS
+    batch_sized = delta.select("doc_id").limit(bound + 1).count() <= bound
     dterms = (
         delta.repartition(spark.sparkContext.defaultParallelism)
         .select(
@@ -733,7 +761,7 @@ def bm25_route_frame(
         )
     )
     scored = (
-        F.broadcast(qterms)
+        (F.broadcast(qterms) if batch_sized else qterms)
         .join(tf, "tok")  # dl rides on the posting rows — no dl join
         .join(F.broadcast(df), "tok")
         .groupBy("query_id", "doc_id")

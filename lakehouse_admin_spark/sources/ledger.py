@@ -2078,6 +2078,16 @@ class LedgerTable:
         else:
             df = df.coalesce(max(1, n_out))
         df.write.mode("append").parquet(out_dir)
+        return self._collect_staged_entries(out_dir, partition, spec_id)
+
+    def _collect_staged_entries(
+        self, out_dir: str, partition: dict, spec_id: int
+    ) -> list[dict]:
+        """Manifest entries for a staged rewrite directory. Spark emits
+        a schema-only part file for an EMPTY input (e.g. a group whose
+        rows are all position-deleted); keep it out of the manifest —
+        compaction should DROP a dead group, not replace it with an
+        empty file — and unlink it so it never surfaces as an orphan."""
         entries = []
         for dirpath, _dirnames, filenames in os.walk(out_dir):
             for fn in filenames:
@@ -2087,8 +2097,16 @@ class LedgerTable:
                             os.path.join(dirpath, fn), dict(partition), spec_id
                         )
                     )
-        entries.sort(key=lambda e: e["file_path"])
-        return entries
+        live, dead = [], []
+        for e in entries:
+            (live if e["record_count"] > 0 else dead).append(e)
+        for e in dead:
+            try:
+                os.remove(e["file_path"])
+            except OSError:
+                pass  # best-effort; remove_orphan_files sweeps stragglers
+        live.sort(key=lambda e: e["file_path"])
+        return live
 
     def write_clustered_files(
         self,
@@ -2112,17 +2130,7 @@ class LedgerTable:
         stage_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, stage_id)
         staged.write.mode("append").parquet(out_dir)
-        entries = []
-        for dirpath, _dirnames, filenames in os.walk(out_dir):
-            for fn in filenames:
-                if fn.endswith(".parquet"):
-                    entries.append(
-                        self._file_entry(
-                            os.path.join(dirpath, fn), dict(partition), spec_id
-                        )
-                    )
-        entries.sort(key=lambda e: e["file_path"])
-        return entries
+        return self._collect_staged_entries(out_dir, partition, spec_id)
 
     def append(
         self,

@@ -26,12 +26,27 @@ shuffle, no corpus rescan, and a re-trained index epoch is one
 from __future__ import annotations
 
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from lakehouse_admin_spark.operators.retrieval import bm25_route_frame
+
+
+def make_route_batch(spark: SparkSession, sf_dir: str, out_dir: str):
+    """The foreachBatch body, exposed so the replay test can invoke it
+    twice with the SAME batch_id and assert the second write replaces
+    (not duplicates) the first — the exactly-once-per-batch contract."""
+
+    def route_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = bm25_route_frame(spark, sf_dir, batch_df)
+        (
+            out.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_{batch_id}")
+            )
+        )
+
+    return route_batch
 
 
 def bm25_ingest_router_stream(
@@ -41,19 +56,15 @@ def bm25_ingest_router_stream(
     out_dir: str,
 ) -> StreamingQuery:
     """Start the router: ``arrivals`` is a STREAMING (doc_id, text, …)
-    frame; each micro-batch's routes append as parquet under
-    ``out_dir`` (an idempotent, replay-tolerant sink would key on
-    (batch_id, query_id) — the ledger batch sink shows that pattern;
-    plain parquet keeps this surface minimal). Returns the query
-    handle; callers own ``awaitTermination``."""
-
-    def route_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = bm25_route_frame(spark, sf_dir, batch_df)
-        (
-            out.write.mode("append").parquet(
-                os.path.join(out_dir, f"batch_{batch_id}_{uuid.uuid4().hex[:8]}")
-            )
-        )
+    frame; each micro-batch's routes land as parquet under
+    ``out_dir/batch_<batch_id>``. The path is DETERMINISTIC in the
+    Structured-Streaming batch_id and written with mode("overwrite"),
+    so a batch replayed after a crash-before-checkpoint overwrites its
+    own earlier (possibly partial) attempt instead of double-writing —
+    exactly-once per batch_id, matching the checkpoint's replay
+    contract. Returns the query handle; callers own
+    ``awaitTermination``."""
+    route_batch = make_route_batch(spark, sf_dir, out_dir)
 
     return (
         arrivals.writeStream.foreachBatch(route_batch)

@@ -100,7 +100,12 @@ def _make_profile_kernel():
             n += 1
             act_days.add(day)
             if et == "signup":
-                if t_signup == none or ts < t_signup:
+                # Lexicographic (ts, day) min: strict `ts <` alone would
+                # resolve equal-ts signups with different days by arrival
+                # order, breaking the semilattice (order-independence) law
+                # on the full (ts, day) domain even though real data derives
+                # day from ts and can never produce that input.
+                if t_signup == none or (ts, day) < (t_signup, signup_day):
                     t_signup, signup_day = ts, day
             elif et == "view":
                 if t_view == none or ts < t_view:

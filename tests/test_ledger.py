@@ -1052,6 +1052,38 @@ def test_zorder_rewrite_respects_partitions_and_deletes(spark, catalog):
         assert e["partition"].get("grp") in {"0", "1"}
 
 
+def test_zorder_survives_fully_deleted_partition(spark, catalog):
+    """r12 (r11 ADVICE, medium): a file group whose rows are ALL covered
+    by position deletes emits NO row from the single-scan stats pass —
+    the rewrite must fall back to the null-range defaults instead of
+    raising KeyError inside the thread pool. Sequence: delete_where
+    covering one whole partition, then zorder."""
+    df = spark.range(400).selectExpr(
+        "id",
+        "CAST(id % 2 AS STRING) AS grp",
+        "CAST(id % 50 AS BIGINT) AS x",
+        "CAST((id * 7) % 50 AS BIGINT) AS y",
+    )
+    tbl = catalog.create_table(
+        "main",
+        "zorder_dead_part_tbl",
+        df.schema,
+        [PartitionField(source="grp", transform="identity", name="grp")],
+    )
+    tbl.append(df)
+    tbl.delete_where(F.col("grp") == "1")  # position-deletes a whole partition
+    live_before = tbl.read().count()
+    assert live_before == 200
+    metrics = maintenance.rewrite_data_files_zorder(
+        tbl, ["x", "y"], target_file_size_bytes=20_000
+    )
+    assert metrics["rewritten_data_files_count"] > 0
+    assert tbl.read().count() == live_before
+    assert tbl.read().filter(F.col("grp") == "1").count() == 0  # no resurrection
+    for e in tbl.plan_files():
+        assert e["partition"].get("grp") == "0"  # dead partition fully compacted away
+
+
 def test_incremental_consumer_at_least_once(spark, catalog, tmp_path_factory):
     from lakehouse_admin_spark.sources.consumer import IncrementalConsumer
 

@@ -1030,6 +1030,56 @@ def test_posting_bm25_catalog_caches_invalidatable(spark):
     assert fx.get_catalog(spark) is not cat1
 
 
+def test_bm25_route_frame_broadcast_gated_on_delta_size(spark, monkeypatch):
+    """r12 (r11 verdict #2): bm25_route_frame broadcasts its
+    delta-proportional (query, term) frame ONLY when the delta is
+    batch-sized. Pin BOTH shapes with auto-broadcast disabled so the
+    only broadcasts left are the explicit hints: batch-sized delta →
+    one more BroadcastHashJoin than the gated-off shape, which must
+    instead carry a shuffle join (SortMergeJoin/ShuffledHashJoin) for
+    the qterms→postings join — the shape an unbounded backfill rides."""
+    import lakehouse_admin_spark.operators.retrieval as ret
+
+    delta = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.expr(ret.BM25_DELTA))
+        .limit(10)
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = join_strategies(ret.bm25_route_frame(spark, SF_SMOKE, delta))
+        monkeypatch.setattr(ret, "BM25_BROADCAST_MAX_DOCS", 0)
+        big = join_strategies(ret.bm25_route_frame(spark, SF_SMOKE, delta))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert small.count("BroadcastHashJoin") == big.count("BroadcastHashJoin") + 1, (
+        small,
+        big,
+    )
+    assert any(s in ("SortMergeJoin", "ShuffledHashJoin") for s in big), big
+    assert not any(s in ("SortMergeJoin", "ShuffledHashJoin") for s in small), small
+
+
+def test_bm25_base_cache_keyed_by_delta_predicate(spark, monkeypatch):
+    """r12 (r11 ADVICE): the frozen 'base' index is defined by the delta
+    predicate (base = NOT delta), so a patched BM25_DELTA must MISS the
+    cache instead of silently serving an index frozen under a different
+    stripe for the same sf_dir."""
+    import lakehouse_admin_spark.operators.retrieval as ret
+
+    ret.invalidate_bm25_cache()
+    b1 = ret._bm25_corpus(spark, SF_SMOKE, base_only=True)
+    assert ret._bm25_corpus(spark, SF_SMOKE, base_only=True) is b1
+    monkeypatch.setattr(ret, "BM25_DELTA", "doc_id % 7 = 5")
+    b2 = ret._bm25_corpus(spark, SF_SMOKE, base_only=True)
+    assert b2 is not b1, "different delta stripe must not hit the old base index"
+    assert b2[2] != b1[2] or b2[0] is not b1[0]
+    monkeypatch.undo()
+    assert ret._bm25_corpus(spark, SF_SMOKE, base_only=True) is b1
+    ret.invalidate_bm25_cache(SF_SMOKE)
+
+
 def test_dsir_incremental_laws(spark):
     """Incremental-DSIR laws: totality (one verdict per delta-stripe
     raw doc, no target or base doc leaks in); the warm path (cached

@@ -817,3 +817,30 @@ def test_bm25_ingest_router_stream_matches_batch(spark, tmp_path_factory):
         for r in entry.queries()["bm25_incremental"](spark, SF_SMOKE).collect()
     }
     assert routed == batch and routed
+
+
+def test_bm25_ingest_router_replay_is_idempotent(spark, tmp_path_factory):
+    """Checkpoint replay delivers the same batch_id twice (crash after
+    write, before checkpoint commit): the deterministic batch_<id> dir
+    with overwrite mode must REPLACE the first attempt, not append a
+    second copy — total routed rows identical after the replay."""
+    from lakehouse_admin_spark.operators.retrieval import BM25_DELTA
+    from lakehouse_admin_spark.streaming.ingest_router import make_route_batch
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    delta = docs.filter(F.expr(BM25_DELTA)).limit(20).cache()
+    out = str(tmp_path_factory.mktemp("router_replay"))
+    route_batch = make_route_batch(spark, SF_SMOKE, out)
+
+    route_batch(delta, 0)
+    first = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in spark.read.parquet(os.path.join(out, "batch_*")).collect()
+    )
+    route_batch(delta, 0)  # replay of the SAME batch_id
+    second = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in spark.read.parquet(os.path.join(out, "batch_*")).collect()
+    )
+    delta.unpersist()
+    assert first and second == first
