@@ -1572,6 +1572,61 @@ def _pq_index(
     return codes, luts
 
 
+# Session-cached PQ indexes per (session, tier, variant, stride) — the
+# same "encode once, serve many" contract as _IVF_CACHE: the Arrow
+# encode kernel over the full corpus re-ran on EVERY pq-query
+# invocation (3× per bench row), dominating ann_ivf_pq_topk/_rerank
+# serve latency (r11 verdict #3). Codes AND luts localCheckpoint so a
+# warm serve is two checkpoint scans + joins. QUERY_STRIDE is part of
+# the key because the stress bench patches it per tier and the lut
+# frame bakes it in (the BM25 delta-predicate lesson, r11 ADVICE).
+_PQ_CACHE: OrderedDict[tuple, tuple[DataFrame, DataFrame]] = OrderedDict()
+PQ_CACHE_MAX = 8
+
+
+def pq_index(
+    spark: SparkSession, sf_dir: str, with_cells: bool
+) -> tuple[DataFrame, DataFrame]:
+    """(codes, query_luts) for the tier's embeddings — encoded on first
+    use, then served from the session cache. ``with_cells`` rides the
+    IVF cell id on the code rows (the IVFADC variant; requires/reuses
+    the cached :func:`ivf_index`)."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir.rstrip("/")),
+        "ivf" if with_cells else "plain",
+        QUERY_STRIDE,
+    )
+    hit = _PQ_CACHE.get(key)
+    if hit is not None:
+        _PQ_CACHE.move_to_end(key)
+        return hit
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if with_cells:
+        cells, _cents = ivf_index(spark, sf_dir)
+        emb = emb.join(cells, "vec_id")
+    codes, luts = _pq_index(spark, emb, cell_col="cell" if with_cells else None)
+    hit = (codes.localCheckpoint(), luts.localCheckpoint())
+    _PQ_CACHE[key] = hit
+    while len(_PQ_CACHE) > PQ_CACHE_MAX:
+        _, (ev_codes, ev_luts) = _PQ_CACHE.popitem(last=False)
+        _free_checkpoint(ev_codes)
+        _free_checkpoint(ev_luts)
+    return hit
+
+
+def invalidate_pq_cache(sf_dir: str | None = None) -> int:
+    """Drop cached PQ indexes — all, or one tier's (call after
+    rewriting its embeddings). Returns the number evicted."""
+    norm = None if sf_dir is None else os.path.abspath(sf_dir.rstrip("/"))
+    keys = [k for k in _PQ_CACHE if norm is None or k[1] == norm]
+    for k in keys:
+        _free_checkpoint(_PQ_CACHE[k][0])
+        _free_checkpoint(_PQ_CACHE[k][1])
+        del _PQ_CACHE[k]
+    return len(keys)
+
+
 def _adc_ranked(codes: DataFrame, queries: DataFrame) -> DataFrame:
     """The shared ADC serving pipeline: broadcast query LUTs × codes
     scan, approx_dist = Σ of {PQ_M} table lookups (zip_with + aggregate,
@@ -1678,8 +1733,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel (one broadcast (16,8,8) codebook, one vectorized distance
     per batch); the ADC join broadcasts the tiny query LUTs.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    codes, queries = _pq_index(spark, emb)
+    codes, queries = pq_index(spark, sf_dir, with_cells=False)
     return _adc_ranked(codes, queries)
 
 
@@ -1749,8 +1803,8 @@ def _ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the IVF_PROBES probed TRAINED cells per query, the shared front
     half of ``ann_ivf_pq_topk`` and ``ann_ivf_pq_rerank``."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cells, cents = ivf_index(spark, sf_dir)
-    codes, luts = _pq_index(spark, emb.join(cells, "vec_id"), cell_col="cell")
+    _cells, cents = ivf_index(spark, sf_dir)
+    codes, luts = pq_index(spark, sf_dir, with_cells=True)
     probes = _ivf_probes_kmeans(emb, cents).select("query_id", "cell")
     return (
         codes.join(F.broadcast(probes), "cell")

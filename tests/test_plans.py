@@ -385,6 +385,25 @@ def test_ivf_index_cached_and_invalidatable(spark):
     assert len(sim._IVF_CACHE) == 0
 
 
+def test_pq_index_cached_and_invalidatable(spark):
+    """r12 (r11 verdict #3): the PQ codes/LUT frames are encoded once
+    per (session, tier, variant, stride) and served from checkpoint —
+    the Arrow encode kernel previously re-ran on every pq-query
+    invocation, dominating ann_ivf_pq_topk/_rerank serve latency."""
+    import lakehouse_admin_spark.operators.similarity as sim
+
+    sim.invalidate_pq_cache()
+    assert len(sim._PQ_CACHE) == 0
+    c1, l1 = sim.pq_index(spark, SF_SMOKE, with_cells=False)
+    c2, l2 = sim.pq_index(spark, SF_SMOKE, with_cells=False)
+    assert c1 is c2 and l1 is l2, "second call must hit the cache"
+    ci, _li = sim.pq_index(spark, SF_SMOKE, with_cells=True)
+    assert ci is not c1 and "cell" in ci.columns and "cell" not in c1.columns
+    assert len(sim._PQ_CACHE) == 2
+    assert sim.invalidate_pq_cache(SF_SMOKE) == 2
+    assert len(sim._PQ_CACHE) == 0
+
+
 def test_sq_topk_recall_and_plan(spark):
     """SQ8 asymmetric scan: same broadcast-queries linear-scan shape as
     the float brute force (no CartesianProduct), and with 255 levels the
