@@ -137,6 +137,9 @@ HEADLINE = [
     "bm25_incremental",  # r11: frozen-index lexical routing of the delta
     "prefix_filter_jaccard_pairs",  # r11: PPJoin prefix+length+position
     "hard_negative_mining",  # r11: ANCE-style per-anchor triplet mining
+    "train_val_split",  # r12: md5-rank stratified holdout assignment
+    "cumulative_channel_crossover",  # r12: Q51-shaped running compare
+    "rollup_top_months",  # r12: Q67-shaped rollup + per-category top-N
 ]
 
 

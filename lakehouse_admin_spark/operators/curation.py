@@ -308,6 +308,65 @@ def deterministic_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VAL_FRAC = 0.125  # held-out fraction per source (exact binary double:
+# 0.125 * n computes identically in Spark and DuckDB, so the CEIL
+# boundary can never disagree cross-engine — the ROUND(a/b) lesson)
+
+
+@query(
+    "train_val_split",
+    oracle=f"""
+    SELECT doc_id, source, split FROM (
+        SELECT doc_id, source,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                    <= CEIL({VAL_FRAC} * COUNT(*) OVER (PARTITION BY source))
+                    THEN 'val' ELSE 'train' END AS split
+        FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val split — the assignment every
+    training pipeline needs BEFORE contamination checks make sense: per
+    source, the VAL_FRAC fraction with the smallest md5(doc_id) goes to
+    'val', the rest to 'train'. md5-rank (not modulo) keeps the split
+    exact per stratum (ceil(frac·n) docs, never ±1 drift from id gaps),
+    reproducible under retries/repartitioning, and independent of
+    ingestion order — new docs added later perturb only the boundary
+    ranks of their own source.
+
+    Scale shape: one shuffle on the stratum key feeding BOTH windows
+    (rank and per-source count share the partitioning — Spark plans a
+    single exchange); no join, no driver state. A pathologically hot
+    source concentrates its rank window on one partition — the same
+    documented caveat as every per-source rollup here (AQE skew
+    handling; or pre-aggregate counts and broadcast them to shard the
+    rank by salted sub-windows if a stratum outgrows an executor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("source")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("_rn", F.row_number().over(ws))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("_rn") <= F.ceil(F.lit(VAL_FRAC) * F.col("_n")),
+                F.lit("val"),
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Quality-filter chain thresholds (applied in order; a doc's
 # fail_reason is the FIRST tripped filter, the usual pipeline telemetry)
 MIN_TOKENS = 25

@@ -429,18 +429,40 @@ def _gs_oracle() -> str:
 # results.
 _GRAPH_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
 GRAPH_CACHE_MAX = 16
+# hnsw_search prebuilds layer graphs on concurrent threads, so the
+# LRU's insert/evict must be atomic: an unlocked eviction racing a
+# concurrent insert could unpersist a just-built checkpoint another
+# thread still holds (r11 ADVICE). build() runs OUTSIDE the lock —
+# a rare double-build of the same key loses the race and frees its
+# duplicate, which is cheap; serialized builds would defeat the
+# concurrent prebuild entirely.
+import threading  # noqa: E402
+
+_GRAPH_CACHE_LOCK = threading.RLock()
 
 
 def _cached(key: tuple, build) -> DataFrame:
-    df = _GRAPH_CACHE.get(key)
-    if df is None:
-        df = build()
-        _GRAPH_CACHE[key] = df
-        while len(_GRAPH_CACHE) > GRAPH_CACHE_MAX:
-            _, evicted = _GRAPH_CACHE.popitem(last=False)
-            _free_checkpoint(evicted)
-    else:
-        _GRAPH_CACHE.move_to_end(key)
+    with _GRAPH_CACHE_LOCK:
+        df = _GRAPH_CACHE.get(key)
+        if df is not None:
+            _GRAPH_CACHE.move_to_end(key)
+            return df
+    df = build()
+    evicted: list[DataFrame] = []
+    with _GRAPH_CACHE_LOCK:
+        winner = _GRAPH_CACHE.get(key)
+        if winner is not None:  # lost a same-key build race
+            _GRAPH_CACHE.move_to_end(key)
+            if winner is not df:
+                evicted.append(df)  # free the duplicate build
+            df = winner
+        else:
+            _GRAPH_CACHE[key] = df
+            while len(_GRAPH_CACHE) > GRAPH_CACHE_MAX:
+                _, ev = _GRAPH_CACHE.popitem(last=False)
+                evicted.append(ev)
+    for ev in evicted:  # unpersist outside the lock (py4j round-trips)
+        _free_checkpoint(ev)
     return df
 
 
@@ -449,12 +471,13 @@ def invalidate_graph_caches(sf_dir: str | None = None) -> int:
     over ``sf_dir`` (call after rewriting that tier's embeddings) —
     and unpersist their checkpointed blocks immediately.
     Returns the number of evicted entries."""
-    keys = [
-        k for k in _GRAPH_CACHE if sf_dir is None or k[2] == sf_dir
-    ]
-    for k in keys:
-        _free_checkpoint(_GRAPH_CACHE[k])
-        del _GRAPH_CACHE[k]
+    with _GRAPH_CACHE_LOCK:
+        keys = [
+            k for k in _GRAPH_CACHE if sf_dir is None or k[2] == sf_dir
+        ]
+        victims = [_GRAPH_CACHE.pop(k) for k in keys]
+    for v in victims:
+        _free_checkpoint(v)
     return len(keys)
 
 
@@ -1019,16 +1042,20 @@ def hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stages). Wall drops from Σ per-layer to ~max per-layer
         # (r10 verdict #5). The descent loop below then reads warm
         # cache entries.
-        import threading
+        # ThreadPoolExecutor (not raw Threads): future.result() RE-RAISES
+        # a builder failure here instead of printing-and-swallowing it,
+        # so a broken layer build fails the query loudly rather than
+        # falling back to a silent serial rebuild (r11 ADVICE).
+        from concurrent.futures import ThreadPoolExecutor
 
-        builders = [
-            threading.Thread(target=_layer_edges, args=(spark, sf_dir, la))
-            for la in range(l_max, 0, -1)
-        ]
-        for t in builders:
-            t.start()
-        for t in builders:
-            t.join()
+        layers = list(range(l_max, 0, -1))
+        if layers:
+            with ThreadPoolExecutor(max_workers=len(layers)) as pool:
+                futures = [
+                    pool.submit(_layer_edges, spark, sf_dir, la) for la in layers
+                ]
+                for f in futures:
+                    f.result()
         cur = with_cos(
             queries.select("query_id").withColumn("node", F.lit(entry))
         ).localCheckpoint()

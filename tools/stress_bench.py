@@ -395,17 +395,66 @@ def run_metadata(root: str, n_files: int = 1_000_000, batch: int = 10_000) -> No
     }))
 
 
+def run_bm25_backfill(root: str) -> None:
+    """Drive ``bm25_incremental`` in its GRADED form — delta = the
+    ``doc_id % 7`` stripe, 1/7 of the corpus, i.e. an UNBOUNDED
+    backfill rather than the fixed micro-batch the main scaling sweep
+    measures. The point is the broadcast gate (r11 verdict #2): at
+    s25/s50 the stripe sits under BM25_BROADCAST_MAX_DOCS so the
+    (query, term) frame broadcasts; at s100 the ~14.3k-doc stripe
+    crosses the bound and the join rides the term-keyed shuffle — the
+    tier where r11's unconditional broadcast failed. One JSON line:
+    per-tier wall, stripe size, and which plan shape ran."""
+    import lakehouse_admin_spark.operators.retrieval as ret
+    from lakehouse_admin_spark import registry
+
+    registry.load_all_operators()
+    spark = _spark()
+    fn = registry.QUERIES["bm25_incremental"].fn
+    timings: dict[str, float] = {}
+    shapes: dict[str, dict] = {}
+    for tier, (nd, nv) in TIERS.items():
+        sf_dir = build_tier(root, tier, nd, nv)
+        stripe = nd // 7 + (1 if nd % 7 > 3 else 0)  # docs with id%7==3
+        shapes[tier] = {
+            "delta_docs": stripe,
+            "shape": "broadcast"
+            if stripe <= ret.BM25_BROADCAST_MAX_DOCS
+            else "shuffle",
+        }
+        try:
+            fn(spark, sf_dir).collect()  # warm (base-index build + codegen)
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).collect()
+            timings[tier] = round(time.perf_counter() - t0, 3)
+            shapes[tier]["rows"] = len(rows)
+        except Exception as exc:  # noqa: BLE001
+            timings[tier] = -1.0
+            print(f"# {tier}/bm25_backfill: {type(exc).__name__}: {exc}"[:300],
+                  file=sys.stderr)
+    print(json.dumps({
+        "metric": "bm25_unbounded_backfill",
+        "broadcast_max_docs": ret.BM25_BROADCAST_MAX_DOCS,
+        "tiers": {t: {"docs": TIERS[t][0]} for t in TIERS},
+        "timings": timings,
+        "shapes": shapes,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/lakehouse_stress")
     ap.add_argument("--sweep-block", action="store_true")
     ap.add_argument("--metadata", action="store_true")
+    ap.add_argument("--bm25-backfill", action="store_true")
     ap.add_argument("--n-files", type=int, default=1_000_000)
     args = ap.parse_args()
     if args.sweep_block:
         run_block_sweep(args.root)
     elif args.metadata:
         run_metadata(args.root, n_files=args.n_files)
+    elif args.bm25_backfill:
+        run_bm25_backfill(args.root)
     else:
         run_scaling(args.root)
 
