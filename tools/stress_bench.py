@@ -399,45 +399,87 @@ def run_bm25_backfill(root: str) -> None:
     """Drive ``bm25_incremental`` in its GRADED form — delta = the
     ``doc_id % 7`` stripe, 1/7 of the corpus, i.e. an UNBOUNDED
     backfill rather than the fixed micro-batch the main scaling sweep
-    measures. The point is the broadcast gate (r11 verdict #2): at
-    s25/s50 the stripe sits under BM25_BROADCAST_MAX_DOCS so the
-    (query, term) frame broadcasts; at s100 the ~14.3k-doc stripe
-    crosses the bound and the join rides the term-keyed shuffle — the
-    tier where r11's unconditional broadcast failed. One JSON line:
-    per-tier wall, stripe size, and which plan shape ran."""
+    measures — through BOTH gate shapes (r11 verdict #2):
+
+    - s25/s50: time the broadcast shape (the stripe is under
+      BM25_BROADCAST_MAX_DOCS), then patch the bound to 0 and time the
+      SHUFFLE shape on the identical workload; at s25 assert the two
+      row sets are byte-identical (the gate must never change results).
+    - s100: the ~14.3k-doc stripe crosses the bound naturally → the
+      shuffle shape, the tier where r11's unconditional broadcast
+      OOM-failed. The workload itself is Θ(nq × corpus) HERE BY
+      CONSTRUCTION (the 31-token stress vocabulary makes even rarest-3
+      posting lists corpus-dense, so nearly every (query, doc) pair
+      survives the join — ~1.2B aggregate pairs), so the tier also
+      needs shuffle partitions sized to the workload: 32 partitions ×
+      ~37M pairs each GC-thrash on humongous hash-map allocations; 256
+      × ~4.7M stream. That conf is the knob a 100 TB deployment sizes
+      anyway — record it in the artifact.
+    """
     import lakehouse_admin_spark.operators.retrieval as ret
     from lakehouse_admin_spark import registry
 
     registry.load_all_operators()
     spark = _spark()
     fn = registry.QUERIES["bm25_incremental"].fn
-    timings: dict[str, float] = {}
-    shapes: dict[str, dict] = {}
+    base_bound = ret.BM25_BROADCAST_MAX_DOCS
+    base_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    out: dict[str, dict] = {}
+
+    def timed(tag: str, tier: str, sf_dir: str):
+        tw = time.perf_counter()
+        fn(spark, sf_dir).collect()  # warm (index build reused per tier)
+        warm = round(time.perf_counter() - tw, 1)
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        wall = round(time.perf_counter() - t0, 3)
+        print(f"# bm25_backfill {tier}/{tag} warm {warm}s timed {wall}s",
+              file=sys.stderr, flush=True)
+        return wall, rows
+
     for tier, (nd, nv) in TIERS.items():
         sf_dir = build_tier(root, tier, nd, nv)
         stripe = nd // 7 + (1 if nd % 7 > 3 else 0)  # docs with id%7==3
-        shapes[tier] = {
-            "delta_docs": stripe,
-            "shape": "broadcast"
-            if stripe <= ret.BM25_BROADCAST_MAX_DOCS
-            else "shuffle",
-        }
+        rec: dict = {"delta_docs": stripe}
         try:
-            fn(spark, sf_dir).collect()  # warm (base-index build + codegen)
-            t0 = time.perf_counter()
-            rows = fn(spark, sf_dir).collect()
-            timings[tier] = round(time.perf_counter() - t0, 3)
-            shapes[tier]["rows"] = len(rows)
+            if stripe <= base_bound:
+                ret.BM25_BROADCAST_MAX_DOCS = base_bound
+                rec["broadcast_s"], brows = timed("broadcast", tier, sf_dir)
+                ret.BM25_BROADCAST_MAX_DOCS = 0  # force the shuffle shape
+                rec["shuffle_s"], srows = timed("shuffle", tier, sf_dir)
+                if tier == "s25":  # gate must never change results
+                    same = sorted(map(tuple, brows)) == sorted(map(tuple, srows))
+                    rec["shapes_identical"] = same
+                    assert same, "broadcast and shuffle shapes diverged"
+            else:
+                # naturally over the bound → shuffle; size the agg
+                # shuffle to the quadratic-by-construction workload.
+                # One build-inclusive run: survival + wall is the
+                # evidence here (the broadcast form never finished).
+                spark.conf.set("spark.sql.shuffle.partitions", "256")
+                rec["shuffle_partitions"] = 256
+                t0 = time.perf_counter()
+                srows = fn(spark, sf_dir).collect()
+                rec["shuffle_build_inclusive_s"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                print(f"# bm25_backfill {tier}/shuffle build-inclusive "
+                      f"{rec['shuffle_build_inclusive_s']}s",
+                      file=sys.stderr, flush=True)
+            rec["rows"] = len(srows)
         except Exception as exc:  # noqa: BLE001
-            timings[tier] = -1.0
-            print(f"# {tier}/bm25_backfill: {type(exc).__name__}: {exc}"[:300],
-                  file=sys.stderr)
+            rec["error"] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {tier}/bm25_backfill: {rec['error']}", file=sys.stderr)
+        finally:
+            ret.BM25_BROADCAST_MAX_DOCS = base_bound
+            spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+            ret.invalidate_bm25_cache(sf_dir)  # drop tier index + probes
+        out[tier] = rec
     print(json.dumps({
         "metric": "bm25_unbounded_backfill",
-        "broadcast_max_docs": ret.BM25_BROADCAST_MAX_DOCS,
+        "broadcast_max_docs": base_bound,
         "tiers": {t: {"docs": TIERS[t][0]} for t in TIERS},
-        "timings": timings,
-        "shapes": shapes,
+        "results": out,
     }))
 
 
