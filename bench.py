@@ -140,6 +140,8 @@ HEADLINE = [
     "train_val_split",  # r12: md5-rank stratified holdout assignment
     "cumulative_channel_crossover",  # r12: Q51-shaped running compare
     "rollup_top_months",  # r12: Q67-shaped rollup + per-category top-N
+    "ann_binary_hamming_topk",  # r12: 8-byte sign codes, integer scan
+    "ann_binary_rerank",  # r12: binary shortlist -> exact cosine funnel
 ]
 
 

@@ -465,6 +465,304 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Binary (sign) quantization: 1 bit per dimension against the per-dim
+# corpus mean, packed into two 32-bit halves (BIGINT shifts stay ≤31 —
+# bit 63 overflow semantics differ across engines). 64 dims → 8 bytes
+# per vector, a 32× cut vs float32: the cheapest serving tier.
+_BIN_MU_CACHE: dict[tuple, list[float]] = {}
+
+
+def invalidate_binary_cache(sf_dir: str | None = None) -> int:
+    """Drop cached per-dim means — all, or one tier's (call after
+    rewriting its embeddings, the invalidate_sq_cache contract)."""
+    norm = None if sf_dir is None else os.path.abspath(sf_dir.rstrip("/"))
+    keys = [k for k in _BIN_MU_CACHE if norm is None or k[1] == norm]
+    for k in keys:
+        del _BIN_MU_CACHE[k]
+    return len(keys)
+
+
+def binary_train_mu(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Per-dimension corpus mean, 6dp-ROUNDED — the sign threshold.
+    The rounding is the cross-engine discipline: Spark's partial-agg
+    sum order and DuckDB's differ at the last ulp, and an un-rounded μ
+    could flip a `v > μ` bit; rounded to 6dp both engines hold the
+    IDENTICAL double, after which the comparison is exact. One
+    map-side-combinable aggregate, d doubles of driver state."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir.rstrip("/")))
+    hit = _BIN_MU_CACHE.get(key)
+    if hit is not None:
+        return hit
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r["pos"])
+    out = [float(r["m"]) for r in rows]
+    if len(_BIN_MU_CACHE) >= 8:
+        _BIN_MU_CACHE.pop(next(iter(_BIN_MU_CACHE)))
+    _BIN_MU_CACHE[key] = out
+    return out
+
+
+_BIN_ORACLE = f"""
+    WITH mu AS MATERIALIZED (
+        SELECT i, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS m
+        FROM (SELECT generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding) AS v
+              FROM embeddings)
+        GROUP BY i
+    ),
+    mua AS (SELECT list(m ORDER BY i) AS ms FROM mu),
+    codes AS MATERIALIZED (
+        SELECT e.vec_id,
+               list_sum(list_transform(range(32), i ->
+                   CASE WHEN CAST(e.embedding[i + 1] AS DOUBLE) > a.ms[i + 1]
+                        THEN (1::BIGINT << i) ELSE 0 END)) AS c_lo,
+               list_sum(list_transform(range(32), i ->
+                   CASE WHEN CAST(e.embedding[i + 33] AS DOUBLE) > a.ms[i + 33]
+                        THEN (1::BIGINT << i) ELSE 0 END)) AS c_hi
+        FROM embeddings e CROSS JOIN mua a
+    ),
+    ham AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(bit_count(xor(q.c_lo, c.c_lo))
+                    + bit_count(xor(q.c_hi, c.c_hi)) AS INT) AS hamming
+        FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % {QUERY_STRIDE} = 0
+    )
+    SELECT query_id, neighbor_id, hamming, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, hamming,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY hamming, neighbor_id
+               ) AS rnk
+        FROM ham
+    ) WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+@query("ann_binary_hamming_topk", oracle=_BIN_ORACLE)
+def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN — the cheapest serving tier below SQ8 and
+    PQ: each vector sign-quantizes to 64 bits against the per-dim
+    corpus mean (``binary_train_mu``, trained once per tier) and
+    candidates rank by HAMMING distance, computed as two
+    ``bit_count(xor)`` ops over the packed 32-bit halves — pure
+    integer whole-stage-codegen arithmetic, so the DuckDB oracle is
+    exact (no FP rounding anywhere past the 6dp-rounded threshold).
+
+    Scale shape: the code table is 8 bytes/vector — at 100 TB of
+    float32 embeddings the binary index is ~3 TB and the scan ranks in
+    memory-bandwidth terms ~32× cheaper than the float brute force;
+    the classic funnel is binary-scan shortlist → SQ8/float re-rank
+    (compose with ann_topk_cosine exactly like ann_ivf_pq_rerank).
+    Same broadcast-queries linear-scan shape as the other brute tiers,
+    but WITHOUT local_topk_prune: the pair rows are four integers, so
+    the Arrow prune kernel costs ~26× the narrow exchange it would
+    save (measured 2.1 s vs 0.08 s at sf0.1) — the float tiers prune
+    because their scoring stage is already batch-bound, this one is
+    codegen end to end. At corpus scale the rank exchange carries
+    nq×n 16-byte rows; the scale remedy for THAT is bucketing the
+    binary codes (multi-index hamming / LSH on code prefixes), not
+    row pruning — this query is the exactness floor those swap into."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mu = binary_train_mu(spark, sf_dir)
+
+    def pack(lo_bit: int) -> Column:
+        return sum(
+            (
+                F.when(
+                    F.element_at("embedding", i + lo_bit + 1).cast("double")
+                    > F.lit(mu[i + lo_bit]),
+                    F.lit(1 << i).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(32)
+            ),
+            F.lit(0).cast("long"),
+        )
+
+    codes = emb.select(
+        "vec_id", pack(0).alias("c_lo"), pack(32).alias("c_hi")
+    )
+    queries = codes.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("c_lo").alias("q_lo"),
+        F.col("c_hi").alias("q_hi"),
+    )
+    ham = (
+        F.broadcast(queries)
+        .crossJoin(codes)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("q_lo").bitwiseXOR(F.col("c_lo")))
+                + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("c_hi")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        ham.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+BIN_SHORTLIST = 50  # binary shortlist depth re-ranked with exact cosine
+
+
+_BIN_RERANK_ORACLE = _BIN_ORACLE.replace(
+    f"""
+    SELECT query_id, neighbor_id, hamming, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, hamming,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY hamming, neighbor_id
+               ) AS rnk
+        FROM ham
+    ) WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rank
+""",
+    f"""
+    , short AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY hamming, neighbor_id
+                   ) AS srn
+            FROM ham
+        ) WHERE srn <= {BIN_SHORTLIST}
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                 (sqrt(list_sum(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                  sqrt(list_sum(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                   AS cosine
+        FROM short s
+        JOIN embeddings a ON a.vec_id = s.query_id
+        JOIN embeddings b ON b.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS rnk
+        FROM rer
+    ) WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rank
+""",
+)
+
+
+@query("ann_binary_rerank", oracle=_BIN_RERANK_ORACLE)
+def ann_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary funnel — the production shape binary codes exist
+    for: (1) Hamming-rank the 8-byte sign codes and keep a
+    {BIN_SHORTLIST}-deep shortlist per query (memory-bandwidth-bound
+    integer scan, ~32× cheaper traffic than float32), (2) re-rank ONLY
+    the shortlist against the raw embeddings with exact 6dp cosine.
+    The structural twin of :func:`ann_ivf_pq_rerank` with the binary
+    tier as the coarse stage; quantization affects WHICH ~50
+    candidates surface, never their final order.
+
+    Scale shape: the shortlist is nq×{BIN_SHORTLIST} rows broadcast
+    against the embeddings table (the big side never shuffles and is
+    touched only for shortlisted ids); the coarse stage is the
+    codegen'd integer scan of ann_binary_hamming_topk."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mu = binary_train_mu(spark, sf_dir)
+
+    def pack(lo_bit: int) -> Column:
+        return sum(
+            (
+                F.when(
+                    F.element_at("embedding", i + lo_bit + 1).cast("double")
+                    > F.lit(mu[i + lo_bit]),
+                    F.lit(1 << i).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(32)
+            ),
+            F.lit(0).cast("long"),
+        )
+
+    codes = emb.select("vec_id", pack(0).alias("c_lo"), pack(32).alias("c_hi"))
+    qcodes = codes.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("c_lo").alias("q_lo"),
+        F.col("c_hi").alias("q_hi"),
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    short = (
+        F.broadcast(qcodes)
+        .crossJoin(codes)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("q_lo").bitwiseXOR(F.col("c_lo")))
+                + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("c_hi")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .withColumn("srn", F.row_number().over(sw))
+        .filter(F.col("srn") <= BIN_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qe = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm_expr(F.col("embedding")).alias("nq"),
+    )
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    rer = (
+        ne.join(F.broadcast(short), "neighbor_id")
+        .withColumn("nn", norm_expr(F.col("ne")))
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_from_norms(
+                    F.col("qe"), F.col("ne"), F.col("nq"), F.col("nn")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 FILTER_LANG = "en"  # metadata gate of the filtered-retrieval query
 
 

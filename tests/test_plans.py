@@ -824,6 +824,43 @@ def test_pca_whiten_project_laws(spark):
     assert np.abs(off).max() < 1e-3
 
 
+def test_binary_funnel_laws(spark):
+    """r12: the binary tiers — no cartesian in either plan; the sign
+    threshold cache follows the train-hit-evict law; and the FUNNEL
+    must earn its keep: exact re-rank over the 50-deep Hamming
+    shortlist must recover ≥0.5 recall@5 vs the exact float scan AND
+    strictly beat the raw binary top-k's recall (deterministic
+    pipeline — fixed fixture, no RNG — so the pins are stable)."""
+    import lakehouse_admin_spark.operators.similarity as sim
+
+    topk_df = q("ann_binary_hamming_topk")(spark, SF_SMOKE)
+    rerank_df = q("ann_binary_rerank")(spark, SF_SMOKE)
+    assert not has_cartesian(topk_df) and not has_cartesian(rerank_df)
+
+    sim.invalidate_binary_cache()
+    m1 = sim.binary_train_mu(spark, SF_SMOKE)
+    assert sim.binary_train_mu(spark, SF_SMOKE) is m1, "must hit the cache"
+    assert sim.invalidate_binary_cache(SF_SMOKE) == 1
+
+    def by_query(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = by_query(q("ann_topk_cosine")(spark, SF_SMOKE))
+    binary = by_query(topk_df)
+    funnel = by_query(rerank_df)
+    rec_b = sum(
+        len(exact[k] & binary.get(k, set())) / len(exact[k]) for k in exact
+    ) / len(exact)
+    rec_f = sum(
+        len(exact[k] & funnel.get(k, set())) / len(exact[k]) for k in exact
+    ) / len(exact)
+    assert rec_f >= 0.5, rec_f
+    assert rec_f > rec_b, (rec_f, rec_b)
+
+
 def test_train_val_split_single_stratum_shuffle(spark):
     """r12: the rank window and the per-source count window must share
     ONE hashpartitioning(source) exchange (plus only the presentation
