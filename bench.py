@@ -142,6 +142,11 @@ HEADLINE = [
     "rollup_top_months",  # r12: Q67-shaped rollup + per-category top-N
     "ann_binary_hamming_topk",  # r12: 8-byte sign codes, integer scan
     "ann_binary_rerank",  # r12: binary shortlist -> exact cosine funnel
+    "daily_type_deviation",  # r12: Q47-shaped integer deviation windows
+    "ngram_diversity",  # r12: per-source distinct-n repetition diagnostic
+    "cluster_balanced_quota",  # r12: per-cell ceil(N/k) rebalancing verdict
+    "ann_prefix_topk",  # r12: Matryoshka half-dim coarse scan (train-free)
+    "ann_prefix_rerank",  # r12: prefix shortlist -> exact cosine funnel
 ]
 
 

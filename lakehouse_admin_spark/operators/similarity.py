@@ -3312,3 +3312,274 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "kind", "rank")
     )
+
+
+@query(
+    "cluster_balanced_quota",
+    oracle=f"""
+    WITH {_kmeans_cte()},
+    ranked AS (
+        SELECT vec_id, cl,
+               row_number() OVER (
+                   PARTITION BY cl
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        FROM kcells
+    )
+    SELECT r.vec_id, CAST(r.cl AS BIGINT) AS cluster,
+           r.rk <= (t.n + t.k - 1) // t.k AS keep
+    FROM ranked r CROSS JOIN knn t
+    ORDER BY r.vec_id
+    """,
+)
+def cluster_balanced_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling verdict: every vector gets its trained
+    IVF cell plus a keep flag that caps each cell at ceil(N/k) members
+    — the semantic-cluster rebalancing pass of a curation pipeline
+    (flatten the cluster histogram before sampling, so one dominant
+    mode can't monopolize the training mix; the cluster-level
+    counterpart of ``stratified_sample``'s per-SOURCE quota and the
+    selection twin of ``d4_prototype_prune``'s per-cell drop). Within a
+    cell the keep set is the md5(vec_id)-rank prefix — the
+    train_val_split convention: deterministic, retry-stable, and
+    uniform within the cell, so the cap subsamples rather than
+    cherry-picks. The cap arithmetic is division-cleared integers
+    (``(N + k − 1) // k``), so the boundary cannot round apart
+    cross-engine.
+
+    Scale shape: rides the session-cached IVF index (ivf_index — train
+    once, serve many); the only new work is ONE window over the cells
+    frame partitioned by cell (~√n rows per partition under the √n
+    sizing rule) — no joins against the embedding payload, the window
+    runs on (vec_id, cell) pairs only. Output is total: |vectors| rows.
+    """
+    cells, _cents = ivf_index(spark, sf_dir)
+    n = cells.count()  # checkpointed frame — a cheap metadata-ish count
+    k = ivf_cell_count(n)
+    cap = (n + k - 1) // k
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.asc("vec_id")
+    )
+    return (
+        cells.withColumn("rk", F.row_number().over(w))
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cluster"),
+            (F.col("rk") <= F.lit(cap)).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# Matryoshka / prefix-dimension funnel: MRL-trained embeddings carry
+# coarse-to-fine structure, so the FIRST dims alone rank usefully
+# (Kusupati et al. 2022, "Matryoshka Representation Learning"). The
+# serving funnel ranks on a dim prefix (4x less float traffic at
+# PREFIX_DIMS=16), then re-ranks only a short list at full precision —
+# the adaptive-retrieval shape, structurally the ann_binary_rerank twin
+# with a float prefix instead of sign bits as the coarse stage.
+# PREFIX_DIMS=32 measured on the fixture: funnel recall@5 0.80 at a
+# 50-deep shortlist (16 dims gave 0.36 — the synthetic embeddings are
+# isotropic, so a quarter-prefix carries too little of the cosine;
+# real MRL embeddings front-load variance and would tolerate 16).
+PREFIX_DIMS = 32
+PFX_SHORTLIST = 50
+
+
+def _prefix_cos_sql(a: str, b: str) -> str:
+    """6dp cosine over the first PREFIX_DIMS list elements (DuckDB)."""
+    pa, pb = f"{a}[1:{PREFIX_DIMS}]", f"{b}[1:{PREFIX_DIMS}]"
+    return f"""ROUND(list_sum(list_transform(list_zip({pa}, {pb}),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+          (sqrt(list_sum(list_transform({pa}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           sqrt(list_sum(list_transform({pb}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"""
+
+
+_PFX_ORACLE = f"""
+    WITH pcos AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_prefix_cos_sql("q.embedding", "c.embedding")} AS pcosine
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % {QUERY_STRIDE} = 0
+    )
+    SELECT query_id, neighbor_id, pcosine, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, pcosine,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY pcosine DESC, neighbor_id
+               ) AS rnk
+        FROM pcos
+    ) WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+@query("ann_prefix_topk", oracle=_PFX_ORACLE)
+def ann_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dimension ANN (the Matryoshka coarse tier): rank by 6dp
+    cosine over the FIRST {PREFIX_DIMS} of 64 dims only — 4× less
+    float traffic than the exact scan, no training state at all (the
+    one quantized tier with zero build step; binary needs μ, SQ needs
+    min/max, PQ needs a codebook). On MRL-trained embeddings the
+    prefix carries most of the ranking signal; on this synthetic
+    fixture it is deliberately lossy — the funnel law pins how much
+    the re-rank stage recovers.
+
+    Scale shape: identical to the other brute tiers (broadcast stride
+    queries, linear scan, partition-local top-k prune, one rank
+    exchange); the prefix slice prunes the per-pair fold from 64 to
+    {PREFIX_DIMS} multiplies and — unlike binary codes — needs no
+    second pass over the corpus to build anything."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pfx = F.slice(F.col("embedding"), 1, PREFIX_DIMS)
+    base = emb.select("vec_id", pfx.alias("pe")).withColumn(
+        "np", norm_expr(F.col("pe"))
+    )
+    queries = base.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("pe").alias("qe"),
+        F.col("np").alias("nq"),
+    )
+    sims = (
+        F.broadcast(queries)
+        .crossJoin(base)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine_from_norms(F.col("qe"), F.col("pe"), F.col("nq"), F.col("np")),
+                6,
+            ).alias("pcosine"),
+        )
+    )
+    sims = local_topk_prune(sims, "query_id", "pcosine", "neighbor_id", TOP_K)
+    w = Window.partitionBy("query_id").orderBy(F.desc("pcosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "pcosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_PFX_RERANK_ORACLE = f"""
+    WITH pcos AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_prefix_cos_sql("q.embedding", "c.embedding")} AS pcosine
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % {QUERY_STRIDE} = 0
+    ),
+    short AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY pcosine DESC, neighbor_id
+                   ) AS srn
+            FROM pcos
+        ) WHERE srn <= {PFX_SHORTLIST}
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+                 (sqrt(list_sum(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                  sqrt(list_sum(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                   AS cosine
+        FROM short s
+        JOIN embeddings a ON a.vec_id = s.query_id
+        JOIN embeddings b ON b.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS rnk
+        FROM rer
+    ) WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+@query("ann_prefix_rerank", oracle=_PFX_RERANK_ORACLE)
+def ann_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Matryoshka funnel — adaptive retrieval as served in MRL
+    deployments: (1) rank everything by prefix-{PREFIX_DIMS} cosine
+    and keep a {PFX_SHORTLIST}-deep shortlist per query, (2) re-rank
+    ONLY the shortlist at the full 64 dims with exact 6dp cosine.
+    Quantization (here: truncation) decides WHICH ~{PFX_SHORTLIST}
+    candidates surface, never their final order — the
+    ann_binary_rerank / ann_ivf_pq_rerank funnel contract with a
+    train-free float prefix as the coarse stage.
+
+    Scale shape: coarse stage = the prefix linear scan (local top-k
+    prune holds the shortlist exchange to ≤{PFX_SHORTLIST} rows per
+    (query, partition)); fine stage = the nq×{PFX_SHORTLIST} shortlist
+    broadcast against the embeddings table, so the big side never
+    shuffles and full vectors are touched only for shortlisted ids."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pfx = F.slice(F.col("embedding"), 1, PREFIX_DIMS)
+    base = emb.select("vec_id", pfx.alias("pe")).withColumn(
+        "np", norm_expr(F.col("pe"))
+    )
+    pqueries = base.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("pe").alias("qpe"),
+        F.col("np").alias("nqp"),
+    )
+    coarse = (
+        F.broadcast(pqueries)
+        .crossJoin(base)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine_from_norms(
+                    F.col("qpe"), F.col("pe"), F.col("nqp"), F.col("np")
+                ),
+                6,
+            ).alias("pcosine"),
+        )
+    )
+    coarse = local_topk_prune(coarse, "query_id", "pcosine", "neighbor_id", PFX_SHORTLIST)
+    sw = Window.partitionBy("query_id").orderBy(
+        F.desc("pcosine"), F.asc("neighbor_id")
+    )
+    short = (
+        coarse.withColumn("srn", F.row_number().over(sw))
+        .filter(F.col("srn") <= PFX_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qe = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm_expr(F.col("embedding")).alias("nq"),
+    )
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    rer = (
+        ne.join(F.broadcast(short), "neighbor_id")
+        .withColumn("nn", norm_expr(F.col("ne")))
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_from_norms(
+                    F.col("qe"), F.col("ne"), F.col("nq"), F.col("nn")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -1751,3 +1751,74 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), F.asc("tok"))
     )
+
+
+DIVERSITY_N = 3  # word-gram width for the distinct-n diversity metric
+
+
+@query(
+    "ngram_diversity",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT source,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+        FROM documents
+    ),
+    ex AS (
+        SELECT source,
+               UNNEST(list_transform(
+                   range(1, greatest(len(w) - {DIVERSITY_N - 2}, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM tok WHERE len(w) >= {DIVERSITY_N}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+           ROUND(COUNT(DISTINCT gram) / CAST(COUNT(*) AS DOUBLE), 6) AS diversity
+    FROM ex GROUP BY source ORDER BY source
+    """,
+)
+def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source: the share of word-{DIVERSITY_N}-gram
+    OCCURRENCES that are distinct types (distinct-n of Li et al. 2016,
+    applied corpus-side as in the Gopher/MassiveText repetition
+    diagnostics). A source whose ratio collapses is template spam —
+    the aggregate twin of the per-doc ``repetition_quality`` gate and
+    the per-doc ``cross_doc_ngram_dup`` worklist: this one says which
+    SOURCE to down-weight in ``mixture_weights``, not which document
+    to drop.
+
+    Scale shape: one tokenize pass, trigram occurrences kept
+    NON-distinct (diversity is about occurrences), then a single
+    groupBy(source) with count + count(distinct gram) — Spark plans
+    the distinct as a partial (source, gram) collapse before the
+    source-keyed exchange, so the shuffle carries type counts, not the
+    occurrence stream. No joins, no windows; output is |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = F.sequence(F.lit(1), F.size("w") - (DIVERSITY_N - 1))
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("w"), F.col("i") + k) for k in range(DIVERSITY_N)]
+    )
+    ex = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("source", tokens_expr(F.col("text")).alias("w"))
+        .filter(F.size("w") >= DIVERSITY_N)
+        .select("source", F.explode(idx).alias("i"), "w")
+        .select("source", gram.alias("gram"))
+    )
+    return (
+        ex.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("gram").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_distinct",
+            F.round(F.col("n_distinct") / F.col("n_grams").cast("double"), 6).alias(
+                "diversity"
+            ),
+        )
+        .orderBy("source")
+    )

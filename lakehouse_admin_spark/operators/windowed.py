@@ -1124,3 +1124,71 @@ def rollup_top_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     return months.unionByName(subtotals).orderBy(
         F.asc_nulls_first("event_type"), "rank", "month"
     )
+
+
+@query(
+    "daily_type_deviation",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS value_cents
+        FROM events
+        GROUP BY event_type, 2
+    ),
+    win AS (
+        SELECT event_type, day, value_cents,
+               SUM(value_cents) OVER (PARTITION BY event_type) AS total_cents,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+               lag(value_cents, 1, CAST(0 AS BIGINT)) OVER (
+                   PARTITION BY event_type ORDER BY day) AS prev_cents,
+               lead(value_cents, 1, CAST(0 AS BIGINT)) OVER (
+                   PARTITION BY event_type ORDER BY day) AS next_cents
+        FROM daily
+    )
+    SELECT event_type, day, value_cents, prev_cents, next_cents
+    FROM win
+    WHERE ABS(value_cents * n_days - total_cents) * 10 > total_cents
+    ORDER BY event_type, day
+    """,
+)
+def daily_type_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q47-shaped deviation report: per (event_type, day) value
+    next to its neighbors, keeping only days whose total deviates from
+    the type's period average by more than 10%. The deviation predicate
+    is pure BIGINT — ``|S·n − T|·10 > T`` is algebraically
+    ``|S − T/n| / (T/n) > 0.1`` with the division cleared — so the
+    10% boundary cannot round apart cross-engine (the integer-cents
+    lesson again; a fractional AVG() comparison would reintroduce it).
+    lag/lead default to 0 at the partition edges (the "no neighbor
+    month" convention Q47 itself uses via its year guard).
+
+    Scale shape: the daily pre-aggregation is the only corpus-sized
+    pass (map-side combinable, |types|·|days| partials out of the
+    shuffle); all four windows share the ONE hashpartitioning(
+    event_type) exchange over that tiny frame — per-partition rows are
+    bounded by the calendar, not the corpus."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.round(F.sum("value") * 100, 0).cast("long").alias("value_cents"))
+    )
+    part = Window.partitionBy("event_type")
+    seq = part.orderBy("day")
+    win = daily.select(
+        "event_type",
+        "day",
+        "value_cents",
+        F.sum("value_cents").over(part).alias("total_cents"),
+        F.count(F.lit(1)).over(part).alias("n_days"),
+        F.lag("value_cents", 1, 0).over(seq).alias("prev_cents"),
+        F.lead("value_cents", 1, 0).over(seq).alias("next_cents"),
+    )
+    return (
+        win.filter(
+            F.abs(F.col("value_cents") * F.col("n_days") - F.col("total_cents"))
+            * 10
+            > F.col("total_cents")
+        )
+        .select("event_type", "day", "value_cents", "prev_cents", "next_cents")
+        .orderBy("event_type", "day")
+    )

@@ -1729,3 +1729,128 @@ def test_hard_negative_mining_laws(spark):
             if c > best_c or (c == best_c and cid < best_id):
                 best_id, best_c = cid, c
         assert pos.neighbor_id == best_id and pos.cosine == best_c
+
+
+def test_daily_type_deviation_shared_window_exchange(spark):
+    """r12: all four analytic windows (partition total, partition count,
+    lag, lead) must share ONE hashpartitioning(event_type) exchange over
+    the daily aggregate frame — the Q47 shape's whole cost is the daily
+    pre-aggregation, never a per-window rescan. The 10% predicate is
+    integer-exact, so recompute it independently from the daily frame."""
+    from lakehouse_admin_spark.plans.inspect import exchange_count, explain_str
+
+    import re
+
+    df = q("daily_type_deviation")(spark, SF_SMOKE)
+    plan = explain_str(df, "simple")
+    # single-key event_type partitioning (the window exchange) appears
+    # once; the daily agg's (event_type, day) exchange is the other
+    assert len(re.findall(r"hashpartitioning\(event_type#\d+, \d+\)", plan)) == 1
+    assert exchange_count(df) <= 3  # daily agg + window + presentation sort
+    rows = df.collect()
+    assert rows
+    daily = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.round(F.sum("value") * 100, 0).cast("long").alias("cents"))
+        .collect()
+    )
+    totals, counts, cents = {}, {}, {}
+    for r in daily:
+        totals[r.event_type] = totals.get(r.event_type, 0) + r.cents
+        counts[r.event_type] = counts.get(r.event_type, 0) + 1
+        cents[(r.event_type, r.day)] = r.cents
+    expect = {
+        (t, d): c
+        for (t, d), c in cents.items()
+        if abs(c * counts[t] - totals[t]) * 10 > totals[t]
+    }
+    assert {(r.event_type, r.day): r.value_cents for r in rows} == expect
+
+
+def test_ngram_diversity_two_shuffles_and_bounds(spark):
+    """r12: the count-distinct plans as a partial (source, gram) collapse
+    then a source-keyed re-aggregate — two exchanges plus the
+    presentation sort, no joins, no windows; and the metric is a true
+    ratio (0 < diversity <= 1, n_distinct <= n_grams, every source
+    present)."""
+    from lakehouse_admin_spark.plans.inspect import exchange_count, explain_str
+
+    df = q("ngram_diversity")(spark, SF_SMOKE)
+    # tokenize repartition + partial (source, gram) collapse + source
+    # re-aggregate + presentation sort
+    assert exchange_count(df) <= 4
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan and "Window" not in plan
+    rows = df.collect()
+    n_sources = (
+        load_table(spark, SF_SMOKE, "documents").select("source").distinct().count()
+    )
+    assert len(rows) == n_sources
+    for r in rows:
+        assert 0 < r.n_distinct <= r.n_grams
+        assert 0.0 < r.diversity <= 1.0
+        assert abs(r.diversity - r.n_distinct / r.n_grams) < 1e-6
+
+
+def test_cluster_balanced_quota_caps_every_cell(spark):
+    """r12: the verdict is total (one row per vector), each cluster keeps
+    exactly min(|cell|, ceil(N/k)) members, and the kept set within a
+    cell is the md5-rank prefix (re-derived independently here). Plan:
+    rides the cached IVF index — the only new exchange is the
+    cell-partitioned window (+ presentation sort)."""
+    import hashlib
+    import math
+
+    from lakehouse_admin_spark.operators.similarity import ivf_cell_count
+
+    df = q("cluster_balanced_quota")(spark, SF_SMOKE)
+    rows = df.collect()
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert len(rows) == n
+    k = ivf_cell_count(n)
+    cap = (n + k - 1) // k
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cluster, []).append(r)
+    for cell, members in by_cell.items():
+        kept = [r for r in members if r.keep]
+        assert len(kept) == min(len(members), cap), cell
+        order = sorted(
+            members,
+            key=lambda r: (hashlib.md5(str(r.vec_id).encode()).hexdigest(), r.vec_id),
+        )
+        assert {r.vec_id for r in kept} == {r.vec_id for r in order[: len(kept)]}
+
+
+def test_prefix_funnel_laws(spark):
+    """r12: the Matryoshka tiers — no cartesian in either plan; the
+    funnel contract: exact re-rank over the 50-deep prefix-16 shortlist
+    must recover ≥0.5 recall@5 vs the exact float scan AND beat (or at
+    worst tie) the raw prefix top-k's recall; and the funnel must also
+    beat the raw BINARY top-k (16 floats carry more signal than 64 sign
+    bits on this fixture). Deterministic pipeline — pins are stable."""
+    topk_df = q("ann_prefix_topk")(spark, SF_SMOKE)
+    rerank_df = q("ann_prefix_rerank")(spark, SF_SMOKE)
+    assert not has_cartesian(topk_df) and not has_cartesian(rerank_df)
+
+    def by_query(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = by_query(q("ann_topk_cosine")(spark, SF_SMOKE))
+    prefix = by_query(topk_df)
+    funnel = by_query(rerank_df)
+
+    def recall(cand):
+        return sum(
+            len(exact[k] & cand.get(k, set())) / len(exact[k]) for k in exact
+        ) / len(exact)
+
+    rec_p, rec_f = recall(prefix), recall(funnel)
+    assert rec_f >= 0.5, rec_f
+    assert rec_f >= rec_p, (rec_f, rec_p)
+    rec_b = recall(by_query(q("ann_binary_hamming_topk")(spark, SF_SMOKE)))
+    assert rec_f > rec_b, (rec_f, rec_b)

@@ -79,6 +79,12 @@ STRESS_QUERIES = [
     "knn_label_predict",  # brute top-k + <=k-row vote
     # r11: lexical ingest gate — base index cached, delta-only scoring
     "bm25_incremental",
+    # r12: binary sign-quantized tier + the distinct-n diagnostic
+    "ann_binary_hamming_topk",  # 8-byte codes, integer Hamming scan
+    "ann_binary_rerank",  # binary shortlist -> exact-cosine funnel
+    "ngram_diversity",  # one tokenize pass + count-distinct → ~linear
+    "ann_prefix_topk",  # half-dim float scan (train-free coarse tier)
+    "ann_prefix_rerank",  # prefix shortlist -> exact-cosine funnel
 ]
 
 # Serving-tier queries take a QUERY WORKLOAD as input; the graded form
@@ -103,6 +109,11 @@ SERVING_QUERIES = {
     "mmr_diversified_topk",
     "ann_opq_pq_topk",
     "knn_label_predict",
+    # r12: the binary and prefix tiers take the same stride workload
+    "ann_binary_hamming_topk",
+    "ann_binary_rerank",
+    "ann_prefix_topk",
+    "ann_prefix_rerank",
 }
 STRESS_NQ = 100
 
