@@ -147,6 +147,8 @@ HEADLINE = [
     "cluster_balanced_quota",  # r12: per-cell ceil(N/k) rebalancing verdict
     "ann_prefix_topk",  # r12: Matryoshka half-dim coarse scan (train-free)
     "ann_prefix_rerank",  # r12: prefix shortlist -> exact cosine funnel
+    "embedding_drift_stats",  # r12: delta-vs-base retrain trigger
+    "heaps_law_curve",  # r12: vocabulary-growth corpus diagnostic
 ]
 
 

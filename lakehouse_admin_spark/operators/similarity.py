@@ -3583,3 +3583,86 @@ def ann_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+DRIFT_Z = 3.0  # standard-error z threshold flagging a drifted dimension
+
+
+@query(
+    "embedding_drift_stats",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id % {INCR_VEC_MOD} = 0 AS is_delta,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT CAST(pos AS INT) AS pos,
+               ROUND(AVG(CASE WHEN NOT is_delta THEN v END), 6) AS mu_base,
+               ROUND(AVG(CASE WHEN NOT is_delta THEN v * v END), 6) AS sq_base,
+               ROUND(AVG(CASE WHEN is_delta THEN v END), 6) AS mu_delta,
+               CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+        FROM ex GROUP BY pos
+    )
+    SELECT pos, mu_base, mu_delta,
+           ROUND(ABS(mu_delta - mu_base) /
+                 sqrt(ROUND(sq_base - mu_base * mu_base, 6) / n_delta), 4)
+               AS drift_z,
+           ROUND(ABS(mu_delta - mu_base) /
+                 sqrt(ROUND(sq_base - mu_base * mu_base, 6) / n_delta), 4)
+               > {DRIFT_Z} AS drifted
+    FROM stats ORDER BY pos
+    """,
+)
+def embedding_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per-dimension mean of the DELTA ingest
+    stripe (vec_id % {INCR_VEC_MOD} == 0 — the ann_incremental_assign
+    convention) against the base corpus, scored as a standard-error
+    z (|μ_Δ − μ_B| / √(σ²_B / n_Δ)). This is the retrain trigger of
+    the incremental-vector story: `ann_incremental_assign` serves the
+    delta against FROZEN centroids, which is only sound while the
+    delta looks like the base — a dimension with drift_z > {DRIFT_Z}
+    says the quantizer is stale and the hash-init retrain path
+    (ivf_cells(init='hash')) should run.
+
+    Cross-engine discipline: every FP component (both means, the
+    second moment, the variance) is 6dp-ROUNDED before entering the
+    next arithmetic step, so the z and its boolean threshold are
+    computed from identical doubles on both engines — stddev is
+    deliberately NOT taken from the engines' native aggregate
+    (Welford vs sum-of-squares partials differ at the last ulp).
+
+    Scale shape: ONE posexplode pass into a 64-group aggregate with
+    conditional partials (map-side combinable — the shuffle carries
+    64×|partitions| partial rows); no joins, output is exactly d rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        (F.col("vec_id") % INCR_VEC_MOD == 0).alias("is_delta"),
+        F.posexplode(F.col("embedding")).alias("pos0", "v0"),
+    ).select(
+        "is_delta",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    base = lambda c: F.when(~F.col("is_delta"), c)  # noqa: E731
+    delt = lambda c: F.when(F.col("is_delta"), c)  # noqa: E731
+    stats = ex.groupBy("pos").agg(
+        F.round(F.avg(base(F.col("v"))), 6).alias("mu_base"),
+        F.round(F.avg(base(F.col("v") * F.col("v"))), 6).alias("sq_base"),
+        F.round(F.avg(delt(F.col("v"))), 6).alias("mu_delta"),
+        F.sum(delt(F.lit(1)).otherwise(0)).cast("long").alias("n_delta"),
+    )
+    var_b = F.round(F.col("sq_base") - F.col("mu_base") * F.col("mu_base"), 6)
+    z = F.round(
+        F.abs(F.col("mu_delta") - F.col("mu_base"))
+        / F.sqrt(var_b / F.col("n_delta")),
+        4,
+    )
+    return stats.select(
+        "pos",
+        "mu_base",
+        "mu_delta",
+        z.alias("drift_z"),
+        (z > DRIFT_Z).alias("drifted"),
+    ).orderBy("pos")

@@ -1822,3 +1822,120 @@ def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+HEAPS_BUCKETS = 10  # doc_id value-band checkpoints of the growth curve
+
+
+@query(
+    "heaps_law_curve",
+    oracle=rf"""
+    WITH bounds AS (
+        SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+    ),
+    thr AS (
+        SELECT b, lo + ((hi - lo) * b) // {HEAPS_BUCKETS} AS t
+        FROM bounds CROSS JOIN (SELECT UNNEST(range(1, {HEAPS_BUCKETS + 1})) AS b)
+    ),
+    tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+        FROM documents
+    ),
+    doc_b AS (
+        SELECT d.doc_id, len(d.w) AS n_tok, MIN(t.b) AS b_first
+        FROM tok d JOIN thr t ON t.t >= d.doc_id
+        GROUP BY d.doc_id, len(d.w)
+    ),
+    tok_first AS (
+        SELECT tok, MIN(doc_id) AS ft
+        FROM (SELECT doc_id, UNNEST(w) AS tok FROM tok)
+        GROUP BY tok
+    ),
+    vocab_b AS (
+        SELECT MIN(t.b) AS b_first, v.tok
+        FROM tok_first v JOIN thr t ON t.t >= v.ft
+        GROUP BY v.tok
+    ),
+    per_b AS (
+        SELECT t.b,
+               (SELECT COUNT(*) FROM doc_b d WHERE d.b_first <= t.b) AS n_docs,
+               (SELECT COALESCE(SUM(d.n_tok), 0) FROM doc_b d
+                WHERE d.b_first <= t.b) AS n_tokens,
+               (SELECT COUNT(*) FROM vocab_b v WHERE v.b_first <= t.b) AS vocab
+        FROM thr t
+    )
+    SELECT CAST(b AS INT) AS bucket, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens, CAST(vocab AS BIGINT) AS vocab
+    FROM per_b ORDER BY bucket
+    """,
+)
+def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct-token
+    (vocab) and total-token counts at {HEAPS_BUCKETS} doc_id value-band
+    checkpoints — the corpus diagnostic behind tokenizer sizing and
+    dedup-payoff forecasts (vocab ~ K·Tokens^β; a corpus whose curve
+    flattens early is repetitive, one that stays steep keeps paying
+    for more vocab). Checkpoints are VALUE bands of doc_id (integer
+    arithmetic ``lo + ((hi−lo)·b)//{HEAPS_BUCKETS}``), not rank
+    deciles — rank would need a global sort / order statistic, value
+    bands need only the 2-value bounds row (the gap-fill calendar
+    precedent).
+
+    Scale shape: one tokenize pass feeds (a) a per-doc token count and
+    (b) a vocab-keyed MIN(doc_id) first-occurrence aggregate; each
+    then takes its bucket from a broadcast {HEAPS_BUCKETS}-row
+    threshold join and folds into {HEAPS_BUCKETS} partials, with the
+    cumulative sums a window over the {HEAPS_BUCKETS}-row frame —
+    corpus-sized data crosses the wire once, as vocab-keyed partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", tokens_expr(F.col("text")).alias("w")
+    )
+    bounds = tok.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    b_lit = spark.range(1, HEAPS_BUCKETS + 1).select(F.col("id").alias("b"))
+    thr = F.broadcast(
+        b_lit.crossJoin(F.broadcast(bounds)).selectExpr(
+            "b",
+            # integer DIV — the oracle's // exactly, no double detour
+            f"CAST(lo + (((hi - lo) * b) DIV {HEAPS_BUCKETS}) AS LONG) AS t",
+        )
+    )
+    doc_b = (
+        tok.select("doc_id", F.size("w").cast("long").alias("n_tok"))
+        .join(thr, F.col("t") >= F.col("doc_id"))
+        .groupBy("doc_id", "n_tok")
+        .agg(F.min("b").alias("b_first"))
+        .groupBy("b_first")
+        .agg(
+            F.count(F.lit(1)).alias("docs_at"),
+            F.sum("n_tok").alias("toks_at"),
+        )
+    )
+    vocab_b = (
+        tok.select("doc_id", F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("ft"))
+        .join(thr, F.col("t") >= F.col("ft"))
+        .groupBy("tok")
+        .agg(F.min("b").alias("b_first"))
+        .groupBy("b_first")
+        .agg(F.count(F.lit(1)).alias("vocab_at"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        thr.select("b")
+        .join(doc_b, F.col("b") == F.col("b_first"), "left")
+        .drop("b_first")
+        .join(vocab_b, F.col("b") == F.col("b_first"), "left")
+        .drop("b_first")
+        .select(
+            F.col("b").cast("int").alias("bucket"),
+            F.sum(F.coalesce(F.col("docs_at"), F.lit(0))).over(w).alias("n_docs"),
+            F.sum(F.coalesce(F.col("toks_at"), F.lit(0))).over(w).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("vocab_at"), F.lit(0))).over(w).alias("vocab"),
+        )
+        .orderBy("bucket")
+    )

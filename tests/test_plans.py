@@ -1854,3 +1854,70 @@ def test_prefix_funnel_laws(spark):
     assert rec_f >= rec_p, (rec_f, rec_p)
     rec_b = recall(by_query(q("ann_binary_hamming_topk")(spark, SF_SMOKE)))
     assert rec_f > rec_b, (rec_f, rec_b)
+
+
+def test_embedding_drift_detector_fires_on_shifted_delta(spark, tmp_path):
+    """r12: on the pristine fixture the delta stripe is an unbiased
+    sample, so (almost) nothing flags; inject a +0.5 shift into one
+    dimension of the delta stripe and exactly that dimension must
+    cross the z threshold — the detector detects, not just describes."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from lakehouse_admin_spark.operators.similarity import INCR_VEC_MOD
+
+    clean = q("embedding_drift_stats")(spark, SF_SMOKE).collect()
+    assert len(clean) == 64
+    assert sum(1 for r in clean if r.drifted) <= 4  # stationary stripe
+
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+    d = t.to_pydict()
+    for i, vid in enumerate(d["vec_id"]):
+        if vid % INCR_VEC_MOD == 0:
+            emb = list(d["embedding"][i])
+            emb[0] = emb[0] + 0.5
+            d["embedding"][i] = emb
+    pq.write_table(pa.table(d), str(tmp_path / "embeddings.parquet"))
+
+    shifted = {
+        r.pos: r for r in q("embedding_drift_stats")(spark, str(tmp_path)).collect()
+    }
+    assert shifted[1].drifted, shifted[1]
+    assert shifted[1].drift_z > 10  # a 0.5 shift is unmistakable
+    others = [r for p, r in shifted.items() if p != 1]
+    assert sum(1 for r in others if r.drifted) <= 4  # only the injected dim
+
+
+def test_heaps_curve_monotone_and_grows_on_synthetic_corpus(spark, tmp_path):
+    """r12: on the fixture the 31-token vocab saturates at bucket 1
+    (flat curve — the correct finding, same fixture limitation as the
+    Space-Saving eviction note); so ALSO drive a synthetic corpus where
+    every doc introduces one novel token and the vocab column must
+    strictly grow bucket over bucket. Both runs must be monotone with
+    exact final totals."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = q("heaps_law_curve")(spark, SF_SMOKE).collect()
+    assert [r.bucket for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_docs <= b.n_docs and a.n_tokens <= b.n_tokens
+        assert a.vocab <= b.vocab
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    assert rows[-1].n_docs == n
+
+    docs = pa.table(
+        {
+            "doc_id": list(range(100)),
+            "text": [f"the common filler w{i}" for i in range(100)],
+            "lang": ["en"] * 100,
+            "source": ["syn"] * 100,
+            "n_chars": [20] * 100,
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    syn = q("heaps_law_curve")(spark, str(tmp_path)).collect()
+    assert syn[-1].vocab == 100 + 3  # 100 novel + the, common, filler
+    assert syn[-1].n_tokens == 400
+    for a, b in zip(syn, syn[1:]):
+        assert b.vocab > a.vocab  # every band introduces novel tokens

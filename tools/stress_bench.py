@@ -85,6 +85,8 @@ STRESS_QUERIES = [
     "ngram_diversity",  # one tokenize pass + count-distinct → ~linear
     "ann_prefix_topk",  # half-dim float scan (train-free coarse tier)
     "ann_prefix_rerank",  # prefix shortlist -> exact-cosine funnel
+    "embedding_drift_stats",  # one posexplode pass, 64 groups → linear
+    "heaps_law_curve",  # tokenize + vocab-keyed min → ~linear
 ]
 
 # Serving-tier queries take a QUERY WORKLOAD as input; the graded form
@@ -127,7 +129,7 @@ def _spark():
     return spark
 
 
-def run_scaling(root: str) -> None:
+def run_scaling(root: str, only: list[str] | None = None) -> None:
     import lakehouse_admin_spark.operators.retrieval as ret
     import lakehouse_admin_spark.operators.similarity as sim
     from lakehouse_admin_spark import registry
@@ -135,6 +137,8 @@ def run_scaling(root: str) -> None:
     registry.load_all_operators()
     spark = _spark()
     names = [n for n in STRESS_QUERIES if n in registry.QUERIES]
+    if only:  # targeted re-sweep of a subset (new operators)
+        names = [n for n in names if n in set(only)]
     base_stride = sim.QUERY_STRIDE
     base_delta = ret.BM25_DELTA
     results: dict[str, dict[str, float]] = {}
@@ -501,6 +505,10 @@ def main() -> None:
     ap.add_argument("--metadata", action="store_true")
     ap.add_argument("--bm25-backfill", action="store_true")
     ap.add_argument("--n-files", type=int, default=1_000_000)
+    ap.add_argument(
+        "--only", nargs="*", default=None,
+        help="scaling mode: sweep only these STRESS_QUERIES names",
+    )
     args = ap.parse_args()
     if args.sweep_block:
         run_block_sweep(args.root)
@@ -509,7 +517,7 @@ def main() -> None:
     elif args.bm25_backfill:
         run_bm25_backfill(args.root)
     else:
-        run_scaling(args.root)
+        run_scaling(args.root, only=args.only)
 
 
 if __name__ == "__main__":
