@@ -149,6 +149,8 @@ HEADLINE = [
     "ann_prefix_rerank",  # r12: prefix shortlist -> exact cosine funnel
     "embedding_drift_stats",  # r12: delta-vs-base retrain trigger
     "heaps_law_curve",  # r12: vocabulary-growth corpus diagnostic
+    "skipgram_pmi",  # r12: window-5 SGNS co-occurrence PMI
+    "mixture_epoch_plan",  # r12: uniform-recipe repetition calculator
 ]
 
 

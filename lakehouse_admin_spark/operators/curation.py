@@ -1355,3 +1355,79 @@ def dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+MIX_BUDGET_EPOCHS = 4  # token budget = this many corpus-equivalents
+
+
+@query(
+    "mixture_epoch_plan",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x != '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    per_source AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM tok GROUP BY source
+    ),
+    plan AS (
+        SELECT source, total_tokens,
+               (SUM(total_tokens) OVER () * {MIX_BUDGET_EPOCHS})
+                   // COUNT(*) OVER () AS quota_tokens
+        FROM per_source
+    )
+    SELECT source, total_tokens, CAST(quota_tokens AS BIGINT) AS quota_tokens,
+           ROUND(quota_tokens / CAST(total_tokens AS DOUBLE), 4) AS epochs,
+           quota_tokens / CAST(total_tokens AS DOUBLE) > 1.0 AS oversampled
+    FROM plan ORDER BY source
+    """,
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe repetition plan: flatten the source mixture to
+    UNIFORM under a {MIX_BUDGET_EPOCHS}-corpus-equivalent token budget
+    — each source's quota is budget // n_sources and ``epochs`` is how
+    many passes over that source the quota buys (the repetition factor
+    a LLaMA/Gopher-style data recipe publishes per source; >1 means the
+    source is oversampled/repeated, <1 means subsampled — feed the <1
+    rows to `stratified_sample` and the >1 rows to the packing stage
+    with a repeat count). Complements `mixture_weights` (which reports
+    the CURRENT shares): this is the prescription, that is the
+    diagnosis. Quota arithmetic is integer (`(T·{MIX_BUDGET_EPOCHS})
+    // S`); the epochs ratio is one double division rounded 4dp —
+    bit-identical cross-engine.
+
+    Scale shape: one tokenize pass into a |sources|-row aggregate; the
+    budget/count windows run over that tiny frame (unpartitioned
+    window over |sources| rows, not the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("source", tokens_expr(F.col("text")).alias("w"))
+        .select("source", F.size("w").cast("long").alias("n_tokens"))
+    )
+    per_source = toks.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens")
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    plan = per_source.select(
+        "source",
+        "total_tokens",
+        (F.sum("total_tokens").over(w) * MIX_BUDGET_EPOCHS).alias("budget"),
+        F.count(F.lit(1)).over(w).alias("n_sources"),
+    ).selectExpr(
+        "source",
+        "total_tokens",
+        # integer DIV — the oracle's // exactly, no double detour
+        "CAST(budget DIV n_sources AS LONG) AS quota_tokens",
+    )
+    epochs = F.col("quota_tokens") / F.col("total_tokens").cast("double")
+    return plan.select(
+        "source",
+        "total_tokens",
+        "quota_tokens",
+        F.round(epochs, 4).alias("epochs"),
+        (epochs > 1.0).alias("oversampled"),
+    ).orderBy("source")

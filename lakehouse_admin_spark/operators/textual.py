@@ -1939,3 +1939,133 @@ def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+SKIPGRAM_WINDOW = 5  # max token offset of a co-occurrence pair (SGNS k)
+
+
+@query(
+    "skipgram_pmi",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+        FROM (SELECT UNNEST(toks) AS w FROM tok) GROUP BY w
+    ),
+    tot AS (SELECT SUM(cu) AS t FROM uni),
+    pairs AS (
+        SELECT UNNEST(flatten(list_transform(range(1, len(toks)), i ->
+                   list_transform(range(1, least({SKIPGRAM_WINDOW}, len(toks) - i) + 1), o ->
+                       toks[i] || ' ' || toks[i + o])))) AS pair
+        FROM tok WHERE len(toks) >= 2
+    ),
+    big AS (
+        SELECT string_split(pair, ' ')[1] AS a,
+               string_split(pair, ' ')[2] AS b,
+               CAST(COUNT(*) AS BIGINT) AS cb
+        FROM pairs GROUP BY pair
+    ),
+    btot AS (SELECT SUM(cb) AS tb FROM big),
+    pmi AS (
+        SELECT big.a, big.b, big.cb,
+               ROUND(ln((big.cb / CAST(btot.tb AS DOUBLE))
+                        / ((ua.cu / CAST(tot.t AS DOUBLE))
+                           * (ub.cu / CAST(tot.t AS DOUBLE)))), 4) AS pmi
+        FROM big
+        JOIN uni ua ON ua.w = big.a
+        JOIN uni ub ON ub.w = big.b
+        CROSS JOIN tot CROSS JOIN btot
+        WHERE big.cb >= {PMI_MIN_COUNT}
+    )
+    SELECT a AS left_tok, b AS right_tok, cb AS pair_count, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, a, b) AS INT) AS rank
+    FROM pmi
+    ORDER BY rank LIMIT {PMI_TOP}
+    """,
+)
+def skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOP} skip-gram PMI pairs at window {SKIPGRAM_WINDOW} —
+    the ACTUAL matrix word2vec's SGNS factorizes (Levy & Goldberg
+    2014 is stated for window-k co-occurrence, not just bigrams):
+    ordered (earlier, later) token pairs at offsets 1..{SKIPGRAM_WINDOW},
+    scored ln(p(a,b)/(p(a)p(b))) with the same count floor as
+    `collocations_pmi` (whose adjacent pairs are this query's o=1
+    slice). All probabilities derive from exact integer counts —
+    bit-identical doubles on both engines before the 4dp round.
+
+    Scale shape: pair generation is per-doc ARRAY algebra in the scan
+    (a nested transform unrolls the {SKIPGRAM_WINDOW} offsets — no
+    positions self-join, which would shuffle the corpus against
+    itself); then the collocations_pmi shape exactly — one
+    map-side-combinable pair aggregate (~{SKIPGRAM_WINDOW}× the bigram
+    partials), vocab-keyed broadcast joins, top-{PMI_TOP} over the
+    floored pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        tokens_expr(F.col("text")).alias("toks")
+    )
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    pair_arr = F.when(
+        F.size("toks") >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.least(F.lit(SKIPGRAM_WINDOW), F.size("toks") - i),
+                    ),
+                    lambda o: F.concat(
+                        F.element_at("toks", i),
+                        F.lit(" "),
+                        F.element_at("toks", i + o),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big_all = (
+        base.select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cb"))
+    )
+    tb = big_all.agg(F.sum("cb")).collect()[0][0]  # exact scalar totals
+    t = uni.agg(F.sum("cu")).collect()[0][0]
+    big = big_all.select(
+        F.split_part("pair", F.lit(" "), F.lit(1)).alias("a"),
+        F.split_part("pair", F.lit(" "), F.lit(2)).alias("b"),
+        "cb",
+    ).filter(F.col("cb") >= PMI_MIN_COUNT)
+    ua = uni.select(F.col("w").alias("a"), F.col("cu").alias("ca"))
+    ub = uni.select(F.col("w").alias("b"), F.col("cu").alias("cbu"))
+    pmi = F.round(
+        F.log(
+            (F.col("cb") / F.lit(float(tb)))
+            / ((F.col("ca") / F.lit(float(t))) * (F.col("cbu") / F.lit(float(t))))
+        ),
+        4,
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    return (
+        big.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .withColumn("pmi", pmi)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= PMI_TOP)
+        .select(
+            F.col("a").alias("left_tok"),
+            F.col("b").alias("right_tok"),
+            F.col("cb").alias("pair_count"),
+            "pmi",
+            "rank",
+        )
+        .orderBy("rank")
+    )

@@ -1921,3 +1921,53 @@ def test_heaps_curve_monotone_and_grows_on_synthetic_corpus(spark, tmp_path):
     assert syn[-1].n_tokens == 400
     for a, b in zip(syn, syn[1:]):
         assert b.vocab > a.vocab  # every band introduces novel tokens
+
+
+def test_skipgram_pmi_superset_of_adjacent_pairs(spark):
+    """r12: window-5 skip-gram counts include the o=1 (adjacent) slice,
+    so any pair surfacing in BOTH top-50 lists must have skipgram
+    pair_count >= its bigram pair_count; ranks are contiguous from 1."""
+    sg = {(r.left_tok, r.right_tok): r for r in q("skipgram_pmi")(spark, SF_SMOKE).collect()}
+    bg = {(r.left_tok, r.right_tok): r for r in q("collocations_pmi")(spark, SF_SMOKE).collect()}
+    assert sorted(r.rank for r in sg.values()) == list(range(1, len(sg) + 1))
+    shared = set(sg) & set(bg)
+    assert shared, "fixture vocab is tiny — the lists must overlap"
+    for k in shared:
+        assert sg[k].pair_count >= bg[k].pair_count, k
+
+
+def test_mixture_epoch_plan_discriminates_on_skewed_corpus(spark, tmp_path):
+    """r12: on the near-uniform fixture every source lands ~4 epochs
+    (budget = 4 corpus-equivalents, uniform target); on a synthetic
+    corpus where one source owns ~90% of tokens, the giant must be
+    SUBSAMPLED (epochs < 1... wait, budget 4x: giant quota = 4T/2 = 2T
+    vs its 0.9T -> 2.2 epochs) — discriminate via ORDER: the giant's
+    epochs must be well below the tail's, and quotas must be equal
+    integers summing to <= budget."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakehouse_admin_spark.operators.curation import MIX_BUDGET_EPOCHS
+
+    rows = q("mixture_epoch_plan")(spark, SF_SMOKE).collect()
+    assert rows and all(r.quota_tokens == rows[0].quota_tokens for r in rows)
+
+    texts = ["big " * 90] * 90 + ["small tail doc"] * 10
+    docs = pa.table(
+        {
+            "doc_id": list(range(100)),
+            "text": texts,
+            "lang": ["en"] * 100,
+            "source": ["giant"] * 90 + ["tail"] * 10,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    plan = {r.source: r for r in q("mixture_epoch_plan")(spark, str(tmp_path)).collect()}
+    total = plan["giant"].total_tokens + plan["tail"].total_tokens
+    budget = total * MIX_BUDGET_EPOCHS
+    assert plan["giant"].quota_tokens == plan["tail"].quota_tokens == budget // 2
+    assert plan["giant"].epochs < MIX_BUDGET_EPOCHS < plan["tail"].epochs
+    assert plan["tail"].oversampled and plan["tail"].epochs > 100  # 30 tokens vs half-budget
+    # exact ratio re-derivation
+    assert abs(plan["giant"].epochs - (budget // 2) / plan["giant"].total_tokens) < 1e-4

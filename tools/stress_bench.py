@@ -87,6 +87,8 @@ STRESS_QUERIES = [
     "ann_prefix_rerank",  # prefix shortlist -> exact-cosine funnel
     "embedding_drift_stats",  # one posexplode pass, 64 groups → linear
     "heaps_law_curve",  # tokenize + vocab-keyed min → ~linear
+    "skipgram_pmi",  # 5x the bigram partials, same vocab-keyed shape
+    "mixture_epoch_plan",  # tokenize + |sources|-row plan → ~linear
 ]
 
 # Serving-tier queries take a QUERY WORKLOAD as input; the graded form
