@@ -1649,30 +1649,36 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # totals ride as window sums over the TINY aggregated frames (pair
+    # total BEFORE the count floor, exactly the old scalar) — the
+    # previous driver collect()s re-executed the tokenize subplan per
+    # scalar, ~5 corpus passes per call instead of 3 (the
+    # dsir_importance lesson; a per-call persist would leak, r11 ADVICE)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     big = (
         base.select(F.explode(pair_arr).alias("pair"))
         .groupBy("pair")
         .agg(F.count("*").alias("cb"))
+        .withColumn("tb", F.sum("cb").over(wall))
         .select(
             F.split_part("pair", F.lit(" "), F.lit(1)).alias("a"),
             F.split_part("pair", F.lit(" "), F.lit(2)).alias("b"),
             "cb",
+            "tb",
         )
         .filter(F.col("cb") >= PMI_MIN_COUNT)
     )
-    t = uni.agg(F.sum("cu")).collect()[0][0]  # exact scalar totals —
-    tb_row = (
-        base.select(
-            F.sum(F.greatest(F.size("toks") - 1, F.lit(0))).alias("tb")
-        ).collect()[0]
+    ua = uni.withColumn("t", F.sum("cu").over(wall)).select(
+        F.col("w").alias("a"), F.col("cu").alias("ca"), "t"
     )
-    tb = tb_row["tb"]
-    ua = uni.select(F.col("w").alias("a"), F.col("cu").alias("ca"))
     ub = uni.select(F.col("w").alias("b"), F.col("cu").alias("cbu"))
     pmi = F.round(
         F.log(
-            (F.col("cb") / F.lit(float(tb)))
-            / ((F.col("ca") / F.lit(float(t))) * (F.col("cbu") / F.lit(float(t))))
+            (F.col("cb") / F.col("tb").cast("double"))
+            / (
+                (F.col("ca") / F.col("t").cast("double"))
+                * (F.col("cbu") / F.col("t").cast("double"))
+            )
         ),
         4,
     )
@@ -2032,24 +2038,33 @@ def skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # totals ride as window sums over the TINY aggregated frames — a
+    # driver collect() here would re-execute the tokenize subplan per
+    # scalar (subplans are not deduped; the dsir_importance lesson),
+    # and a per-call persist would leak (the r11 BM25-cache ADVICE)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     big_all = (
         base.select(F.explode(pair_arr).alias("pair"))
         .groupBy("pair")
         .agg(F.count("*").alias("cb"))
+        .withColumn("tb", F.sum("cb").over(wall))
     )
-    tb = big_all.agg(F.sum("cb")).collect()[0][0]  # exact scalar totals
-    t = uni.agg(F.sum("cu")).collect()[0][0]
+    uni_t = uni.withColumn("t", F.sum("cu").over(wall))
     big = big_all.select(
         F.split_part("pair", F.lit(" "), F.lit(1)).alias("a"),
         F.split_part("pair", F.lit(" "), F.lit(2)).alias("b"),
         "cb",
+        "tb",
     ).filter(F.col("cb") >= PMI_MIN_COUNT)
-    ua = uni.select(F.col("w").alias("a"), F.col("cu").alias("ca"))
+    ua = uni_t.select(F.col("w").alias("a"), F.col("cu").alias("ca"), "t")
     ub = uni.select(F.col("w").alias("b"), F.col("cu").alias("cbu"))
     pmi = F.round(
         F.log(
-            (F.col("cb") / F.lit(float(tb)))
-            / ((F.col("ca") / F.lit(float(t))) * (F.col("cbu") / F.lit(float(t))))
+            (F.col("cb") / F.col("tb").cast("double"))
+            / (
+                (F.col("ca") / F.col("t").cast("double"))
+                * (F.col("cbu") / F.col("t").cast("double"))
+            )
         ),
         4,
     )
