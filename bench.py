@@ -151,6 +151,7 @@ HEADLINE = [
     "heaps_law_curve",  # r12: vocabulary-growth corpus diagnostic
     "skipgram_pmi",  # r12: window-5 SGNS co-occurrence PMI
     "mixture_epoch_plan",  # r12: uniform-recipe repetition calculator
+    "events_unpivot_daily",  # r12: pivot->unpivot round trip vs GROUP BY
 ]
 
 

@@ -1192,3 +1192,42 @@ def daily_type_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "value_cents", "prev_cents", "next_cents")
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "events_unpivot_daily",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+)
+def events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot→UNPIVOT round trip: the daily counts pivot to one column
+    per event type (declared values — no discovery job), then melt
+    back to long form with the engine's native ``unpivot``. The
+    round-trip law IS the oracle: the reconstructed long frame must
+    equal the plain GROUP BY — which pins that the pivot fan-out, the
+    null fill of absent (day, type) cells, and the unpivot's
+    column-to-row mapping all invert each other exactly (absent cells
+    pivot to NULL and must NOT resurrect as rows).
+
+    Scale shape: one aggregate pass into a |days|-row wide frame; the
+    unpivot is a per-row array expansion over that tiny frame —
+    nothing corpus-sized crosses the wire twice. The wide↔long round
+    trip is the standard feature-table interchange (a model-features
+    store is wide; the event log is long)."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        wide.unpivot("day", list(EVENT_TYPES), "event_type", "n")
+        .filter(F.col("n").isNotNull())
+        .select("day", "event_type", F.col("n").cast("long").alias("n"))
+        .orderBy("day", "event_type")
+    )
