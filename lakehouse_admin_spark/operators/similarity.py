@@ -3373,8 +3373,8 @@ def cluster_balanced_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Matryoshka / prefix-dimension funnel: MRL-trained embeddings carry
 # coarse-to-fine structure, so the FIRST dims alone rank usefully
 # (Kusupati et al. 2022, "Matryoshka Representation Learning"). The
-# serving funnel ranks on a dim prefix (4x less float traffic at
-# PREFIX_DIMS=16), then re-ranks only a short list at full precision —
+# serving funnel ranks on a dim prefix (64/PREFIX_DIMS = 2x less float
+# traffic at 32), then re-ranks only a short list at full precision —
 # the adaptive-retrieval shape, structurally the ann_binary_rerank twin
 # with a float prefix instead of sign bits as the coarse stage.
 # PREFIX_DIMS=32 measured on the fixture: funnel recall@5 0.80 at a

@@ -1628,8 +1628,14 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two map-side-combinable aggregates (unigrams,
     bigrams) over one tokenize pass; the PMI join is keyed on the
     token (vocab-sized, zipf-friendly — the count floor prunes the
-    heavy tail before the join); the final top-50 ranks only the
-    floored pair set (vocab-bounded), never the corpus."""
+    heavy tail before the join). The corpus totals are one-row
+    aggregates of the SAME shuffled frames broadcast back via
+    crossJoin — fully parallel partial aggregation whose branches
+    reuse the pair/unigram exchanges (plan-pinned: no partition-less
+    WindowExec, which would funnel the whole distinct-pair frame
+    through one task at web scale). The top-50 rank executes as a
+    group-limit (partition-local top-50 + merge), never a
+    single-partition sort."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_expr(F.col("text"))
     base = docs.repartition(spark.sparkContext.defaultParallelism).select(
@@ -1637,6 +1643,12 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = (
         base.select(F.explode("toks").alias("w"))
+        # semantically redundant (explode yields non-null tokens) but
+        # load-bearing: the inner joins below infer isnotnull on the
+        # keys and push it into THIS branch only, which would break
+        # exchange canonicalization — stating it here keeps the totals
+        # branch's subtree identical, so the shuffle is reused
+        .filter(F.col("w").isNotNull())
         .groupBy("w")
         .agg(F.count("*").alias("cu"))
     )
@@ -1649,28 +1661,35 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # totals ride as window sums over the TINY aggregated frames (pair
-    # total BEFORE the count floor, exactly the old scalar) — the
-    # previous driver collect()s re-executed the tokenize subplan per
-    # scalar, ~5 corpus passes per call instead of 3 (the
-    # dsir_importance lesson; a per-call persist would leak, r11 ADVICE)
-    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    big = (
+    # corpus totals are ONE-ROW aggregates of the already-aggregated
+    # frames, broadcast back via crossJoin — fully parallel partial
+    # aggregation, no driver collect() (which would re-execute the
+    # tokenize subplan per scalar — the dsir_importance lesson) and no
+    # partition-less window (the r12 windowed totals executed as a
+    # single-task WindowExec over the ENTIRE distinct-pair frame: free
+    # at sf0.1, an OOM funnel at web scale where distinct pairs reach
+    # 1e8+). ReuseExchange dedupes the shared groupBy shuffle, so the
+    # totals branch costs zero extra corpus passes (plan-pinned).
+    big_all = (
         base.select(F.explode(pair_arr).alias("pair"))
+        # redundant for the same exchange-reuse reason as uni's filter
+        .filter(
+            F.split_part("pair", F.lit(" "), F.lit(1)).isNotNull()
+            & F.split_part("pair", F.lit(" "), F.lit(2)).isNotNull()
+        )
         .groupBy("pair")
         .agg(F.count("*").alias("cb"))
-        .withColumn("tb", F.sum("cb").over(wall))
-        .select(
-            F.split_part("pair", F.lit(" "), F.lit(1)).alias("a"),
-            F.split_part("pair", F.lit(" "), F.lit(2)).alias("b"),
-            "cb",
-            "tb",
-        )
-        .filter(F.col("cb") >= PMI_MIN_COUNT)
     )
-    ua = uni.withColumn("t", F.sum("cu").over(wall)).select(
-        F.col("w").alias("a"), F.col("cu").alias("ca"), "t"
+    big = big_all.filter(F.col("cb") >= PMI_MIN_COUNT).select(
+        F.split_part("pair", F.lit(" "), F.lit(1)).alias("a"),
+        F.split_part("pair", F.lit(" "), F.lit(2)).alias("b"),
+        "cb",
     )
+    # both corpus totals ride ONE single-row frame (pair total PRE-floor)
+    totals = big_all.agg(F.sum("cb").alias("tb")).crossJoin(
+        uni.agg(F.sum("cu").alias("t"))
+    )
+    ua = uni.select(F.col("w").alias("a"), F.col("cu").alias("ca"))
     ub = uni.select(F.col("w").alias("b"), F.col("cu").alias("cbu"))
     pmi = F.round(
         F.log(
@@ -1683,11 +1702,14 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
-    return (
+    scored = (
         big.join(F.broadcast(ua), "a")
         .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(totals))
         .withColumn("pmi", pmi)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= PMI_TOP)
         .select(
             F.col("a").alias("left_tok"),
@@ -2008,14 +2030,21 @@ def skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions self-join, which would shuffle the corpus against
     itself); then the collocations_pmi shape exactly — one
     map-side-combinable pair aggregate (~{SKIPGRAM_WINDOW}× the bigram
-    partials), vocab-keyed broadcast joins, top-{PMI_TOP} over the
-    floored pair set."""
+    partials), vocab-keyed broadcast joins, one-row broadcast totals
+    reusing the same exchanges, top-{PMI_TOP} as a group-limit over
+    the floored pair set (see `collocations_pmi` for the plan pins)."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.repartition(spark.sparkContext.defaultParallelism).select(
         tokens_expr(F.col("text")).alias("toks")
     )
     uni = (
         base.select(F.explode("toks").alias("w"))
+        # semantically redundant (explode yields non-null tokens) but
+        # load-bearing: the inner joins below infer isnotnull on the
+        # keys and push it into THIS branch only, which would break
+        # exchange canonicalization — stating it here keeps the totals
+        # branch's subtree identical, so the shuffle is reused
+        .filter(F.col("w").isNotNull())
         .groupBy("w")
         .agg(F.count("*").alias("cu"))
     )
@@ -2038,25 +2067,31 @@ def skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # totals ride as window sums over the TINY aggregated frames — a
-    # driver collect() here would re-execute the tokenize subplan per
-    # scalar (subplans are not deduped; the dsir_importance lesson),
-    # and a per-call persist would leak (the r11 BM25-cache ADVICE)
-    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # corpus totals: one-row aggregates broadcast back via crossJoin —
+    # same shape (and same rationale) as collocations_pmi above; the
+    # r12 windowed totals were a single-task WindowExec over the whole
+    # distinct-pair frame, which at window-5 web scale is 5× worse
+    # than the bigram case
     big_all = (
         base.select(F.explode(pair_arr).alias("pair"))
+        # redundant for the same exchange-reuse reason as uni's filter
+        .filter(
+            F.split_part("pair", F.lit(" "), F.lit(1)).isNotNull()
+            & F.split_part("pair", F.lit(" "), F.lit(2)).isNotNull()
+        )
         .groupBy("pair")
         .agg(F.count("*").alias("cb"))
-        .withColumn("tb", F.sum("cb").over(wall))
     )
-    uni_t = uni.withColumn("t", F.sum("cu").over(wall))
-    big = big_all.select(
+    big = big_all.filter(F.col("cb") >= PMI_MIN_COUNT).select(
         F.split_part("pair", F.lit(" "), F.lit(1)).alias("a"),
         F.split_part("pair", F.lit(" "), F.lit(2)).alias("b"),
         "cb",
-        "tb",
-    ).filter(F.col("cb") >= PMI_MIN_COUNT)
-    ua = uni_t.select(F.col("w").alias("a"), F.col("cu").alias("ca"), "t")
+    )
+    # both corpus totals ride ONE single-row frame (pair total PRE-floor)
+    totals = big_all.agg(F.sum("cb").alias("tb")).crossJoin(
+        uni.agg(F.sum("cu").alias("t"))
+    )
+    ua = uni.select(F.col("w").alias("a"), F.col("cu").alias("ca"))
     ub = uni.select(F.col("w").alias("b"), F.col("cu").alias("cbu"))
     pmi = F.round(
         F.log(
@@ -2069,11 +2104,14 @@ def skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
-    return (
+    scored = (
         big.join(F.broadcast(ua), "a")
         .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(totals))
         .withColumn("pmi", pmi)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= PMI_TOP)
         .select(
             F.col("a").alias("left_tok"),

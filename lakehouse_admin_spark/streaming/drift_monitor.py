@@ -19,11 +19,15 @@ driver-scale batch algebra, kept OUT of the streaming graph so the
 stream carries only the aggregate (stream-static joins after a
 streaming aggregation are restricted anyway).
 
-Order independence is structural: (n, Σv) accumulation is commutative
-and associative, so ANY split of the arrivals into micro-batches and
-ANY arrival order produce the identical final state — the stream==batch
-equivalence test feeds the delta stripe through out-of-order drops and
-must reproduce ``embedding_drift_stats``'s rows exactly.
+Order independence: n is exact (integer count) and Σv is commutative
+up to IEEE summation order — double addition is not associative, so a
+different micro-batch split can in principle shift Σv by ulps. The
+6dp round applied before the z projection absorbs that in practice
+(the stream==batch equivalence test feeds the delta stripe through
+out-of-order drops and reproduces ``embedding_drift_stats``'s rows
+exactly on the fixture), but the exactness is round-pinned, not an
+algebraic guarantee; a deployment that needs bitwise-stable Σv at any
+split should accumulate compensated (Kahan) or in fixed point.
 
 At 100 TB: the stream is the vector-ingest firehose; per trigger the
 work is one map-side-combinable aggregate over the batch (state is

@@ -1825,10 +1825,10 @@ def test_cluster_balanced_quota_caps_every_cell(spark):
 
 def test_prefix_funnel_laws(spark):
     """r12: the Matryoshka tiers — no cartesian in either plan; the
-    funnel contract: exact re-rank over the 50-deep prefix-16 shortlist
+    funnel contract: exact re-rank over the 50-deep prefix-32 shortlist
     must recover ≥0.5 recall@5 vs the exact float scan AND beat (or at
     worst tie) the raw prefix top-k's recall; and the funnel must also
-    beat the raw BINARY top-k (16 floats carry more signal than 64 sign
+    beat the raw BINARY top-k (32 floats carry more signal than 64 sign
     bits on this fixture). Deterministic pipeline — pins are stable."""
     topk_df = q("ann_prefix_topk")(spark, SF_SMOKE)
     rerank_df = q("ann_prefix_rerank")(spark, SF_SMOKE)
@@ -1971,3 +1971,48 @@ def test_mixture_epoch_plan_discriminates_on_skewed_corpus(spark, tmp_path):
     assert plan["tail"].oversampled and plan["tail"].epochs > 100  # 30 tokens vs half-budget
     # exact ratio re-derivation
     assert abs(plan["giant"].epochs - (budget // 2) / plan["giant"].total_tokens) < 1e-4
+
+
+def test_pmi_totals_parallel_rank_group_limited(spark):
+    """r13 pin for the PMI scale fix: corpus totals must NOT ride a
+    partition-less WindowExec (r12 shape — a single task holding the
+    whole distinct-pair frame, 1e8+ rows at web scale). The fixed shape
+    is one-row broadcast aggregates whose branches REUSE the
+    pair/unigram shuffles (zero extra corpus passes), and the top-50
+    rank executes as a group-limit (TakeOrderedAndProject =
+    partition-local top-k + merge), never a single-partition sort of
+    the floored pair set."""
+    for name in ("collocations_pmi", "skipgram_pmi"):
+        df = q(name)(spark, SF_SMOKE)
+        assert len(df.collect()) > 0  # materialize THIS plan so AQE finalizes it
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        # no unbounded-frame window anywhere (the totals antipattern);
+        # the only Window left is the row_number rank (bounded frame)
+        assert "unboundedfollowing" not in final.lower(), name
+        assert "TakeOrderedAndProject" in final, name
+        # totals + ub branches reuse the heavy exchanges: at most the
+        # two corpus passes (pair aggregate, unigram aggregate) scan
+        # the documents table in the final plan
+        assert final.count("ReusedExchange") >= 3, name
+        assert final.count("FileScan parquet") <= 2, name
+
+
+def test_event_type_domain_covers_fixture(spark):
+    """r13 ADVICE guard: events_unpivot_daily (and every pivot over the
+    declared EVENT_TYPES literal) silently drops any event_type outside
+    the tuple — so pin that the fixture's observed domain is a subset
+    of the declaration at both local tiers. If the generator ever grows
+    a type, this fails loudly instead of the pivot losing rows."""
+    from lakehouse_admin_spark.operators.windowed import EVENT_TYPES
+    from lakehouse_admin_spark.sources.tables import load_table
+
+    for sf_dir in (SF_SMOKE, "/root/testdata/sf0.01"):
+        observed = {
+            r.event_type
+            for r in load_table(spark, sf_dir, "events")
+            .select("event_type")
+            .distinct()
+            .collect()
+        }
+        assert observed <= set(EVENT_TYPES), (sf_dir, observed)
