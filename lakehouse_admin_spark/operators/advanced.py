@@ -578,17 +578,23 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on both engines — no float-boundary ambiguity in the
     compare because bucket ids are floor()s of the same expression."""
     ev = load_table(spark, sf_dir, "events").select("value")
-    row = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
-    lo, hi = float(row["lo"]), float(row["hi"])
+    # bounds ride the lazy plan as a one-row broadcast aggregate (the
+    # oracle's b CTE + CROSS JOIN, exactly) instead of an eager
+    # .collect() — one job per call, and the min/max agg is answered
+    # from parquet footer statistics via aggregate pushdown (r13)
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     # constant column ⇒ zero width ⇒ null buckets from the division;
     # clamp (mirrored by GREATEST in the oracle) → everything in bucket 0
-    width = max((hi - lo) / HIST_BUCKETS, 1e-12)
+    width = F.greatest(
+        (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BUCKETS)), F.lit(1e-12)
+    )
     bucket = F.least(
-        F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("long"),
+        F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
         F.lit(HIST_BUCKETS - 1),
     )
     return (
-        ev.select(bucket.alias("bucket"))
+        ev.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")

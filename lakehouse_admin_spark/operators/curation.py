@@ -1035,18 +1035,23 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_target"), F.col("cdb")).otherwise(0)).alias("ct"),
         F.sum(F.when(F.col("is_target"), 0).otherwise(F.col("cdb"))).alias("cr"),
     )
-    tot = g.agg(
-        F.sum(F.when(F.col("is_target"), F.col("cdb")).otherwise(0)).alias("nt"),
-        F.sum(F.when(F.col("is_target"), 0).otherwise(F.col("cdb"))).alias("nr"),
-    ).collect()[0]  # two scalars of LM mass — index metadata
-    nt, nr = float(tot["nt"]), float(tot["nr"])
+    # LM mass totals as a one-row aggregate folded into bc itself (the
+    # oracle's tots CTE): re-aggregating the B-row bc frame costs
+    # nothing and keeps the whole weights frame LAZY — the previous
+    # eager .collect() forced a separate driver job per invocation
+    # before any consumer could even build its plan (r13). Summing bc
+    # instead of g is the same exact integer total.
+    tot = bc.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cr").alias("nr"),
+    )
     db = g.filter(~F.col("is_target")).select("doc_id", "bucket", "cdb")
     rb = F.log(
-        ((F.col("ct") + 1.0) / F.lit(nt + B))
-        / ((F.col("cr") + 1.0) / F.lit(nr + B))
+        ((F.col("ct") + 1.0) / (F.col("nt").cast("double") + B))
+        / ((F.col("cr") + 1.0) / (F.col("nr").cast("double") + B))
     )
     return (
-        db.join(F.broadcast(bc), "bucket")
+        db.join(F.broadcast(bc.crossJoin(F.broadcast(tot))), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum("cdb").cast("long").alias("n_grams"),

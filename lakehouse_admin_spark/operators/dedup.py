@@ -1260,16 +1260,24 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_near_dup(spark, sf_dir).select(
         F.col("doc_a").alias("anchor"), F.col("doc_b").alias("positive")
     )
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    n0 = (F.col("anchor") * _TRIPLET_A + F.col("positive") * _TRIPLET_B) % n_docs
-    n1 = (n0 + _TRIPLET_C) % n_docs
-    n2 = (n0 + 2 * _TRIPLET_C) % n_docs
+    # corpus size as a one-row broadcast aggregate (the oracle's n CTE
+    # + CROSS JOIN), not an eager .count() driver action — keeps the
+    # query a single lazy job (r13); all-integer modular arithmetic is
+    # unchanged
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    nd = F.col("n_docs")
+    n0 = (F.col("anchor") * _TRIPLET_A + F.col("positive") * _TRIPLET_B) % nd
+    n1 = (n0 + _TRIPLET_C) % nd
+    n2 = (n0 + 2 * _TRIPLET_C) % nd
 
     def ok(c):
         return (c != F.col("anchor")) & (c != F.col("positive"))
 
     return (
-        pairs.select(
+        pairs.crossJoin(F.broadcast(n))
+        .select(
             "anchor",
             "positive",
             F.when(ok(n0), n0).when(ok(n1), n1).otherwise(n2).alias("negative"),

@@ -3416,8 +3416,9 @@ _PFX_ORACLE = f"""
 @query("ann_prefix_topk", oracle=_PFX_ORACLE)
 def ann_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-dimension ANN (the Matryoshka coarse tier): rank by 6dp
-    cosine over the FIRST {PREFIX_DIMS} of 64 dims only — 4× less
-    float traffic than the exact scan, no training state at all (the
+    cosine over the FIRST {PREFIX_DIMS} of 64 dims only — 64/{PREFIX_DIMS}
+    = 2× less float traffic than the exact scan at the measured
+    PREFIX_DIMS=32, no training state at all (the
     one quantized tier with zero build step; binary needs μ, SQ needs
     min/max, PQ needs a codebook). On MRL-trained embeddings the
     prefix carries most of the ranking signal; on this synthetic

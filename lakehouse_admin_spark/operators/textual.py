@@ -845,17 +845,24 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("term_count"))
     doc_len = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
     df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("doc_freq"))
-    n_docs = tok.select("doc_id").distinct().count()
+    # one-row broadcast aggregate, not a .count() driver action: the
+    # eager count re-ran the tokenize+explode subplan as its own job
+    # (r13; mirrors the oracle's n_docs CTE + CROSS JOIN exactly)
+    n_docs = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
     return (
         tf.join(F.broadcast(doc_len), "doc_id")
         .join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "tok",
             "term_count",
             F.round(
                 (F.col("term_count") / F.col("doc_len").cast("double"))
-                * F.log(F.lit(float(n_docs)) / F.col("doc_freq").cast("double")),
+                * F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("doc_freq").cast("double")
+                ),
                 6,
             ).alias("tfidf"),
         )
@@ -1061,7 +1068,15 @@ def bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream against the count tables on their natural keys — exactly
     the shuffle a distributed LM scorer needs, nothing more. Everything
     is integer counts + one ln(), so the DuckDB oracle replays it to
-    6dp."""
+    6dp.
+
+    r13: the unigram-context counts are DERIVED from the bigram counts
+    (``c1 = Σ_w2 c2`` — exact integer identity), so the w1-keyed
+    shuffle of the full bigram stream is gone; the c1 branch re-
+    aggregates the vocab²-bounded c2 frame and shares c2's (w1,w2)
+    exchange via ReuseExchange. The vocabulary size rides as a one-row
+    broadcast aggregate instead of a separate ``.count()`` driver
+    action (which re-executed the tokenize subplan as its own job)."""
     toks = _doc_tokens(spark, sf_dir).select("doc_id", "w")
     big = (
         toks.filter(F.size("w") >= 2)
@@ -1077,14 +1092,17 @@ def bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = toks.select(F.explode("w").alias("tok")).distinct().count()
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = toks.select(F.explode("w").alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
     nll = -F.log(
-        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.lit(float(vocab)))
+        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v").cast("double"))
     )
     return (
         big.join(c2, ["w1", "w2"])
         .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -1920,7 +1938,11 @@ def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", tokens_expr(F.col("text")).alias("w")
     )
-    bounds = tok.agg(
+    # bounds come straight off the documents scan (NOT the repartitioned
+    # tokenize frame): doc_id min/max needs no tokens and no round-robin
+    # exchange, and with parquet aggregate pushdown it is answered from
+    # footer statistics alone (r13; same rows either way)
+    bounds = docs.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     )
     b_lit = spark.range(1, HEAPS_BUCKETS + 1).select(F.col("id").alias("b"))
@@ -1953,11 +1975,14 @@ def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("vocab_at"))
     )
     w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    # the per-bucket partials are ≤{HEAPS_BUCKETS} rows — broadcast them
+    # (r13: the planner defaulted these aggregate⋈aggregate joins to
+    # sort-merge, two needless exchanges+sorts per join)
     return (
         thr.select("b")
-        .join(doc_b, F.col("b") == F.col("b_first"), "left")
+        .join(F.broadcast(doc_b), F.col("b") == F.col("b_first"), "left")
         .drop("b_first")
-        .join(vocab_b, F.col("b") == F.col("b_first"), "left")
+        .join(F.broadcast(vocab_b), F.col("b") == F.col("b_first"), "left")
         .drop("b_first")
         .select(
             F.col("b").cast("int").alias("bucket"),

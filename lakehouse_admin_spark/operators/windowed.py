@@ -607,8 +607,28 @@ def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     each joined back to the (per-user, tiny) previous stage frame —
     the per-user state is one timestamp per stage, never an event
     list; shuffle keys are all user_id. The timestamps are exact
-    microsecond integers, so both engines agree bit-for-bit."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    microsecond integers, so both engines agree bit-for-bit.
+
+    r13: the four stage counts were four separate driver actions
+    (``.count()`` each), and because subplans are not deduped across
+    actions the events scan + tv/tc subtrees re-executed per action —
+    seven scans of the events table per call. The counts now ride as
+    four one-row lazy aggregates cross-joined into a single action:
+    one job, four type-pruned scans, and the shared tv/tc aggregate
+    subtrees (kept canonically identical by the explicit user_id
+    isnotnull below) dedupe via ReuseExchange."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        # semantically redundant (user_id is never null in events) but
+        # load-bearing: the stage joins infer isnotnull(user_id) and
+        # push it into THEIR copy of the tv/tc subtrees only, which
+        # would break exchange canonicalization vs the count branches —
+        # stating it once here keeps every subtree identical, so the
+        # per-stage shuffles are reused instead of recomputed (the
+        # collocations_pmi totals lesson)
+        .filter(F.col("user_id").isNotNull())
+    )
     tv = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -628,19 +648,48 @@ def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    n_all = ev.select("user_id").distinct().count()
-    counts = [
-        (1, "all_users", n_all),
-        (2, "view", tv.count()),
-        (3, "click_after_view", tc.count()),
-        (4, "purchase_after_click", tp.count()),
-    ]
-    rows = [
-        (sn, st, int(u), round(u / float(n_all), 4)) for sn, st, u in counts
-    ]
-    return spark.createDataFrame(
-        rows, "stage_no int, stage string, users bigint, share double"
-    ).orderBy("stage_no")
+    stats = (
+        ev.agg(F.count_distinct("user_id").alias("n_all"))
+        .crossJoin(tv.agg(F.count(F.lit(1)).alias("n_view")))
+        .crossJoin(tc.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+    stage = F.explode(
+        F.array(
+            F.struct(
+                F.lit(1).alias("stage_no"),
+                F.lit("all_users").alias("stage"),
+                F.col("n_all").alias("users"),
+            ),
+            F.struct(
+                F.lit(2).alias("stage_no"),
+                F.lit("view").alias("stage"),
+                F.col("n_view").alias("users"),
+            ),
+            F.struct(
+                F.lit(3).alias("stage_no"),
+                F.lit("click_after_view").alias("stage"),
+                F.col("n_click").alias("users"),
+            ),
+            F.struct(
+                F.lit(4).alias("stage_no"),
+                F.lit("purchase_after_click").alias("stage"),
+                F.col("n_purchase").alias("users"),
+            ),
+        )
+    )
+    return (
+        stats.select(stage.alias("s"), "n_all")
+        .select(
+            F.col("s.stage_no").cast("int").alias("stage_no"),
+            F.col("s.stage").alias("stage"),
+            F.col("s.users").cast("long").alias("users"),
+            F.round(
+                F.col("s.users") / F.col("n_all").cast("double"), 4
+            ).alias("share"),
+        )
+        .orderBy("stage_no")
+    )
 
 
 @query(
