@@ -192,6 +192,11 @@ def main() -> None:
         "ledger_zorder_scan",  # r9: z-order rewrite of the fixture table
         "ann_filtered_ivf",  # r9: shares the IVF index build when first
         "bpe_encode_token_counts",  # r9: merge-table training on first run
+        "minhash_near_dup",  # r13: first touch builds the session LSH
+        # band-bucket index (the signature aggregate) its whole dedup
+        # chain then reads
+        "knn_pagerank",  # r13: first touch builds the session exact
+        # k-NN edge index (block-matrix tile sweep)
     }
     errors: dict[str, str] = {}
     builds: dict[str, float] = {}

@@ -142,14 +142,23 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = (F.col("doc_id") % EVAL_MOD) < EVAL_KEEP
     eval_grams = ex.filter(is_eval).select("shingle").distinct()
     corpus = ex.filter(~is_eval)
-    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hits = (
-        corpus.join(F.broadcast(eval_grams), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
+    # r13 (guide §2.3/§2.4): sizes and hits were two separate
+    # aggregations of the corpus postings (two doc_id shuffles + a
+    # join, and a third tokenize+shingle pass for the sizes branch).
+    # One LEFT join against the broadcast distinct eval-gram set tags
+    # each posting (multiplicity 1 — eval_grams is distinct), so ONE
+    # groupBy(doc_id) folds both the total and the shared count; the
+    # inner-join semantics of `hits` become the n_shared > 0 filter.
+    marked = corpus.join(
+        F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "shingle", "left"
     )
     return (
-        hits.join(sizes, "doc_id")
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("hit").alias("n_shared"),
+            F.count("*").alias("n_shingles"),
+        )
+        .filter(F.col("n_shared") > 0)
         .select(
             "doc_id",
             "n_shared",
@@ -1010,11 +1019,15 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     # ONE tokenize+explode pass: fold to (doc_id, is_target, bucket)
-    # counts and persist — bc / totals / per-doc frames all re-aggregate
-    # this bounded frame (≤ docs×B rows) instead of re-running the
-    # explode three times (Spark does not dedupe common subplans)
-    from pyspark.storagelevel import StorageLevel
-
+    # counts and EAGERLY localCheckpoint — bc / totals / per-doc frames
+    # all re-aggregate this bounded frame (≤ docs×B rows) instead of
+    # re-running the explode (Spark does not dedupe common subplans).
+    # Eager, not a bare persist: the consumers fan out as CONCURRENT
+    # subtrees of one action (broadcast builds run in parallel with the
+    # main stages), and an unmaterialized cache makes them race — each
+    # racer re-runs the full tokenize pipeline before any of them
+    # populates the cache (measured r13: dsir_importance 2.4→4.3 s
+    # after the totals went lazy, back to 1.9 s with the eager cut).
     g = (
         base.select(
             "doc_id",
@@ -1029,7 +1042,7 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "is_target", "bucket")
         .agg(F.count("*").alias("cdb"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     bc = g.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), F.col("cdb")).otherwise(0)).alias("ct"),

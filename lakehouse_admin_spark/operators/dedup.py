@@ -82,13 +82,25 @@ def shingles_expr(toks: Column, n: int = 3) -> Column:
 # after a session is GC'd, serving stale frames to a new session.
 _POSTING_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# (applicationId, sf_dir) -> localCheckpoint'd full-corpus LSH band
+# buckets (band, band_key, doc_id) — the standing minhash index the
+# incremental path already persists to parquet for the base stripe
+# (``_persisted_bucket_index``), here for the whole tier: built once per
+# (session, tier) from the posting list, read by every batch consumer
+# (minhash_band_buckets, minhash_near_dup and its dedup_clusters /
+# dedup_keep_list / curation_pipeline / contrastive_triplets chain).
+# Deterministic md5 signature math, so caching never changes results
+# (r13 — previously every consumer re-ran the 16-hash signature
+# aggregate over the full posting list per invocation).
+_BUCKET_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def invalidate_posting_cache(sf_dir: str | None = None) -> int:
-    """Drop (and unpersist) cached posting lists — all of them, or only
-    the ones built over ``sf_dir``. Returns the number evicted. The
-    external-mutation hook, mirroring ``invalidate_ivf_cache`` /
-    ``invalidate_graph_caches``: call after the documents fixture under
-    ``sf_dir`` is rewritten in place."""
+    """Drop (and unpersist) cached posting lists and bucket indexes —
+    all of them, or only the ones built over ``sf_dir``. Returns the
+    number evicted. The external-mutation hook, mirroring
+    ``invalidate_ivf_cache`` / ``invalidate_graph_caches``: call after
+    the documents fixture under ``sf_dir`` is rewritten in place."""
     victims = [k for k in _POSTING_CACHE if sf_dir is None or k[1] == sf_dir]
     for k in victims:
         try:
@@ -96,7 +108,12 @@ def invalidate_posting_cache(sf_dir: str | None = None) -> int:
         except Exception:
             pass  # session already stopped — nothing to free
         del _POSTING_CACHE[k]
-    return len(victims)
+    bucket_victims = [
+        k for k in _BUCKET_CACHE if sf_dir is None or k[1] == sf_dir
+    ]
+    for k in bucket_victims:
+        del _BUCKET_CACHE[k]  # localCheckpoint blocks free with the GC
+    return len(victims) + len(bucket_victims)
 
 
 def exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,7 +548,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Computed as ONE hash aggregate over the exploded posting list (16
     partial mins per doc) — no arrays in flight, fully partial-
-    aggregatable, the same shape at any corpus size.
+    aggregatable, the same shape at any corpus size. Consumers that
+    only need band buckets should go through
+    :func:`_session_band_buckets` (the cached index) instead.
     """
     return _sig_from_exploded(exploded_shingles(spark, sf_dir))
 
@@ -547,6 +566,21 @@ def _sig_from_exploded(ex: DataFrame) -> DataFrame:
     return agg.select(
         "doc_id", F.array(*[F.col(f"h{j}") for j in range(NUM_HASHES)]).alias("sig")
     )
+
+
+def _session_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached full-corpus LSH band-bucket index (band, band_key,
+    doc_id) — see the ``_BUCKET_CACHE`` note. ~LSH_BANDS rows per doc,
+    localCheckpoint'd so consumers read materialized blocks instead of
+    re-running the 16-hash minhash signature aggregate."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BUCKET_CACHE.get(key)
+    if cached is None:
+        cached = _band_buckets_from_sig(
+            minhash_signatures(spark, sf_dir)
+        ).localCheckpoint()
+        _BUCKET_CACHE[key] = cached
+    return cached
 
 
 def _band_buckets_from_sig(sig: DataFrame) -> DataFrame:
@@ -593,8 +627,10 @@ def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup candidates. Exposed as a query so the signature/banding math
     is oracle-pinned end-to-end."""
     # One explode instead of a 4-way union: the (expensive) signature
-    # pipeline is evaluated once per row, not once per band.
-    return _band_buckets_from_sig(minhash_signatures(spark, sf_dir)).orderBy(
+    # pipeline is evaluated once per row, not once per band. r13: reads
+    # the session bucket index; only the presentation sort runs per
+    # invocation.
+    return _session_band_buckets(spark, sf_dir).orderBy(
         "band", "band_key", "doc_id"
     )
 
@@ -644,10 +680,11 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, band_key) so cost is proportional to bucket sizes, not n²; the
     verification join only touches candidate pairs.
     """
-    # Persist the (tiny: 4 rows/doc) bucket table — it feeds a self-join
-    # plus the candidate-doc extraction, and without persistence every
-    # consumer re-runs the md5 signature pipeline.
-    buckets = minhash_band_buckets(spark, sf_dir).persist()
+    # The (tiny: 4 rows/doc) bucket table comes off the session index —
+    # it feeds a self-join plus the candidate-doc extraction, and the
+    # checkpoint means no consumer ever re-runs the md5 signature
+    # pipeline (r13; previously re-built + re-persisted per invocation).
+    buckets = _session_band_buckets(spark, sf_dir)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

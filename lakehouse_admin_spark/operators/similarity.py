@@ -97,6 +97,18 @@ def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(np.einsum("ij,ij->i", ma, mb, dtype=np.float64))
 
 
+# Catalyst's filter pushdown substitutes an aliased expression into the
+# pushed predicate, DUPLICATING the kernel when the alias is filtered on:
+# one ArrowEvalPython evaluates every candidate pair for the filter, then
+# a SECOND evaluates the survivors again for the projection (measured in
+# embedding_lsh_near_dup's r13 baseline plan: 2 ArrowEvalPython nodes over
+# the same pair_dot call). pair_dot IS deterministic — this twin is marked
+# non-deterministic solely to forbid that rewrite at sites that filter on
+# a pair_dot-derived column, so the kernel runs once and the filter stays
+# above the projection. Results are identical either way.
+pair_dot_once = pair_dot.asNondeterministic()
+
+
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
@@ -1653,10 +1665,14 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # were the bench bottleneck (~3 s at sf0.1 → ~0.3 s vectorized).
     # Norms ride the per-VECTOR join sides (JVM expression, n evals)
     # instead of two more per-PAIR pair_dot calls — the old form
-    # tripled the Arrow traffic over the candidate set.
-    cos = pair_dot(_as_double(F.col("emb_a")), _as_double(F.col("emb_b"))) / (
-        F.col("norm_a") * F.col("norm_b")
-    )
+    # tripled the Arrow traffic over the candidate set. pair_dot_once
+    # (not pair_dot): the threshold filter below otherwise pushes under
+    # the projection and DUPLICATES the Arrow kernel over every
+    # candidate pair (r13, guide §4.4 — baseline plan had two
+    # ArrowEvalPython nodes for this one call).
+    cos = pair_dot_once(
+        _as_double(F.col("emb_a")), _as_double(F.col("emb_b"))
+    ) / (F.col("norm_a") * F.col("norm_b"))
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
