@@ -197,6 +197,17 @@ def main() -> None:
         # chain then reads
         "knn_pagerank",  # r13: first touch builds the session exact
         # k-NN edge index (block-matrix tile sweep)
+        "embedding_lsh_near_dup",  # r13: first touch builds the session
+        # sign-projection band table (signature kernel over the corpus)
+        "winnow_overlap_pairs",  # r13: first touch builds the winnow
+        # fingerprint index (Arrow kernel) + capped posting lists
+        "lang_id_ngram",  # r13: first touch trains the trigram profile
+        "dsir_importance",  # r13: first touch folds the hashed-gram
+        # bucket counts (the DSIR sufficient statistic)
+        "multimodal_feature_ann",  # r13: first touch encodes the
+        # feature frame (the multimodal embedding table)
+        "bpe_batch_learn_merges",  # r13: first touch trains the batched
+        # merge table (the serial trainer was already cache-rendered)
     }
     errors: dict[str, str] = {}
     builds: dict[str, float] = {}

@@ -998,9 +998,29 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_grams, logw) — the DSIR estimator frame over the raw
-    pool (shared by the percentile gate and the Gumbel resampler)."""
+# (applicationId, abspath(sf_dir)) -> localCheckpoint'd
+# (doc_id, is_target, bucket, cdb) hashed-gram bucket counts — the DSIR
+# sufficient statistic every estimator consumer re-aggregates (the
+# paper precomputes exactly this hashed-n-gram representation once).
+# Built once per (session, tier); r13 — previously BOTH weight
+# consumers (dsir_importance, dsir_gumbel_topk) re-ran the
+# tokenize+bigram explode and left a fresh per-call localCheckpoint
+# behind on every invocation.
+_DSIR_G_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _dsir_gram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or fetch) the session (doc_id, is_target, bucket, cdb)
+    frame. EAGERLY localCheckpoint'd — the consumers fan out as
+    CONCURRENT subtrees of one action (broadcast builds run in parallel
+    with the main stages), and an unmaterialized cache makes them race:
+    each racer re-runs the full tokenize pipeline before any of them
+    populates the cache (measured r13: dsir_importance 2.4→4.3 s after
+    the totals went lazy, back to 1.9 s with the eager cut)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir.rstrip("/")))
+    hit = _DSIR_G_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = load_table(spark, sf_dir, "documents")
     B = DSIR_BUCKETS
     toks = tokens_expr(F.col("text"))
@@ -1018,16 +1038,6 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # ONE tokenize+explode pass: fold to (doc_id, is_target, bucket)
-    # counts and EAGERLY localCheckpoint — bc / totals / per-doc frames
-    # all re-aggregate this bounded frame (≤ docs×B rows) instead of
-    # re-running the explode (Spark does not dedupe common subplans).
-    # Eager, not a bare persist: the consumers fan out as CONCURRENT
-    # subtrees of one action (broadcast builds run in parallel with the
-    # main stages), and an unmaterialized cache makes them race — each
-    # racer re-runs the full tokenize pipeline before any of them
-    # populates the cache (measured r13: dsir_importance 2.4→4.3 s
-    # after the totals went lazy, back to 1.9 s with the eager cut).
     g = (
         base.select(
             "doc_id",
@@ -1044,6 +1054,19 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cdb"))
         .localCheckpoint()
     )
+    _DSIR_G_CACHE[key] = g
+    return g
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, logw) — the DSIR estimator frame over the raw
+    pool (shared by the percentile gate and the Gumbel resampler).
+    ONE tokenize+explode pass per SESSION (the cached gram-count
+    frame); bc / totals / per-doc frames all re-aggregate that bounded
+    frame (≤ docs×B rows) instead of re-running the explode (Spark
+    does not dedupe common subplans)."""
+    g = _dsir_gram_counts(spark, sf_dir)
+    B = DSIR_BUCKETS
     bc = g.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), F.col("cdb")).otherwise(0)).alias("ct"),
         F.sum(F.when(F.col("is_target"), 0).otherwise(F.col("cdb"))).alias("cr"),
@@ -1146,14 +1169,18 @@ _DSIR_LM_CACHE: dict[tuple, tuple[list[float], float]] = {}
 
 
 def invalidate_dsir_cache(sf_dir: str | None = None) -> int:
-    """Drop cached DSIR bucket LMs — all, or one tier's (call after
-    rewriting its documents, same contract as ``invalidate_ivf_cache``).
-    Returns the number evicted."""
+    """Drop cached DSIR model state — the frozen bucket LMs AND the
+    session gram-count frame — all, or one tier's (call after rewriting
+    its documents, same contract as ``invalidate_ivf_cache``). Returns
+    the number evicted."""
     norm = None if sf_dir is None else os.path.abspath(sf_dir.rstrip("/"))
     keys = [k for k in _DSIR_LM_CACHE if norm is None or k[1] == norm]
     for k in keys:
         del _DSIR_LM_CACHE[k]
-    return len(keys)
+    gkeys = [k for k in _DSIR_G_CACHE if norm is None or k[1] == norm]
+    for k in gkeys:
+        del _DSIR_G_CACHE[k]  # localCheckpoint blocks free with the GC
+    return len(keys) + len(gkeys)
 
 
 def _dsir_frozen_lm(spark: SparkSession, sf_dir: str) -> tuple[list[float], float]:

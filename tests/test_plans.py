@@ -1189,6 +1189,70 @@ def test_posting_bm25_catalog_caches_invalidatable(spark):
     assert fx.get_catalog(spark) is not cat1
 
 
+def test_r13_session_index_caches_invalidatable(spark):
+    """r13 session-index caches follow the same train-hit-evict law as
+    ivf/pq/graph/posting: build once per (applicationId, tier) → second
+    call returns the SAME object → targeted invalidation evicts exactly
+    the tier's entries → a second invalidation finds nothing. Covers
+    the five new standing indexes: winnow fingerprints + capped posts,
+    the lang-ID trigram profile, the DSIR gram-count frame, the
+    embedding LSH band table, the multimodal feature frame, and the
+    shared (mu, cov) second-moment model."""
+    import lakehouse_admin_spark.operators.curation as cur
+    import lakehouse_admin_spark.operators.multimodal as mm
+    import lakehouse_admin_spark.operators.similarity as sim
+    import lakehouse_admin_spark.operators.textual as tex
+
+    app = spark.sparkContext.applicationId
+
+    tex.invalidate_winnow_cache()
+    p1 = tex._winnow_capped_posts(spark, SF_SMOKE)  # builds fps too
+    assert tex._winnow_capped_posts(spark, SF_SMOKE) is p1, "must hit"
+    assert tex.winnow_fingerprint_df(spark, SF_SMOKE) is tex.winnow_fingerprint_df(
+        spark, SF_SMOKE
+    )
+    assert all(k[0] == app for k in tex._WINNOW_FP_CACHE), "appId-keyed"
+    assert tex.invalidate_winnow_cache(SF_SMOKE) == 2  # fps + posts
+    assert tex.invalidate_winnow_cache(SF_SMOKE) == 0
+
+    tex.invalidate_lang_profile_cache()
+    pr1 = tex._session_lang_profile(spark, SF_SMOKE)
+    assert tex._session_lang_profile(spark, SF_SMOKE) is pr1, "must hit"
+    assert all(k[0] == app for k in tex._LANG_PROFILE_CACHE), "appId-keyed"
+    assert tex.invalidate_lang_profile_cache(SF_SMOKE) == 1
+    assert tex.invalidate_lang_profile_cache(SF_SMOKE) == 0
+
+    cur.invalidate_dsir_cache()
+    g1 = cur._dsir_gram_counts(spark, SF_SMOKE)
+    assert cur._dsir_gram_counts(spark, SF_SMOKE) is g1, "must hit"
+    assert all(k[0] == app for k in cur._DSIR_G_CACHE), "appId-keyed"
+    assert cur.invalidate_dsir_cache(SF_SMOKE) == 1  # only g built here
+    assert cur.invalidate_dsir_cache(SF_SMOKE) == 0
+
+    sim.invalidate_lsh_band_cache()
+    b1 = sim._session_lsh_bands(spark, SF_SMOKE)
+    assert sim._session_lsh_bands(spark, SF_SMOKE) is b1, "must hit"
+    assert all(k[0] == app for k in sim._LSH_BAND_CACHE), "appId-keyed"
+    assert sim.invalidate_lsh_band_cache(SF_SMOKE) == 1
+    assert sim.invalidate_lsh_band_cache(SF_SMOKE) == 0
+
+    mm.invalidate_multimodal_cache()
+    f1 = mm._session_features(spark, SF_SMOKE)
+    assert mm._session_features(spark, SF_SMOKE) is f1, "must hit"
+    assert all(k[0] == app for k in mm._MM_FEAT_CACHE), "appId-keyed"
+    assert mm.invalidate_multimodal_cache(SF_SMOKE) == 1
+    assert mm.invalidate_multimodal_cache(SF_SMOKE) == 0
+
+    sim.invalidate_cov_cache()
+    m1 = sim._cov_model(spark, SF_SMOKE)
+    # element identity (the arrays are the cached objects; the tuple is
+    # rebuilt on the miss path — the _opq_rotation test convention)
+    assert sim._cov_model(spark, SF_SMOKE)[1] is m1[1], "must hit"
+    assert all(k[0] == app for k in sim._COV_CACHE), "appId-keyed"
+    assert sim.invalidate_cov_cache(SF_SMOKE) == 1
+    assert sim.invalidate_cov_cache(SF_SMOKE) == 0
+
+
 def test_bm25_route_frame_broadcast_gated_on_delta_size(spark, monkeypatch):
     """r12 (r11 verdict #2): bm25_route_frame broadcasts its
     delta-proportional (query, term) frame ONLY when the delta is
