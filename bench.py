@@ -208,6 +208,11 @@ def main() -> None:
         # feature frame (the multimodal embedding table)
         "bpe_batch_learn_merges",  # r13: first touch trains the batched
         # merge table (the serial trainer was already cache-rendered)
+        "cdc_chunk_dup",  # r13: first touch builds the session CDC
+        # chunk posting index (tokenize + boundary + slice kernel)
+        "ann_opq_pq_topk",  # r13: first touch trains (mu, cov) + the
+        # OPQ rotation and encodes the rotated PQ codes ("opq" variant
+        # of the pq_index cache)
     }
     errors: dict[str, str] = {}
     builds: dict[str, float] = {}

@@ -113,7 +113,10 @@ def invalidate_posting_cache(sf_dir: str | None = None) -> int:
     ]
     for k in bucket_victims:
         del _BUCKET_CACHE[k]  # localCheckpoint blocks free with the GC
-    return len(victims) + len(bucket_victims)
+    cdc_victims = [k for k in _CDC_CHUNK_CACHE if sf_dir is None or k[1] == sf_dir]
+    for k in cdc_victims:
+        del _CDC_CHUNK_CACHE[k]
+    return len(victims) + len(bucket_victims) + len(cdc_victims)
 
 
 def exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1336,10 +1339,32 @@ CDC_WINDOW = 4  # trailing tokens hashed per boundary test
 CDC_MOD = 16  # boundary when h % MOD == 0 → mean chunk ≈ 16 tokens
 
 
+# (applicationId, sf_dir) -> localCheckpoint'd (doc_id, chunk_hash,
+# n_tokens) CDC chunk occurrences — the chunk-level twin of the shingle
+# posting list (_POSTING_CACHE): deterministic md5 boundaries, built
+# once per (session, tier). r13 — previously cdc_chunk_jaccard_pairs
+# fanned the UNPERSISTED chunker into four consumer subtrees (rare, cr,
+# sizes, both join sides), so the tokenize+boundary+slice pipeline
+# re-ran several times per invocation (Spark does not dedupe common
+# subplans). Evicted by invalidate_posting_cache.
+_CDC_CHUNK_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _cdc_chunk_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, chunk_hash, n_tokens) — one row per CDC chunk
     occurrence; the chunker shared by the dup report and the
-    chunk-Jaccard pair miner. Pure JVM array algebra in the scan."""
+    chunk-Jaccard pair miner. Pure JVM array algebra in the scan;
+    session-cached (see ``_CDC_CHUNK_CACHE``)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CDC_CHUNK_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = _cdc_chunk_hashes_build(spark, sf_dir).localCheckpoint()
+    _CDC_CHUNK_CACHE[key] = out
+    return out
+
+
+def _cdc_chunk_hashes_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_expr(F.col("text"))
     d = docs.repartition(spark.sparkContext.defaultParallelism).select(

@@ -1966,6 +1966,34 @@ def pq_index(
     return hit
 
 
+def opq_pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(codes, query_luts) over the OPQ-ROTATED embeddings — the "opq"
+    variant in the same ``_PQ_CACHE`` (same eviction + invalidation).
+    r13: ``ann_opq_pq_topk`` previously called the raw ``_pq_index``
+    builder directly, so the rotate AND encode kernels re-ran over the
+    corpus on every invocation — the exact r11-verdict-#3 defect the
+    plain/IVF variants were cured of in r12."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir.rstrip("/")),
+        "opq",
+        QUERY_STRIDE,
+    )
+    hit = _PQ_CACHE.get(key)
+    if hit is not None:
+        _PQ_CACHE.move_to_end(key)
+        return hit
+    rotated = _rotated_embeddings(spark, sf_dir)
+    codes, luts = _pq_index(spark, rotated)
+    hit = (codes.localCheckpoint(), luts.localCheckpoint())
+    _PQ_CACHE[key] = hit
+    while len(_PQ_CACHE) > PQ_CACHE_MAX:
+        _, (ev_codes, ev_luts) = _PQ_CACHE.popitem(last=False)
+        _free_checkpoint(ev_codes)
+        _free_checkpoint(ev_luts)
+    return hit
+
+
 def invalidate_pq_cache(sf_dir: str | None = None) -> int:
     """Drop cached PQ indexes — all, or one tier's (call after
     rewriting its embeddings). Returns the number evicted."""
@@ -3181,9 +3209,10 @@ def ann_opq_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch to the encode path and NOTHING to serving (queries rotate
     through the same broadcast matrix before LUT construction); the
     ADC join and ranking are byte-identical to ann_pq_topk (the shared
-    :func:`_adc_ranked` pipeline)."""
-    rotated = _rotated_embeddings(spark, sf_dir)
-    codes, queries = _pq_index(spark, rotated)
+    :func:`_adc_ranked` pipeline). The rotated codes + LUTs ride the
+    session ``_PQ_CACHE`` ("opq" variant, r13) — warm serves are two
+    checkpoint scans + the ADC join, no rotate/encode kernels."""
+    codes, queries = opq_pq_index(spark, sf_dir)
     return _adc_ranked(codes, queries)
 
 

@@ -1243,6 +1243,15 @@ def test_r13_session_index_caches_invalidatable(spark):
     assert mm.invalidate_multimodal_cache(SF_SMOKE) == 1
     assert mm.invalidate_multimodal_cache(SF_SMOKE) == 0
 
+    import lakehouse_admin_spark.operators.dedup as dd
+
+    dd.invalidate_posting_cache()
+    c1 = dd._cdc_chunk_hashes(spark, SF_SMOKE)
+    assert dd._cdc_chunk_hashes(spark, SF_SMOKE) is c1, "must hit"
+    assert all(k[0] == app for k in dd._CDC_CHUNK_CACHE), "appId-keyed"
+    assert dd.invalidate_posting_cache(SF_SMOKE) == 1  # only cdc built here
+    assert dd.invalidate_posting_cache(SF_SMOKE) == 0
+
     sim.invalidate_cov_cache()
     m1 = sim._cov_model(spark, SF_SMOKE)
     # element identity (the arrays are the cached objects; the tuple is
