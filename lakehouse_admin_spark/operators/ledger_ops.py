@@ -792,9 +792,9 @@ def ledger_pq_cell_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_admin_spark.operators.similarity import (
         IVF_PROBES,
         TOP_K,
-        _pq_index,
         cosine_from_norms,
         norm_expr,
+        pq_index,
     )
     from lakehouse_admin_spark.sources.fixtures import (
         build_vector_codes_ledger,
@@ -836,9 +836,12 @@ def ledger_pq_cell_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # each read prunes to ONE cell partition's code files
         p = codes_tbl.read(predicates=[("cell", "=", c)])
         part = p if part is None else part.unionByName(p)
-    # the query's LUT comes from the raw query vector only (the codes
-    # df returned here is never executed)
-    _codes, luts = _pq_index(spark, emb)
+    # the query's LUT comes off the session pq_index cache (the plain
+    # variant ann_pq_topk already builds) — one checkpoint-scan filter
+    # instead of re-running the codebook collect + LUT kernel per call
+    # (r13; the codes side of the cache is untouched here — this query
+    # ranks the GOVERNED ledger codes, not the cached ones)
+    _codes, luts = pq_index(spark, sf_dir, with_cells=False)
     lut = luts.filter(F.col("query_id") == 0)
     adc = (
         part.filter(F.col("vec_id") != 0)
