@@ -19,6 +19,13 @@ r8: each serving row is the MEDIAN of 3 consecutive timed runs, with
 per-row [min, max] recorded under "spread" — single-pass recordings
 swung ±20% round-to-round on identical binaries (r6 vs r7), forcing
 host-state caveats into every cross-round comparison.
+
+r14: trainer-class rows (bpe_learn_merges, bpe_batch_learn_merges) are
+priced FRESH-TRAIN — their model cache is evicted before every timed
+run (see TRAINER_EVICT below), so those medians are real training
+walls, not renders of a memoised merge table. The full per-query
+artifact is additionally written to bench_full.json (+ _c{cpus}
+variant) so per-query comparisons survive a truncated stdout tail.
 """
 
 from __future__ import annotations
@@ -230,15 +237,35 @@ def main() -> None:
     # single-pass numbers; the median kills one-off GC/IO outliers).
     # "spread" records each row's [min, max] so a noisy recording is
     # visible in the artifact itself.
+    #
+    # r14 pricing rule for TRAINER-class rows (r13 verdict #1): a query
+    # whose result IS its own driver-memoised model (the BPE merge
+    # tables — the timed row would otherwise measure a ~100-row
+    # createDataFrame render of the cached answer) has its model cache
+    # EVICTED before every timed run, so the timed median is a real
+    # fresh-train invocation. The warm pass above still reports the
+    # first-touch wall under `builds`; index-SERVING rows (e.g.
+    # bpe_encode_token_counts, which consumes the trained table across
+    # many invocations) keep riding their session index unchanged — the
+    # last timed train repopulates the cache for them.
+    from lakehouse_admin_spark.operators.textual import invalidate_bpe_cache
+
+    TRAINER_EVICT = {
+        "bpe_learn_merges": invalidate_bpe_cache,
+        "bpe_batch_learn_merges": invalidate_bpe_cache,
+    }
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name in errors:
             continue
         spec = registry.QUERIES[name]
+        evict = TRAINER_EVICT.get(name)
         walls: list[float] = []
         try:
             for _ in range(3):
+                if evict is not None:
+                    evict(sf_dir)
                 t0 = time.perf_counter()
                 rows = spec.fn(spark, sf_dir).collect()
                 walls.append(time.perf_counter() - t0)
@@ -262,6 +289,21 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # r14: persist the FULL per-query artifact to stable files so the
+    # per-query round-over-round comparison no longer depends on stdout
+    # length (the full line overflows a 2000-char stdout tail; PERF_r12/
+    # r13 both lost their per-query diff to that). bench_full.json holds
+    # the latest run; the _c{cpus} variant keeps the main- and low-core
+    # recordings from clobbering each other.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    out["cpus"] = int(cpus) if cpus.isdigit() else cpus
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("bench_full.json", f"bench_full_c{cpus}.json"):
+        try:
+            with open(os.path.join(here, fname), "w") as fh:
+                json.dump(out, fh, indent=1)
+        except OSError:
+            pass  # a read-only checkout must not lose the stdout artifact
     # Compact trailing summary (<1500 chars): the driver records only a
     # 2000-char stdout TAIL, which the full per-query line above
     # overflows — ending stdout with a small self-contained JSON line

@@ -95,12 +95,21 @@ _POSTING_CACHE: dict[tuple[str, str], DataFrame] = {}
 _BUCKET_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _norm_tier(sf_dir: str) -> str:
+    """Canonical cache key for a tier dir — abspath, no trailing slash
+    (r14, ADVICE): all three dedup caches key on this, so 'dir/' vs
+    'dir' can neither double-build a frame nor dodge the invalidator
+    (the similarity.py cache convention)."""
+    return os.path.abspath(sf_dir.rstrip("/"))
+
+
 def invalidate_posting_cache(sf_dir: str | None = None) -> int:
     """Drop (and unpersist) cached posting lists and bucket indexes —
     all of them, or only the ones built over ``sf_dir``. Returns the
     number evicted. The external-mutation hook, mirroring
     ``invalidate_ivf_cache`` / ``invalidate_graph_caches``: call after
     the documents fixture under ``sf_dir`` is rewritten in place."""
+    sf_dir = None if sf_dir is None else _norm_tier(sf_dir)
     victims = [k for k in _POSTING_CACHE if sf_dir is None or k[1] == sf_dir]
     for k in victims:
         try:
@@ -139,7 +148,7 @@ def exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this index would be a materialized table; the shape is
     identical.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, _norm_tier(sf_dir))
     cached = _POSTING_CACHE.get(key)
     if cached is not None:
         return cached
@@ -576,7 +585,7 @@ def _session_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id) — see the ``_BUCKET_CACHE`` note. ~LSH_BANDS rows per doc,
     localCheckpoint'd so consumers read materialized blocks instead of
     re-running the 16-hash minhash signature aggregate."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, _norm_tier(sf_dir))
     cached = _BUCKET_CACHE.get(key)
     if cached is None:
         cached = _band_buckets_from_sig(
@@ -1355,7 +1364,7 @@ def _cdc_chunk_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence; the chunker shared by the dup report and the
     chunk-Jaccard pair miner. Pure JVM array algebra in the scan;
     session-cached (see ``_CDC_CHUNK_CACHE``)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, _norm_tier(sf_dir))
     cached = _CDC_CHUNK_CACHE.get(key)
     if cached is not None:
         return cached

@@ -1936,27 +1936,38 @@ PQ_CACHE_MAX = 8
 
 
 def pq_index(
-    spark: SparkSession, sf_dir: str, with_cells: bool
+    spark: SparkSession, sf_dir: str, with_cells: bool = False,
+    variant: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(codes, query_luts) for the tier's embeddings — encoded on first
     use, then served from the session cache. ``with_cells`` rides the
     IVF cell id on the code rows (the IVFADC variant; requires/reuses
-    the cached :func:`ivf_index`)."""
+    the cached :func:`ivf_index`). ``variant="opq"`` encodes the
+    OPQ-ROTATED embeddings instead (r14, ADVICE: previously a verbatim
+    body copy in ``opq_pq_index`` — the cache/evict logic now exists
+    once, the exact drift the r10 ``_adc_ranked`` consolidation was
+    meant to prevent)."""
+    variant = variant or ("ivf" if with_cells else "plain")
     key = (
         spark.sparkContext.applicationId,
         os.path.abspath(sf_dir.rstrip("/")),
-        "ivf" if with_cells else "plain",
+        variant,
         QUERY_STRIDE,
     )
     hit = _PQ_CACHE.get(key)
     if hit is not None:
         _PQ_CACHE.move_to_end(key)
         return hit
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    if with_cells:
-        cells, _cents = ivf_index(spark, sf_dir)
-        emb = emb.join(cells, "vec_id")
-    codes, luts = _pq_index(spark, emb, cell_col="cell" if with_cells else None)
+    if variant == "opq":
+        emb = _rotated_embeddings(spark, sf_dir)
+        cell_col = None
+    else:
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        if variant == "ivf":
+            cells, _cents = ivf_index(spark, sf_dir)
+            emb = emb.join(cells, "vec_id")
+        cell_col = "cell" if variant == "ivf" else None
+    codes, luts = _pq_index(spark, emb, cell_col=cell_col)
     hit = (codes.localCheckpoint(), luts.localCheckpoint())
     _PQ_CACHE[key] = hit
     while len(_PQ_CACHE) > PQ_CACHE_MAX:
@@ -1973,32 +1984,19 @@ def opq_pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     builder directly, so the rotate AND encode kernels re-ran over the
     corpus on every invocation — the exact r11-verdict-#3 defect the
     plain/IVF variants were cured of in r12."""
-    key = (
-        spark.sparkContext.applicationId,
-        os.path.abspath(sf_dir.rstrip("/")),
-        "opq",
-        QUERY_STRIDE,
-    )
-    hit = _PQ_CACHE.get(key)
-    if hit is not None:
-        _PQ_CACHE.move_to_end(key)
-        return hit
-    rotated = _rotated_embeddings(spark, sf_dir)
-    codes, luts = _pq_index(spark, rotated)
-    hit = (codes.localCheckpoint(), luts.localCheckpoint())
-    _PQ_CACHE[key] = hit
-    while len(_PQ_CACHE) > PQ_CACHE_MAX:
-        _, (ev_codes, ev_luts) = _PQ_CACHE.popitem(last=False)
-        _free_checkpoint(ev_codes)
-        _free_checkpoint(ev_luts)
-    return hit
+    return pq_index(spark, sf_dir, variant="opq")
 
 
-def invalidate_pq_cache(sf_dir: str | None = None) -> int:
-    """Drop cached PQ indexes — all, or one tier's (call after
-    rewriting its embeddings). Returns the number evicted."""
+def invalidate_pq_cache(sf_dir: str | None = None, variant: str | None = None) -> int:
+    """Drop cached PQ indexes — all, one tier's, and/or one variant's
+    (call after rewriting the tier's embeddings). Returns the number
+    evicted."""
     norm = None if sf_dir is None else os.path.abspath(sf_dir.rstrip("/"))
-    keys = [k for k in _PQ_CACHE if norm is None or k[1] == norm]
+    keys = [
+        k
+        for k in _PQ_CACHE
+        if (norm is None or k[1] == norm) and (variant is None or k[2] == variant)
+    ]
     for k in keys:
         _free_checkpoint(_PQ_CACHE[k][0])
         _free_checkpoint(_PQ_CACHE[k][1])
@@ -2969,8 +2967,8 @@ _COV_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
 def invalidate_cov_cache(sf_dir: str | None = None) -> int:
     """Drop cached (mu, cov) second-moment models — all, or one tier's
-    (call after rewriting its embeddings, alongside
-    ``invalidate_opq_cache`` which holds the derived rotation)."""
+    (call after rewriting its embeddings; ``invalidate_opq_cache``
+    chains here, so the OPQ stack needs only that one call — r14)."""
     norm = None if sf_dir is None else os.path.abspath(sf_dir.rstrip("/"))
     keys = [k for k in _COV_CACHE if norm is None or k[1] == norm]
     for k in keys:
@@ -3095,11 +3093,19 @@ _OPQ_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
 def invalidate_opq_cache(sf_dir: str | None = None) -> int:
     """Drop cached OPQ rotations — all, or one tier's (call after
-    rewriting its embeddings; same contract as invalidate_ivf_cache)."""
+    rewriting its embeddings; same contract as invalidate_ivf_cache).
+    This is the ONE call an embeddings rewrite needs for the OPQ stack
+    (r14, ADVICE): it chains to the BASE (mu, cov) second-moment model
+    (``_COV_CACHE`` — a retrain would otherwise silently reuse stale
+    statistics; pre-r13 the rotation recomputed cov/mu fresh) and to
+    the DERIVED "opq"-variant PQ codes/LUTs (encoded with the dropped
+    rotation). Returns the number of rotations evicted."""
     norm = None if sf_dir is None else os.path.abspath(sf_dir.rstrip("/"))
     keys = [k for k in _OPQ_CACHE if norm is None or k[1] == norm]
     for k in keys:
         del _OPQ_CACHE[k]
+    invalidate_cov_cache(sf_dir)
+    invalidate_pq_cache(sf_dir, variant="opq")
     return len(keys)
 
 

@@ -1262,6 +1262,50 @@ def test_r13_session_index_caches_invalidatable(spark):
     assert sim.invalidate_cov_cache(SF_SMOKE) == 0
 
 
+def test_r14_cache_hygiene(spark):
+    """r14 ADVICE sweep: (a) invalidate_opq_cache is the ONE call an
+    embeddings rewrite needs for the OPQ stack — it chains to the BASE
+    (mu, cov) second-moment model (a retrain must not reuse stale
+    statistics) and to the DERIVED 'opq'-variant PQ codes/LUTs (encoded
+    with the dropped rotation); (b) the three dedup caches normalize
+    their tier key (abspath, no trailing slash), so a 'dir/' alias
+    neither double-builds a frame nor dodges the invalidator; (c) the
+    'opq' PQ variant is served by the shared pq_index body (single
+    cache/evict implementation)."""
+    import os
+
+    import lakehouse_admin_spark.operators.dedup as dd
+    import lakehouse_admin_spark.operators.similarity as sim
+
+    norm = os.path.abspath(SF_SMOKE.rstrip("/"))
+
+    # (a) + (c): train the rotation (pulls the cov model) + opq codes
+    sim.invalidate_opq_cache()
+    c1, _l1 = sim.opq_pq_index(spark, SF_SMOKE)
+    assert sim.opq_pq_index(spark, SF_SMOKE)[0] is c1, "must hit"
+    assert sim.pq_index(spark, SF_SMOKE, variant="opq")[0] is c1, (
+        "opq_pq_index must be the shared pq_index body"
+    )
+    assert any(k[1] == norm and k[2] == "opq" for k in sim._PQ_CACHE)
+    assert any(k[1] == norm for k in sim._COV_CACHE)
+    assert sim.invalidate_opq_cache(SF_SMOKE) == 1
+    assert not any(k[1] == norm for k in sim._OPQ_CACHE), "rotation evicted"
+    assert not any(k[1] == norm for k in sim._COV_CACHE), "base cov evicted"
+    assert not any(
+        k[1] == norm and k[2] == "opq" for k in sim._PQ_CACHE
+    ), "derived opq codes evicted"
+
+    # (b): trailing-slash alias hits the same dedup cache entries
+    dd.invalidate_posting_cache(SF_SMOKE)
+    p1 = dd.exploded_shingles(spark, SF_SMOKE)
+    assert dd.exploded_shingles(spark, SF_SMOKE + "/") is p1, "alias must hit"
+    ch1 = dd._cdc_chunk_hashes(spark, SF_SMOKE)
+    assert dd._cdc_chunk_hashes(spark, SF_SMOKE + "/") is ch1, "alias must hit"
+    n = dd.invalidate_posting_cache(SF_SMOKE + "/")
+    assert n >= 2, "alias-dir invalidation must evict the canonical keys"
+    assert dd.invalidate_posting_cache(SF_SMOKE) == 0
+
+
 def test_bm25_route_frame_broadcast_gated_on_delta_size(spark, monkeypatch):
     """r12 (r11 verdict #2): bm25_route_frame broadcasts its
     delta-proportional (query, term) frame ONLY when the delta is
