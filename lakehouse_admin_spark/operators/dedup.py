@@ -187,12 +187,16 @@ def jaccard_pairs(
     """
     ex = exploded_shingles(spark, sf_dir)
     if restrict_docs is not None:
-        # Persist: the pruned posting list feeds three consumers (both
-        # join sides + set sizes); without it the shingle pipeline would
-        # be recomputed for each.
+        # Materialise: the pruned posting list feeds three consumers
+        # (both join sides + set sizes); without it the semi-join would
+        # be recomputed for each. localCheckpoint, not persist (r14):
+        # identical one-compute semantics, but the lineage cut keeps
+        # every consumer's plan checkpoint-scan-sized and the blocks
+        # free with the GC (a per-invocation persist leaked one cached
+        # frame per serving call).
         ex = ex.join(
             F.broadcast(restrict_docs.select("doc_id").distinct()), "doc_id", "left_semi"
-        ).persist()
+        ).localCheckpoint()
     # set sizes are computed BEFORE any df-capping: |A| and |B| keep
     # exact semantics; the cap only thins the intersection candidates
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
@@ -435,7 +439,14 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     two shingle sets (broadcast candidates at fixture scale; the same
     joins shuffle on (doc, shingle) unchanged when the candidate frame
     outgrows a broadcast)."""
-    cand = _prefix_candidates(spark, sf_dir)
+    # localCheckpoint (r14): the candidate frame feeds BOTH branches of
+    # the cand_docs union below — unmaterialized, the df-rank window +
+    # prefix self-join pipeline ran TWICE per invocation (measured:
+    # candidates are ~2.7 s of the row's ~2.9 s at sf0.1), and the
+    # formatted plan re-expanded it into a 108-Exchange tree the
+    # optimizer re-walked every call (guide §3.3: materialise to
+    # truncate; the blocks free with the GC)
+    cand = _prefix_candidates(spark, sf_dir).localCheckpoint()
     # Verification = the SHARED minhash-verification path: prune the
     # posting list to docs appearing in any candidate, then the
     # common-count join over the pruned postings (jaccard_pairs with
@@ -708,7 +719,12 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .persist()
+        # localCheckpoint, not persist (r14): same one-compute semantics
+        # for the three consumers, but the lineage truncation keeps the
+        # verification side's optimizer tree candidate-sized, and the
+        # blocks free with the GC — a per-invocation .persist() here is
+        # never unpersisted, so repeated serving leaked cached frames
+        .localCheckpoint()
     )
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
@@ -808,7 +824,12 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_ex = exploded_shingles(spark, sf_dir).filter(
         F.col("doc_id") % INCR_DELTA_MOD == 0
     )
-    delta = _band_buckets_from_sig(_sig_from_exploded(delta_ex)).persist()
+    # localCheckpoint, not persist (r14): the delta signature aggregate
+    # runs once for both its consumers (union + join probe side) and
+    # the lineage cut collapses the formatted plan's re-expanded
+    # signature subtrees (80 Exchange entries of optimizer text per
+    # invocation); blocks free with the GC instead of leaking
+    delta = _band_buckets_from_sig(_sig_from_exploded(delta_ex)).localCheckpoint()
     everything = index.unionByName(delta)
     d = delta.alias("d")
     e = everything.alias("e")
@@ -824,7 +845,7 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("d.doc_id"), F.col("e.doc_id")).alias("doc_b"),
         )
         .distinct()
-        .persist()
+        .localCheckpoint()  # r14: see minhash_near_dup's cand note
     )
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
