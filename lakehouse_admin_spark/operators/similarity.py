@@ -143,6 +143,25 @@ def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return dot_expr(a, b) / (na * nb)
 
 
+def pair_scan_barrier(df: DataFrame) -> DataFrame:
+    """Exchange barrier under the brute tiers' broadcast-crossJoin
+    candidate side (r14, guide §2.4/§1.1). Whole-stage codegen fuses
+    the candidate projection into the BroadcastNestedLoopJoin pair
+    loop and evaluates the projected per-VECTOR expressions — sign
+    packing, SQ reconstruction, prefix slices, norms — at their USE
+    site, i.e. ONCE PER PAIR (nq× per row). Measured at the s25 stress
+    tier (10k vectors × 100 queries): the binary hamming pair scan
+    dropped 17.8 s → 0.44 s once the 64-CASE-WHEN pack was forced
+    map-side. A round-robin repartition materializes the expressions
+    exactly once per vector AND spreads the single-row-group fixture
+    scan across cores (the fixture parquet is one split → the whole
+    nq×n pair loop otherwise runs in ONE task). The shuffled rows are
+    the narrow candidate projection (binary codes: 24 B/row — the
+    guide-§8 lightweight-proxy rule; float tiers ship the same arrays
+    the pair stage needs anyway, one hop early)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def local_topk_prune(
     df: DataFrame, key_col: str, val_col: str, tie_col: str, k: int
 ) -> DataFrame:
@@ -243,6 +262,10 @@ def _ann_topk(
         F.col("label").alias("clabel"),
         norm_expr(F.col("embedding")).alias("nc"),
     )
+    if not restrict_cell:
+        # barrier: codegen otherwise folds the nc norm into the BNLJ
+        # pair loop (nq evaluations per vector — see pair_scan_barrier)
+        cands = pair_scan_barrier(cands)
     cond = F.col("neighbor_id") != F.col("query_id")
     if restrict_cell:
         # IVF: probe only the query's cell. The join is keyed on the cell
@@ -452,6 +475,9 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = emb.select(
         F.col("vec_id").alias("neighbor_id"), recon(F.col("embedding")).alias("ce")
     ).withColumn("nc", norm_expr(F.col("ce")))
+    # barrier: the 64-element recon transform + nc norm otherwise fold
+    # into the BNLJ pair loop (nq evaluations per vector)
+    cands = pair_scan_barrier(cands)
     sims = (
         F.broadcast(queries)
         .crossJoin(cands)
@@ -598,8 +624,12 @@ def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         )
 
-    codes = emb.select(
-        "vec_id", pack(0).alias("c_lo"), pack(32).alias("c_hi")
+    # barrier: the 64-CASE-WHEN pack otherwise folds into the BNLJ pair
+    # loop and runs nq× per vector — measured 17.8 s → 0.44 s on this
+    # pair scan at the s25 stress tier (see pair_scan_barrier); the
+    # shuffled rows are the 24-byte packed codes, never the floats
+    codes = pair_scan_barrier(
+        emb.select("vec_id", pack(0).alias("c_lo"), pack(32).alias("c_hi"))
     )
     queries = codes.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -714,7 +744,10 @@ def ann_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         )
 
-    codes = emb.select("vec_id", pack(0).alias("c_lo"), pack(32).alias("c_hi"))
+    # barrier: same pair-loop pack re-evaluation as the hamming scan
+    codes = pair_scan_barrier(
+        emb.select("vec_id", pack(0).alias("c_lo"), pack(32).alias("c_hi"))
+    )
     qcodes = codes.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("c_lo").alias("q_lo"),
@@ -843,6 +876,8 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             norm_expr(F.col("embedding")).alias("nc"),
         )
     )
+    # barrier: nc otherwise folds into the BNLJ pair loop (nq× per row)
+    gated = pair_scan_barrier(gated)
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -3382,11 +3417,13 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("ql"),
         norm_expr(F.col("embedding")).alias("nq"),
     )
-    cands = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ce"),
-        F.col("label").alias("cl"),
-        norm_expr(F.col("embedding")).alias("nc"),
+    cands = pair_scan_barrier(  # nc otherwise re-evaluates per pair
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ce"),
+            F.col("label").alias("cl"),
+            norm_expr(F.col("embedding")).alias("nc"),
+        )
     )
     sims = (
         F.broadcast(queries)
@@ -3544,8 +3581,12 @@ def ann_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     second pass over the corpus to build anything."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     pfx = F.slice(F.col("embedding"), 1, PREFIX_DIMS)
-    base = emb.select("vec_id", pfx.alias("pe")).withColumn(
-        "np", norm_expr(F.col("pe"))
+    # barrier: the prefix slice (an array copy) + np norm otherwise fold
+    # into the BNLJ pair loop and run nq× per vector
+    base = pair_scan_barrier(
+        emb.select("vec_id", pfx.alias("pe")).withColumn(
+            "np", norm_expr(F.col("pe"))
+        )
     )
     queries = base.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -3634,8 +3675,11 @@ def ann_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles and full vectors are touched only for shortlisted ids."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     pfx = F.slice(F.col("embedding"), 1, PREFIX_DIMS)
-    base = emb.select("vec_id", pfx.alias("pe")).withColumn(
-        "np", norm_expr(F.col("pe"))
+    # barrier: same pair-loop slice+norm re-evaluation as ann_prefix_topk
+    base = pair_scan_barrier(
+        emb.select("vec_id", pfx.alias("pe")).withColumn(
+            "np", norm_expr(F.col("pe"))
+        )
     )
     pqueries = base.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
